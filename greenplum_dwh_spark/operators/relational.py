@@ -1,0 +1,438 @@
+"""Relational operator library — one driver-contract query per operator
+family of SURVEY.md §2, expressed Spark-first over the TPC-H-ish
+testdata tables.
+
+Every query here has a DuckDB oracle in ``ORACLES``. Parity rules used
+throughout (so the driver's order-insensitive value-hash matches
+bit-for-bit):
+
+- sums over doubles go through ``DECIMAL(18,2)`` **before** SUM (exact,
+  order-independent) and the result is cast back to DOUBLE — both
+  engines produce the identical double;
+- averages/ratios are a single double division of exact ingredients;
+- window orderings always include a unique tiebreak column;
+- every computed column is aliased identically in both dialects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from greenplum_dwh_spark.sources.tpch import Tables
+
+
+def _dsum(col):
+    """Order-independent exact sum of a double column → double."""
+    return F.sum(col.cast("decimal(18,2)")).cast("double")
+
+
+def _dsum_mul(a, b):
+    """Exact sum of a product: cast each factor to decimal BEFORE the
+    multiply (both factors carry ≤2 decimals by construction, so the
+    casts are exact and no engine-specific double→decimal rounding of
+    the product can diverge)."""
+    return F.sum(a.cast("decimal(18,2)") * b.cast("decimal(18,2)")) \
+            .cast("double")
+
+
+# ---------------------------------------------------------------------------
+# A1/F3 — grouped aggregation with derived measures (TPC-H Q1 shape).
+# Reference analog: landing→dim GROUP BY attr tuple + min() (ETL.sql:20-27).
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    li = t.lineitem
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(_dsum(F.col("l_quantity")).alias("sum_qty"),
+                 _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+                 _dsum_mul(F.col("l_extendedprice"), 1 - F.col("l_discount"))
+                 .alias("sum_disc_price"),
+                 F.count(F.lit(1)).alias("count_order"))
+            .withColumn("avg_qty", F.col("sum_qty") / F.col("count_order")))
+
+
+# J1 — multi-way join + group agg (TPC-H Q3 shape; the 5-way mart join
+# Data_mart.sql:175-183 is the same plan family: small side broadcast).
+def q3_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (t.lineitem
+            .join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
+            .join(F.broadcast(t.customer),
+                  t.orders.o_custkey == t.customer.c_custkey)
+            .filter(F.col("c_mktsegment") == "BUILDING")
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(_dsum_mul(F.col("l_extendedprice"), 1 - F.col("l_discount"))
+                 .alias("revenue")))
+
+
+# J1 — 6-way join through region→nation→(customer,supplier) (Q5 shape).
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (t.lineitem
+            .join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
+            .join(F.broadcast(t.supplier),
+                  t.lineitem.l_suppkey == t.supplier.s_suppkey)
+            .join(F.broadcast(t.customer),
+                  (t.orders.o_custkey == t.customer.c_custkey)
+                  & (t.customer.c_nationkey == t.supplier.s_nationkey))
+            .join(F.broadcast(t.nation),
+                  t.supplier.s_nationkey == t.nation.n_nationkey)
+            .join(F.broadcast(t.region),
+                  t.nation.n_regionkey == t.region.r_regionkey)
+            .filter(F.col("r_name") == "ASIA")
+            .groupBy("n_name")
+            .agg(_dsum_mul(F.col("l_extendedprice"), 1 - F.col("l_discount"))
+                 .alias("revenue")))
+
+
+# A4/S12 — pivoted counts (plot_report.py:16 analog), explicit when-sums
+# so column names are stable across engines.
+def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cnt = lambda s: F.sum(F.when(F.col("o_orderstatus") == s, 1)
+                          .otherwise(0)).alias(f"n_{s.lower()}")
+    return (t.orders.groupBy("o_orderpriority")
+            .agg(cnt("O"), cnt("F"), cnt("P")))
+
+
+# W1 — lead() per key (SCD2 staging, ETL.sql:19).
+def window_lead_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return t.orders.select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.lead("o_orderdate").over(w).alias("next_order_dt"))
+
+
+# W2/P6 — lag() city-hop shape on the events stream (Data_mart.sql:289-293).
+def window_lag_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (t.events.select(
+                "event_id", "user_id", "event_type", "ts",
+                F.lag("event_type").over(w).alias("prev_type"),
+                (F.unix_timestamp("ts")
+                 - F.unix_timestamp(F.lag("ts").over(w))).alias("gap_sec"))
+            .filter((F.col("event_type") != F.col("prev_type"))
+                    & (F.col("gap_sec") < 3600))
+            .select("event_id", "user_id", "event_type", "prev_type",
+                    "gap_sec"))
+
+
+# W3/W4/A3 — last_value + min/max over key + update_dt CASE
+# (SCD1 staging, ETL.sql:250-260).
+def window_last_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w_last = (Window.partitionBy("o_custkey")
+              .orderBy("o_orderdate", "o_orderkey")
+              .rowsBetween(Window.unboundedPreceding,
+                           Window.unboundedFollowing))
+    w_key = Window.partitionBy("o_custkey")
+    mx, mn = (F.max("o_orderdate").over(w_key),
+              F.min("o_orderdate").over(w_key))
+    return (t.orders.select(
+        "o_custkey",
+        F.last("o_orderstatus").over(w_last).alias("last_status"),
+        mn.alias("create_dt"),
+        F.when(mx == mn, F.lit(None).cast("timestamp"))
+         .otherwise(mx).alias("update_dt"))
+        .distinct())
+
+
+# J2/J3 — anti join (NOT EXISTS, ETL.sql:92-99).
+def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (t.customer.join(t.orders,
+                            t.customer.c_custkey == t.orders.o_custkey,
+                            "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+# semi join (EXISTS) — companion of J2 in the operator library.
+def semi_join_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    big = t.orders.filter(F.col("o_totalprice") > 300000.0)
+    return (t.customer.join(big, t.customer.c_custkey == big.o_custkey,
+                            "left_semi")
+            .select("c_custkey", "c_mktsegment"))
+
+
+# U1/F3 — UNION ALL of labeled rule outputs (Data_mart.sql:260-293 shape).
+def union_labeled_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    o = t.orders
+    a = (o.filter(F.col("o_totalprice") > 400000.0)
+         .select("o_orderkey", F.lit("high_value").alias("rule")))
+    b = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_orderkey", F.lit("urgent").alias("rule")))
+    return a.unionByName(b)
+
+
+# P3/F4/A2 — scalar-subquery threshold with the day-truncation idiom
+# (Data_mart.sql:138-139: >= day_start(max) − interval).
+def last_week_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    li = t.lineitem
+    mx = li.agg((F.date_trunc("DAY", F.max("l_shipdate"))
+                 - F.expr("INTERVAL 7 DAYS")).alias("_thr"))
+    return (li.join(F.broadcast(mx),
+                    F.col("l_shipdate") >= F.col("_thr"), "inner")
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 _dsum(F.col("l_extendedprice")).alias("sum_price")))
+
+
+# F2/F10/W2 — coalesce'd lag difference (amount_diff, Data_mart.sql:30).
+def amount_diff_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return t.events.select(
+        "event_id", "user_id",
+        F.coalesce(F.col("value") - F.lag("value").over(w),
+                   F.lit(-1.0)).alias("amount_diff"))
+
+
+# beyond-reference: ROLLUP grouping sets with GROUPING() flags.
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (t.orders.rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.grouping("o_orderstatus").cast("int").alias("g_status"),
+                 F.grouping("o_orderpriority").cast("int").alias("g_prio"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL"))
+                    .alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL"))
+                    .alias("priority"),
+                    "n", "g_status", "g_prio"))
+
+
+# P4/F8 — interval arithmetic + date comparison (late shipments).
+def late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    j = (t.lineitem.join(t.orders,
+                         t.lineitem.l_orderkey == t.orders.o_orderkey)
+         .filter(F.col("l_shipdate")
+                 > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")))
+    return j.select(
+        "l_orderkey", "l_linenumber",
+        F.floor((F.unix_timestamp("l_shipdate")
+                 - F.unix_timestamp("o_orderdate")) / 86400)
+        .cast("long").alias("days_late"))
+
+
+# beyond-reference: JSON field extraction from the events props column.
+def json_props_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (t.events.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").alias("sum_k")))
+
+
+# §2.9 streaming-shaped: tumbling 1-hour event-time windows.
+def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (t.events
+            .select(F.date_trunc("HOUR", "ts").alias("hour_start"),
+                    "event_type", "value")
+            .groupBy("hour_start", "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dsum(F.col("value")).alias("sum_value")))
+
+
+# as-of join: latest prior 'click' per event, same user (monotonic-max
+# formulation keeps it portable and shuffle-minimal: one window pass).
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    last_click = F.max(F.when(F.col("event_type") == "click",
+                              F.col("ts"))).over(w)
+    return (t.events
+            .select("event_id", "user_id", "ts", "event_type",
+                    last_click.alias("last_click_ts"))
+            .filter(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", "ts", "last_click_ts"))
+
+
+# rule-4 fixed-lookback chain shape, SQL-expressible variant: a purchase
+# preceded by 3 strictly-decreasing 'error' events within 20 minutes
+# (the general ≥3 state machine lives in mart/chains.py; this is the
+# window-algebra member of the family, provable against the oracle).
+def chain_fraud_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_t = lambda n: F.lag("event_type", n).over(w)
+    lag_v = lambda n: F.lag("value", n).over(w)
+    lag_ts = lambda n: F.lag("ts", n).over(w)
+    return (t.events
+            .withColumn("ok",
+                        (F.col("event_type") == "purchase")
+                        & (lag_t(1) == "error") & (lag_t(2) == "error")
+                        & (lag_t(3) == "error")
+                        & (lag_v(3) > lag_v(2)) & (lag_v(2) > lag_v(1))
+                        & ((F.unix_timestamp("ts")
+                            - F.unix_timestamp(lag_ts(3))) < 1200))
+            .filter(F.col("ok"))
+            .select("event_id", "user_id", "ts"))
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_segment_revenue": q3_segment_revenue,
+    "q5_nation_revenue": q5_nation_revenue,
+    "pivot_status_counts": pivot_status_counts,
+    "window_lead_scd2": window_lead_scd2,
+    "window_lag_hop": window_lag_hop,
+    "window_last_scd1": window_last_scd1,
+    "anti_join_no_orders": anti_join_no_orders,
+    "semi_join_big_orders": semi_join_big_orders,
+    "union_labeled_rules": union_labeled_rules,
+    "last_week_threshold": last_week_threshold,
+    "amount_diff_lag": amount_diff_lag,
+    "rollup_status_priority": rollup_status_priority,
+    "late_shipments": late_shipments,
+    "json_props_agg": json_props_agg,
+    "tumbling_hourly": tumbling_hourly,
+    "asof_last_click": asof_last_click,
+    "chain_fraud_window": chain_fraud_window,
+}
+
+_DSUM = "cast(sum(cast({0} as decimal(18,2))) as double)"
+_DSUM_MUL = ("cast(sum(cast({0} as decimal(18,2)) "
+             "* cast({1} as decimal(18,2))) as double)")
+
+ORACLES = {
+    "q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               {_DSUM.format('l_quantity')} AS sum_qty,
+               {_DSUM.format('l_extendedprice')} AS sum_base_price,
+               {_DSUM_MUL.format('l_extendedprice', '1 - l_discount')}
+                   AS sum_disc_price,
+               count(*) AS count_order,
+               {_DSUM.format('l_quantity')} / count(*) AS avg_qty
+        FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q3_segment_revenue": f"""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               {_DSUM_MUL.format('l_extendedprice', '1 - l_discount')}
+                   AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority""",
+    "q5_nation_revenue": f"""
+        SELECT n_name,
+               {_DSUM_MUL.format('l_extendedprice', '1 - l_discount')}
+                   AS revenue
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN customer ON o_custkey = c_custkey
+                          AND c_nationkey = s_nationkey
+             JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' GROUP BY n_name""",
+    "pivot_status_counts": """
+        SELECT o_orderpriority,
+               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_o,
+               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)::BIGINT AS n_f,
+               sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)::BIGINT AS n_p
+        FROM orders GROUP BY o_orderpriority""",
+    "window_lead_scd2": """
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               lead(o_orderdate) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS next_order_dt
+        FROM orders""",
+    "window_lag_hop": """
+        WITH x AS (
+          SELECT event_id, user_id, event_type,
+                 lag(event_type) OVER w AS prev_type,
+                 floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT AS gap_sec
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT * FROM x
+        WHERE event_type != prev_type AND gap_sec < 3600""",
+    "window_last_scd1": """
+        SELECT DISTINCT o_custkey,
+               last_value(o_orderstatus) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS last_status,
+               min(o_orderdate) OVER k AS create_dt,
+               CASE WHEN max(o_orderdate) OVER k = min(o_orderdate) OVER k
+                    THEN NULL ELSE max(o_orderdate) OVER k
+               END AS update_dt
+        FROM orders WINDOW k AS (PARTITION BY o_custkey)""",
+    "anti_join_no_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "semi_join_big_orders": """
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_totalprice > 300000.0)""",
+    "union_labeled_rules": """
+        SELECT o_orderkey, 'high_value' AS rule FROM orders
+        WHERE o_totalprice > 400000.0
+        UNION ALL
+        SELECT o_orderkey, 'urgent' AS rule FROM orders
+        WHERE o_orderpriority = '1-URGENT'""",
+    "last_week_threshold": f"""
+        SELECT l_returnflag, count(*) AS n_rows,
+               {_DSUM.format('l_extendedprice')} AS sum_price
+        FROM lineitem
+        WHERE l_shipdate >= (SELECT date_trunc('day', max(l_shipdate))
+                                    ::TIMESTAMP - INTERVAL 7 DAY
+                             FROM lineitem)
+        GROUP BY l_returnflag""",
+    "amount_diff_lag": """
+        SELECT event_id, user_id,
+               coalesce(value - lag(value) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id), -1.0) AS amount_diff
+        FROM events""",
+    "rollup_status_priority": """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               grouping(o_orderstatus)::INT AS g_status,
+               grouping(o_orderpriority)::INT AS g_prio
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "late_shipments": """
+        SELECT l_orderkey, l_linenumber,
+               floor((epoch(l_shipdate) - epoch(o_orderdate)) / 86400)
+                   ::BIGINT AS days_late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY""",
+    "json_props_agg": """
+        SELECT event_type, count(*) AS n,
+               sum(CAST(regexp_extract(props, '"k": (-?\\d+)', 1)
+                        AS BIGINT))::BIGINT AS sum_k
+        FROM events GROUP BY event_type""",
+    "tumbling_hourly": f"""
+        SELECT date_trunc('hour', ts)::TIMESTAMP AS hour_start, event_type,
+               count(*) AS n, {_DSUM.format('value')} AS sum_value
+        FROM events GROUP BY 1, 2""",
+    "asof_last_click": """
+        SELECT event_id, user_id, ts::TIMESTAMP AS ts,
+               max(CASE WHEN event_type = 'click' THEN ts::TIMESTAMP END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_click_ts
+        FROM events QUALIFY event_type = 'purchase'""",
+    "chain_fraud_window": """
+        WITH x AS (
+          SELECT event_id, user_id, ts, event_type, value,
+                 lag(event_type, 1) OVER w AS t1,
+                 lag(event_type, 2) OVER w AS t2,
+                 lag(event_type, 3) OVER w AS t3,
+                 lag(value, 1) OVER w AS v1,
+                 lag(value, 2) OVER w AS v2,
+                 lag(value, 3) OVER w AS v3,
+                 floor(epoch(ts))::BIGINT - floor(epoch(lag(ts, 3) OVER w))::BIGINT AS dsec
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM x
+        WHERE event_type = 'purchase'
+          AND t1 = 'error' AND t2 = 'error' AND t3 = 'error'
+          AND v3 > v2 AND v2 > v1 AND dsec < 1200""",
+}

@@ -32,8 +32,9 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.parquet.compression.codec": "zstd",
-    # timestamp[ns] parquet (events table) -> truncate to micros
-    "spark.sql.legacy.parquet.nanosAsLong": "false",
+    # timestamp[ns] parquet (events table): Spark has no ns timestamp —
+    # read as long and convert to micros in the loader (sources/tpch.py)
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "8g"),
 }
 

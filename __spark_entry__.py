@@ -1,10 +1,18 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship multi-join revenue query on sf0.001;
+``queries``/``oracle_sql`` expose the full operator inventory of
+SURVEY.md §2 plus the training-data-pipeline extensions (dedup,
+similarity search, text analysis, sessionization, multimodal columns).
+
+Queries without an ``oracle_sql`` entry are the deliberately
+non-SQL-exact ones: ``ann_ivf_topk`` (approximate IVF scale path;
+recall vs the exact operator is asserted in tests),
+``multimodal_features`` (Arrow mapInPandas byte features) and
+``chain_fraud_state`` (general ≥3-chain state machine — the
+fixed-lookback window variant ``chain_fraud_window`` IS oracle-checked,
+and the state machine itself is golden-tested in tests/ against the
+reference semantics).
 """
 
 from __future__ import annotations
@@ -14,25 +22,32 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _modules():
+    from greenplum_dwh_spark.operators import (dedup, multimodal_ops,
+                                               relational, sessions,
+                                               similarity, text_analysis)
+    return [relational, dedup, text_analysis, similarity, sessions,
+            multimodal_ops]
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from greenplum_dwh_spark.operators.relational import q5_nation_revenue
+    return q5_nation_revenue(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable] = {}
+    for mod in _modules():
+        out.update(mod.QUERIES)
+    from greenplum_dwh_spark.operators.chains_events import (
+        chain_fraud_state)
+    out["chain_fraud_state"] = chain_fraud_state
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for mod in _modules():
+        out.update(mod.ORACLES)
+    return out

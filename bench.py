@@ -1,0 +1,73 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <scale factor>}
+
+Each query is forced through the ``noop`` sink so full column
+computation happens (a bare count() would let Catalyst prune the
+measure columns away).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from greenplum_dwh_spark.session import get_spark
+    from greenplum_dwh_spark.operators import (dedup, relational, sessions,
+                                               similarity, text_analysis)
+
+    spark = get_spark("bench", extra_conf={"spark.ui.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bench_queries = {
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "q3_segment_revenue": relational.q3_segment_revenue,
+        "q5_nation_revenue": relational.q5_nation_revenue,
+        "window_lead_scd2": relational.window_lead_scd2,
+        "window_lag_hop": relational.window_lag_hop,
+        "window_last_scd1": relational.window_last_scd1,
+        "last_week_threshold": relational.last_week_threshold,
+        "tumbling_hourly": relational.tumbling_hourly,
+        "asof_last_click": relational.asof_last_click,
+        "chain_fraud_window": relational.chain_fraud_window,
+        "sessionize_events": sessions.sessionize_events,
+        "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+        "dedup_simhash": dedup.dedup_simhash,
+        "text_quality": text_analysis.text_quality,
+        "text_fingerprint": text_analysis.text_fingerprint,
+        "ann_cosine_topk": similarity.ann_cosine_topk,
+    }
+
+    timings: dict[str, float] = {}
+    for name, fn in bench_queries.items():
+        # one warm-up planning pass isn't needed — measure cold like the
+        # reference's single-shot ETL runs
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,196 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four members, each a different point on the exactness/scale frontier
+(BASELINE.json north star; PAPERS.md set-similarity-join literature):
+
+- ``dedup_exact`` — hash-groupBy on content digest. One shuffle on the
+  digest; at 100 TB this is the classic first pass (map-side combine on
+  md5 keys, no skew because digests are uniform).
+- ``dedup_minhash_lsh`` — word-3-gram shingles → 32 min-wise hashes →
+  per-permutation banding (r=1) → candidate pairs → **exact jaccard
+  verification**. The verification step makes the output equal to the
+  brute-force ground truth (miss probability (1-j)^32 < 3e-10 at the
+  0.5 threshold), which is exactly what the DuckDB oracle computes —
+  so the approximate scale path is checked against the exact answer.
+- ``dedup_simhash`` — 60-bit simhash over shingle hashes, 10×6-bit
+  band join (pigeonhole-complete for hamming ≤ 9) + exact hamming
+  verify at ≤ 8. Again: banded plan, ground-truth output.
+- ``dedup_jaccard_prefix`` — exact char-4-gram jaccard join via prefix
+  filtering (tokens globally ordered by frequency; a pair above
+  threshold t must share one of the first |A| − ⌈t·|A|⌉ + 1 rarest
+  tokens). Fully exact, no probabilistic step, and the candidate set
+  is linear-ish in practice instead of O(n²).
+
+All hot paths are pure Spark SQL expressions (whole-stage codegen);
+no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from greenplum_dwh_spark.functions import hashing as H
+from greenplum_dwh_spark.sources.tpch import Tables
+
+JACCARD_THRESHOLD = 0.5
+SIMHASH_MAX_DIST = 8
+PREFIX_THRESHOLD = 0.6
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per distinct text: digest, cluster size, representative
+    (min doc_id) — the exact-dedup primitive."""
+    t = Tables(spark, sf_dir)
+    return (t.documents
+            .select(F.md5("text").alias("digest"), "doc_id")
+            .groupBy("digest")
+            .agg(F.count(F.lit(1)).alias("n_copies"),
+                 F.min("doc_id").alias("rep_doc_id")))
+
+
+def _pairs_with_jaccard(docs: DataFrame, pairs: DataFrame,
+                        shingle_col) -> DataFrame:
+    sets_df = docs.select(F.col("doc_id"), shingle_col.alias("s"))
+    a = sets_df.alias("sa")
+    b = sets_df.alias("sb")
+    return (pairs
+            .join(a, F.col("doc_a") == F.col("sa.doc_id"))
+            .join(b, F.col("doc_b") == F.col("sb.doc_id"))
+            .select("doc_a", "doc_b",
+                    H.jaccard(F.col("sa.s"), F.col("sb.s")).alias("jac")))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    ex = docs.select("doc_id", F.explode(H.word_shingles()).alias("sh"))
+    sig = ex.groupBy("doc_id").agg(
+        *[H.minhash_agg(p) for p in range(H.MINHASH_PERMS)])
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(str(p)), F.col(f"m{p}"))
+            for p in range(H.MINHASH_PERMS)])).alias("band"))
+    cand = (bands.alias("a")
+            .join(bands.alias("b"), "band")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    return (_pairs_with_jaccard(docs, cand, H.word_shingles())
+            .filter(F.col("jac") >= JACCARD_THRESHOLD))
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """60-bit simhash per doc over word-3-gram shingle hashes."""
+    ex = docs.select("doc_id", F.explode(H.word_shingles()).alias("sh"))
+    h = ex.select("doc_id", H.hash60(F.col("sh")).alias("hh"))
+    bit_sums = h.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.shiftright(F.col("hh"), j).bitwiseAND(1) == 1,
+                     1).otherwise(-1)).alias(f"s{j}")
+        for j in range(H.SIMHASH_BITS)])
+    fp = sum([F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long"))
+              .otherwise(F.lit(0).cast("long"))
+              for j in range(H.SIMHASH_BITS)], F.lit(0).cast("long"))
+    return bit_sums.select("doc_id", fp.alias("fp"))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    fps = simhash_fingerprints(t.documents).cache()
+    n_bands = H.SIMHASH_BITS // H.SIMHASH_BAND_BITS
+    mask = (1 << H.SIMHASH_BAND_BITS) - 1
+    bands = fps.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(str(b)),
+                        F.shiftright(F.col("fp"),
+                                     b * H.SIMHASH_BAND_BITS)
+                        .bitwiseAND(mask).cast("string"))
+            for b in range(n_bands)])).alias("band"))
+    cand = (bands.alias("a")
+            .join(bands.alias("b"), "band")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    fa = fps.select(F.col("doc_id").alias("doc_a"),
+                    F.col("fp").alias("fp_a"))
+    fb = fps.select(F.col("doc_id").alias("doc_b"),
+                    F.col("fp").alias("fp_b"))
+    return (cand.join(fa, "doc_a").join(fb, "doc_b")
+            .select("doc_a", "doc_b",
+                    F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+                    .cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= SIMHASH_MAX_DIST))
+
+
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    docs = t.documents
+    grams = docs.select("doc_id", H.char_ngrams().alias("s"))
+    ex = grams.select("doc_id", F.explode("s").alias("g"),
+                      F.size("s").alias("n"))
+    freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "g")
+    prefix = (ex.join(freq, "g")
+              .withColumn("rk", F.row_number().over(w))
+              # |A| - ceil(t*|A|) + 1 rarest tokens form the prefix
+              .filter(F.col("rk")
+                      <= F.col("n") - F.ceil(F.col("n") * PREFIX_THRESHOLD)
+                      + 1)
+              .select("doc_id", "g"))
+    cand = (prefix.alias("a").join(prefix.alias("b"), "g")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    return (_pairs_with_jaccard(docs, cand, H.char_ngrams())
+            .filter(F.col("jac") >= PREFIX_THRESHOLD))
+
+
+QUERIES = {
+    "dedup_exact": dedup_exact,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "dedup_jaccard_prefix": dedup_jaccard_prefix,
+}
+
+_W3 = H.word_shingles_sql()
+_C4 = H.char_ngrams_sql()
+_J = H.JACCARD_SQL.format(a="a.s", b="b.s")
+
+#: the LSH/banded plans verify candidates exactly, so the oracle is the
+#: brute-force ground truth — any recall loss would surface as a
+#: row-count mismatch.
+ORACLES = {
+    "dedup_exact": """
+        SELECT md5(text) AS digest, count(*) AS n_copies,
+               min(doc_id) AS rep_doc_id
+        FROM documents GROUP BY md5(text)""",
+    "dedup_minhash_lsh": f"""
+        WITH sh AS (SELECT doc_id, {_W3} AS s FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_J} AS jac
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE {_J} >= {JACCARD_THRESHOLD}""",
+    "dedup_simhash": f"""
+        WITH sh AS (SELECT doc_id, {_W3} AS s FROM documents),
+        ex AS (SELECT doc_id, unnest(s) AS sh FROM sh),
+        h AS (SELECT doc_id, {H.HASH60_SQL.format('sh')} AS hh FROM ex),
+        bits AS (SELECT doc_id,
+            {', '.join(f'sum(CASE WHEN (hh >> {j}) & 1 = 1 THEN 1 ELSE -1 END) s{j}' for j in range(H.SIMHASH_BITS))}
+            FROM h GROUP BY doc_id),
+        fp AS (SELECT doc_id,
+            ({' + '.join(f'(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)::BIGINT' for j in range(H.SIMHASH_BITS))})
+            AS fp FROM bits)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.fp, b.fp))::INT AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= {SIMHASH_MAX_DIST}""",
+    "dedup_jaccard_prefix": f"""
+        WITH sh AS (SELECT doc_id, {_C4} AS s FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_J} AS jac
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE {_J} >= {PREFIX_THRESHOLD}""",
+}

@@ -1,0 +1,44 @@
+"""Driver-contract queries for the multimodal column pipeline."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from greenplum_dwh_spark.multimodal.codec import (extract_features,
+                                                  pack_payloads)
+from greenplum_dwh_spark.sources.tpch import Tables
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload metadata projection — byte vs char lengths over the
+    binary payload column (SQL-checkable plumbing)."""
+    packed = pack_payloads(Tables(spark, sf_dir).documents)
+    return packed.select(
+        "doc_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.n_chars").alias("n_chars_meta"),
+        F.col("meta.mime").alias("mime"),
+        F.octet_length("payload").alias("payload_bytes"))
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched byte-feature extraction (mapInPandas plumbing);
+    byte_mean is Python-float arithmetic → rows-only check."""
+    return extract_features(pack_payloads(Tables(spark, sf_dir).documents))
+
+
+QUERIES = {
+    "multimodal_meta": multimodal_meta,
+    "multimodal_features": multimodal_features,   # rows-only
+}
+
+ORACLES = {
+    "multimodal_meta": """
+        SELECT doc_id,
+               strlen(text)::INT AS n_bytes,
+               length(text)::INT AS n_chars_meta,
+               'text/plain' AS mime,
+               strlen(text)::INT AS payload_bytes
+        FROM documents""",
+}

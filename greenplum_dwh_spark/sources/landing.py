@@ -43,7 +43,17 @@ def read_extract(spark: SparkSession, path: str) -> DataFrame:
               .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
               .csv(path))
         return _positional(spark, df, cast=True)
-    # xlsx via pandas bridge (insert_from_excel.py:22)
+    # xlsx via pandas bridge (insert_from_excel.py:22). No OSS-native
+    # Spark xlsx reader exists; pandas needs openpyxl, which this
+    # container doesn't ship — fail with a clear remedy rather than a
+    # deep pandas stack.
+    try:
+        import openpyxl  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "xlsx ingestion needs openpyxl (not installed here); "
+            "convert the extract to parquet/csv or install openpyxl"
+        ) from e
     import pandas as pd
     pdf = pd.read_excel(path)
     pdf.columns = EXTRACT_COLUMNS

@@ -206,6 +206,38 @@ def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n", "g_status", "g_prio"))
 
 
+# beyond-reference: CUBE grouping sets (all 4 grouping combinations).
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (t.orders.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.grouping("o_orderstatus").cast("int").alias("g_status"),
+                 F.grouping("o_orderpriority").cast("int").alias("g_prio"))
+            .select(F.coalesce("o_orderstatus", F.lit("ALL"))
+                    .alias("status"),
+                    F.coalesce("o_orderpriority", F.lit("ALL"))
+                    .alias("priority"),
+                    "n", "g_status", "g_prio"))
+
+
+# exact COUNT(DISTINCT) — two-level shuffle aggregate.
+def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (t.lineitem.groupBy("l_returnflag")
+            .agg(F.countDistinct("l_partkey").alias("n_parts"),
+                 F.count(F.lit(1)).alias("n_rows")))
+
+
+# approximate COUNT(DISTINCT) (HyperLogLog++) — the sketch-aggregate
+# scale path; estimates are engine-specific so this is rows-only, and
+# tests assert the estimate's relative error against the exact count.
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (t.lineitem.groupBy("l_returnflag")
+            .agg(F.approx_count_distinct("l_partkey", rsd=0.02)
+                 .alias("n_parts_approx")))
+
+
 # P4/F8 — interval arithmetic + date comparison (late shipments).
 def late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
@@ -292,6 +324,9 @@ QUERIES = {
     "last_week_threshold": last_week_threshold,
     "amount_diff_lag": amount_diff_lag,
     "rollup_status_priority": rollup_status_priority,
+    "cube_status_priority": cube_status_priority,
+    "distinct_parts_per_flag": distinct_parts_per_flag,
+    "approx_distinct_parts": approx_distinct_parts,   # rows-only (HLL)
     "late_shipments": late_shipments,
     "json_props_agg": json_props_agg,
     "tumbling_hourly": tumbling_hourly,
@@ -397,6 +432,18 @@ ORACLES = {
                grouping(o_orderstatus)::INT AS g_status,
                grouping(o_orderpriority)::INT AS g_prio
         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "cube_status_priority": """
+        SELECT coalesce(o_orderstatus, 'ALL') AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n,
+               grouping(o_orderstatus)::INT AS g_status,
+               grouping(o_orderpriority)::INT AS g_prio
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "distinct_parts_per_flag": """
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS n_parts,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag""",
     "late_shipments": """
         SELECT l_orderkey, l_linenumber,
                floor((epoch(l_shipdate) - epoch(o_orderdate)) / 86400)

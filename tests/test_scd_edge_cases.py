@@ -1,0 +1,117 @@
+"""Unit tests for SCD apply edge cases the 3-day golden flow can't
+reach: multiple staged versions of one key in a single batch, and the
+reference's revert-to-old-tuple quirk (SURVEY.md §2.11)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from greenplum_dwh_spark.etl.scd1 import scd1_apply
+from greenplum_dwh_spark.etl.scd2 import scd2_apply
+from greenplum_dwh_spark.etl.staging import scd1_staging, scd2_staging
+from greenplum_dwh_spark.schemas import DIM_CARDS, DIM_CARDS_HIST, DIMENSIONS
+
+TS = lambda d, h=0: dt.datetime(2020, 5, d, h, 0, 0)
+ATTRS = ["card_num", "account_num"]
+
+
+def _hist(spark, rows):
+    return spark.createDataFrame(rows, DIM_CARDS_HIST)
+
+
+def _staged(spark, rows):
+    """staged rows: (card, account, start_dt, end_dt)"""
+    return spark.createDataFrame(rows, DIM_CARDS_HIST)
+
+
+def test_scd2_two_new_versions_in_one_batch(spark):
+    """An entity changing twice inside one batch: lead() has already
+    closed the older version; only the newest closes the open dim row
+    (the sc.end_dt IS NULL guard, ETL.sql:104)."""
+    dim = _hist(spark, [("c1", "a1", TS(1), None)])
+    staged = _staged(spark, [("c1", "a2", TS(2, 1), TS(2, 5)),
+                             ("c1", "a3", TS(2, 5), None)])
+    out = scd2_apply(dim, staged, "card_num", ATTRS)
+    rows = {(r["account_num"]): r for r in out.collect()}
+    assert len(rows) == 3
+    # the previously-open row closes at the NEWEST staged start_dt
+    assert rows["a1"]["end_dt"] == TS(2, 5)
+    assert rows["a2"]["end_dt"] == TS(2, 5)
+    assert rows["a3"]["end_dt"] is None
+
+
+def test_scd2_revert_to_old_tuple_is_noop(spark):
+    """Reference quirk preserved: an entity reverting to an attribute
+    tuple it held before produces no new version and no close-out
+    (the NOT EXISTS matches the old closed row, ETL.sql:92-99)."""
+    dim = _hist(spark, [("c1", "a1", TS(1), TS(2)),
+                        ("c1", "a2", TS(2), None)])
+    staged = _staged(spark, [("c1", "a1", TS(3), None)])
+    out = scd2_apply(dim, staged, "card_num", ATTRS)
+    rows = sorted(out.collect(), key=lambda r: r["start_dt"])
+    assert len(rows) == 2
+    assert rows[1]["account_num"] == "a2" and rows[1]["end_dt"] is None
+
+
+def test_scd2_reload_identical_tuple_is_noop(spark):
+    dim = _hist(spark, [("c1", "a1", TS(1), None)])
+    staged = _staged(spark, [("c1", "a1", TS(3), None)])
+    out = scd2_apply(dim, staged, "card_num", ATTRS)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["end_dt"] is None
+
+
+def test_scd1_staging_collapses_multi_version_batch(spark):
+    """A brand-new entity with two versions in one batch must stage as
+    ONE row (newest attrs, create_dt = min, update_dt = max) — the
+    uniform SELECT DISTINCT fix over ETL.sql:250."""
+    from greenplum_dwh_spark import schemas
+    landing = spark.createDataFrame(
+        [("t1", TS(2, 1), "c1", "a_old", dt.date(2030, 1, 1), "cl1",
+          "l", "f", "p", dt.date(1990, 1, 1), "400", dt.date(2030, 1, 1),
+          "+7", "Оплата", __import__("decimal").Decimal("1.00"), "Успешно", "T1", "POS", "X", "X, 1"),
+         ("t2", TS(2, 5), "c1", "a_new", dt.date(2030, 1, 1), "cl1",
+          "l", "f", "p", dt.date(1990, 1, 1), "400", dt.date(2030, 1, 1),
+          "+7", "Оплата", __import__("decimal").Decimal("2.00"), "Успешно", "T1", "POS", "X", "X, 1")],
+        schemas.LANDING)
+    staged = scd1_staging(landing, DIMENSIONS["cards"])
+    rows = staged.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["account_num"] == "a_new"
+    assert r["create_dt"] == TS(2, 1)
+    assert r["update_dt"] == TS(2, 5)
+    # and applying to an empty dim inserts exactly one row
+    empty = spark.createDataFrame([], DIM_CARDS)
+    out = scd1_apply(empty, staged, "card_num", ["account_num"])
+    assert out.count() == 1
+
+
+def test_approx_distinct_close_to_exact(spark, sf_dir):
+    from greenplum_dwh_spark.operators.relational import (
+        approx_distinct_parts, distinct_parts_per_flag)
+    exact = {r["l_returnflag"]: r["n_parts"]
+             for r in distinct_parts_per_flag(spark, sf_dir).collect()}
+    approx = {r["l_returnflag"]: r["n_parts_approx"]
+              for r in approx_distinct_parts(spark, sf_dir).collect()}
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / v < 0.1, (k, v, approx[k])
+
+
+def test_csv_extract_roundtrip(spark, tmp_path):
+    """CSV ingestion path: header + string cells → typed landing rows."""
+    from greenplum_dwh_spark.sources.landing import read_extract
+    from tests import bank_fixture as bf
+    pdf = bf.generate_extracts()[bf.DAYS[0]].head(20)
+    csv_path = tmp_path / "extract.csv"
+    pdf.to_csv(csv_path, index=False)
+    df = read_extract(spark, str(csv_path))
+    from greenplum_dwh_spark import schemas
+    assert [f.name for f in df.schema.fields] == \
+        [f.name for f in schemas.LANDING.fields]
+    rows = df.orderBy("trans_id").collect()
+    assert len(rows) == 20
+    assert rows[0]["trans_date"] == pdf.iloc[0]["trans_date"].to_pydatetime()
+    assert float(rows[0]["amount"]) == float(pdf.iloc[0]["amount"])

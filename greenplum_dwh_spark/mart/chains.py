@@ -53,11 +53,15 @@ REPORT_SCHEMA = T.StructType([
 ])
 
 
-def detect_chains_pd(pdf: pd.DataFrame, run_ts: dt.datetime) -> pd.DataFrame:
+def detect_chains_pd(pdf: pd.DataFrame, run_ts: dt.datetime,
+                     min_declines: int = CHAIN_MIN_DECLINES,
+                     sec_budget: int = CHAIN_SEC_BUDGET) -> pd.DataFrame:
     """Pure-pandas port of the cursor loop for ONE client's rows.
 
     ``pdf`` needs columns trans_date, amount, oper_result, passport_num,
-    fio, phone. Testable without Spark (SURVEY.md §5).
+    fio, phone. Testable without Spark (SURVEY.md §5). The reference's
+    constants (≥3 declines, 1200 s budget) are the defaults; the events
+    variant passes corpus-appropriate values.
     """
     pdf = pdf.sort_values("trans_date", kind="mergesort")
     counter, sec_count, zero_on_prev = 0, 0, False
@@ -78,17 +82,17 @@ def detect_chains_pd(pdf: pd.DataFrame, run_ts: dt.datetime) -> pd.DataFrame:
             sec_count, counter, zero_on_prev = 0, 0, True   # :56-60
         elif not zero_on_prev:
             sec_count += sec_diff                      # :63
-            if (counter >= CHAIN_MIN_DECLINES
+            if (counter >= min_declines
                     and res == schemas.RESULT_SUCCESS
-                    and sec_count < CHAIN_SEC_BUDGET):  # :75-82
+                    and sec_count < sec_budget):        # :75-82
                 out.append((ts, row.passport_num, row.fio, row.phone,
                             schemas.FRAUD_AMOUNT_GUESS, run_ts))
                 counter, sec_count, zero_on_prev = 0, 0, True
             elif res == schemas.RESULT_SUCCESS:        # :84-87
                 counter, sec_count, zero_on_prev = 0, 0, True
-            elif amount_diff >= 0 or sec_count >= CHAIN_SEC_BUDGET:  # :89-92
+            elif amount_diff >= 0 or sec_count >= sec_budget:  # :89-92
                 counter, sec_count, zero_on_prev = 1, 0, False
-            elif (amount_diff < 0 and sec_count < CHAIN_SEC_BUDGET
+            elif (amount_diff < 0 and sec_count < sec_budget
                   and res == schemas.RESULT_DECLINED):  # :94-96
                 counter, zero_on_prev = counter + 1, False
     return pd.DataFrame(

@@ -31,6 +31,11 @@ OUT_SCHEMA = T.StructType([
 ])
 
 _RUN_TS = dt.datetime(2024, 2, 1)  # fixed: determinism for the driver
+#: corpus-appropriate chain parameters — events arrive ~10 h apart per
+#: user, so the bank constants (≥3, 20 min) would never fire; ≥2
+#: declines within a 12 h in-chain budget exercises every transition.
+MIN_DECLINES = 2
+SEC_BUDGET = 43200
 
 
 def chain_fraud_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -45,7 +50,7 @@ def chain_fraud_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.assign(passport_num="", fio="", phone="")
-        out = detect_chains_pd(pdf, _RUN_TS)
+        out = detect_chains_pd(pdf, _RUN_TS, MIN_DECLINES, SEC_BUDGET)
         return pd.DataFrame({
             "user_id": pdf["user_id"].iloc[0],
             "fraud_ts": out["fraud_dt"],

@@ -289,9 +289,10 @@ def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # rule-4 fixed-lookback chain shape, SQL-expressible variant: a purchase
-# preceded by 3 strictly-decreasing 'error' events within 20 minutes
-# (the general ≥3 state machine lives in mart/chains.py; this is the
-# window-algebra member of the family, provable against the oracle).
+# preceded by 2 strictly-decreasing 'error' events within 24 h (the
+# general ≥N state machine lives in mart/chains.py; this is the
+# window-algebra member of the family, provable against the oracle —
+# parameters sized to the events corpus's ~10 h per-user cadence).
 def chain_fraud_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -302,10 +303,9 @@ def chain_fraud_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("ok",
                         (F.col("event_type") == "purchase")
                         & (lag_t(1) == "error") & (lag_t(2) == "error")
-                        & (lag_t(3) == "error")
-                        & (lag_v(3) > lag_v(2)) & (lag_v(2) > lag_v(1))
+                        & (lag_v(2) > lag_v(1))
                         & ((F.unix_timestamp("ts")
-                            - F.unix_timestamp(lag_ts(3))) < 1200))
+                            - F.unix_timestamp(lag_ts(2))) < 86400))
             .filter(F.col("ok"))
             .select("event_id", "user_id", "ts"))
 
@@ -471,15 +471,13 @@ ORACLES = {
           SELECT event_id, user_id, ts, event_type, value,
                  lag(event_type, 1) OVER w AS t1,
                  lag(event_type, 2) OVER w AS t2,
-                 lag(event_type, 3) OVER w AS t3,
                  lag(value, 1) OVER w AS v1,
                  lag(value, 2) OVER w AS v2,
-                 lag(value, 3) OVER w AS v3,
-                 floor(epoch(ts))::BIGINT - floor(epoch(lag(ts, 3) OVER w))::BIGINT AS dsec
+                 floor(epoch(ts))::BIGINT - floor(epoch(lag(ts, 2) OVER w))::BIGINT AS dsec
           FROM events
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         SELECT event_id, user_id, ts::TIMESTAMP AS ts FROM x
         WHERE event_type = 'purchase'
-          AND t1 = 'error' AND t2 = 'error' AND t3 = 'error'
-          AND v3 > v2 AND v2 > v1 AND dsec < 1200""",
+          AND t1 = 'error' AND t2 = 'error'
+          AND v2 > v1 AND dsec < 86400""",
 }

@@ -38,14 +38,27 @@ SIMHASH_BITS = 60          # 15 hex chars -> fits signed int64
 SIMHASH_BAND_BITS = 6      # 10 bands; pigeonhole-complete for dist <= 9
 
 
-def word_shingles(text_col: str = "text", n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a single-space-tokenized text."""
-    t = f"split({text_col}, ' ')"
+def word_shingles(tokens_col: str = "toks", n: int = 3) -> Column:
+    """Distinct word n-gram shingles over a PRE-SPLIT token array
+    column. Callers must project the tokens once
+    (``F.split(text, ' ').alias('toks')``) — inlining the split inside
+    the lambda would re-split the text per output element (O(tokens²)
+    string work; measured 1.6 s vs 0.2 s on 5000 docs). Short texts
+    fall back to the whole text as a single shingle."""
+    t = tokens_col
+    parts = ", ".join(f"{t}[i+{k}]" for k in range(n))
     return F.expr(
         f"CASE WHEN size({t}) >= {n} THEN "
         f"array_distinct(transform(sequence(0, size({t}) - {n}), "
-        f"i -> concat_ws(' ', slice({t}, i + 1, {n})))) "
-        f"ELSE array({text_col}) END")
+        f"i -> concat_ws(' ', {parts}))) "
+        f"ELSE array(concat_ws(' ', {t})) END")
+
+
+def with_word_shingles(docs, out: str = "s", n: int = 3,
+                       text_col: str = "text"):
+    """(doc_id, <out>=shingle array) projection of a documents table."""
+    return (docs.select("doc_id", F.split(text_col, " ").alias("toks"))
+            .select("doc_id", word_shingles("toks", n).alias(out)))
 
 
 def word_shingles_sql(text_expr: str = "text", n: int = 3) -> str:

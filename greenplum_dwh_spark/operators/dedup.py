@@ -16,11 +16,14 @@ Four members, each a different point on the exactness/scale frontier
 - ``dedup_simhash`` — 60-bit simhash over shingle hashes, 10×6-bit
   band join (pigeonhole-complete for hamming ≤ 9) + exact hamming
   verify at ≤ 8. Again: banded plan, ground-truth output.
-- ``dedup_jaccard_prefix`` — exact char-4-gram jaccard join via prefix
-  filtering (tokens globally ordered by frequency; a pair above
-  threshold t must share one of the first |A| − ⌈t·|A|⌉ + 1 rarest
-  tokens). Fully exact, no probabilistic step, and the candidate set
-  is linear-ish in practice instead of O(n²).
+- ``dedup_jaccard_prefix`` — exact word-2-gram jaccard join via
+  prefix filtering (tokens globally ordered by document frequency; a
+  pair above threshold t must share one of the first
+  |A| − ⌈t·|A|⌉ + 1 rarest tokens) plus the size-ratio prune
+  (t·|A| ≤ |B| ≤ |A|/t). Fully exact, no probabilistic step; the
+  candidate set is linear-ish under a Zipfian vocabulary (this
+  synthetic corpus's tiny uniform vocabulary is the worst case for
+  prefix discrimination — a realistic corpus prunes far harder).
 
 All hot paths are pure Spark SQL expressions (whole-stage codegen);
 no Python UDFs.
@@ -51,8 +54,8 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pairs_with_jaccard(docs: DataFrame, pairs: DataFrame,
-                        shingle_col) -> DataFrame:
-    sets_df = docs.select(F.col("doc_id"), shingle_col.alias("s"))
+                        sets_df: DataFrame) -> DataFrame:
+    """pairs (doc_a, doc_b) × per-doc shingle sets → exact jaccard."""
     a = sets_df.alias("sa")
     b = sets_df.alias("sb")
     return (pairs
@@ -65,7 +68,8 @@ def _pairs_with_jaccard(docs: DataFrame, pairs: DataFrame,
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     docs = t.documents
-    ex = docs.select("doc_id", F.explode(H.word_shingles()).alias("sh"))
+    sets_df = H.with_word_shingles(docs).cache()
+    ex = sets_df.select("doc_id", F.explode("s").alias("sh"))
     sig = ex.groupBy("doc_id").agg(*H.minhash_aggs())
     n_bands = H.MINHASH_PERMS // H.MINHASH_BAND_R
     bands = sig.select(
@@ -81,13 +85,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    return (_pairs_with_jaccard(docs, cand, H.word_shingles())
+    return (_pairs_with_jaccard(docs, cand, sets_df)
             .filter(F.col("jac") >= JACCARD_THRESHOLD))
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """60-bit simhash per doc over word-3-gram shingle hashes."""
-    ex = docs.select("doc_id", F.explode(H.word_shingles()).alias("sh"))
+    ex = (H.with_word_shingles(docs)
+          .select("doc_id", F.explode("s").alias("sh")))
     h = ex.select("doc_id", H.hash60(F.col("sh")).alias("hh"))
     bit_sums = h.groupBy("doc_id").agg(*[
         F.sum(F.when(F.shiftright(F.col("hh"), j).bitwiseAND(1) == 1,
@@ -132,7 +137,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     docs = t.documents
-    grams = docs.select("doc_id", H.char_ngrams().alias("s"))
+    grams = H.with_word_shingles(docs, n=2).cache()
     ex = grams.select("doc_id", F.explode("s").alias("g"),
                       F.size("s").alias("n"))
     freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
@@ -143,13 +148,16 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
               .filter(F.col("rk")
                       <= F.col("n") - F.ceil(F.col("n") * PREFIX_THRESHOLD)
                       + 1)
-              .select("doc_id", "g"))
+              .select("doc_id", "g", "n"))
     cand = (prefix.alias("a").join(prefix.alias("b"), "g")
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .filter((F.col("a.doc_id") < F.col("b.doc_id"))
+                    # size-ratio prune: j >= t forces t|A| <= |B| <= |A|/t
+                    & (F.col("b.n") >= F.col("a.n") * PREFIX_THRESHOLD)
+                    & (F.col("b.n") * PREFIX_THRESHOLD <= F.col("a.n")))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    return (_pairs_with_jaccard(docs, cand, H.char_ngrams())
+    return (_pairs_with_jaccard(docs, cand, grams)
             .filter(F.col("jac") >= PREFIX_THRESHOLD))
 
 
@@ -161,7 +169,7 @@ QUERIES = {
 }
 
 _W3 = H.word_shingles_sql()
-_C4 = H.char_ngrams_sql()
+_W2 = H.word_shingles_sql(n=2)
 _J = H.JACCARD_SQL.format(a="a.s", b="b.s")
 
 #: the LSH/banded plans verify candidates exactly, so the oracle is the
@@ -192,7 +200,7 @@ ORACLES = {
         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.fp, b.fp)) <= {SIMHASH_MAX_DIST}""",
     "dedup_jaccard_prefix": f"""
-        WITH sh AS (SELECT doc_id, {_C4} AS s FROM documents)
+        WITH sh AS (SELECT doc_id, {_W2} AS s FROM documents)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_J} AS jac
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE {_J} >= {PREFIX_THRESHOLD}""",

@@ -82,8 +82,8 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     values — a compact rolling-hash-family document signature usable as
     a near-dup blocking key."""
     t = Tables(spark, sf_dir)
-    ex = (t.documents
-          .select("doc_id", F.explode(H.word_shingles()).alias("sh"))
+    ex = (H.with_word_shingles(t.documents)
+          .select("doc_id", F.explode("s").alias("sh"))
           .select("doc_id", F.md5("sh").alias("hh")))
     return (ex.groupBy("doc_id")
             .agg(F.md5(F.concat_ws(

@@ -153,6 +153,82 @@ def stream_sessionize(events_stream: DataFrame) -> DataFrame:
                 GroupStateTimeout.NoTimeout))
 
 
+_CHAIN_STATE_SCHEMA = T.StructType([
+    T.StructField("counter", T.IntegerType()),
+    T.StructField("sec_count", T.LongType()),
+    T.StructField("zero_on_prev", T.BooleanType()),
+    T.StructField("last_sec", T.LongType()),
+    T.StructField("last_amt_cents", T.LongType()),
+])
+
+CHAIN_OUT_SCHEMA = T.StructType([
+    T.StructField("client", T.StringType()),
+    T.StructField("fraud_dt", T.TimestampType()),
+    T.StructField("fraud_type", T.StringType()),
+])
+
+
+def _chain_update(key, pdfs, state: GroupState):
+    """Streaming port of the fn_find_summ_frauds transitions
+    (Data_mart.sql:49-97): per-client state survives micro-batches, so
+    a chain that starts in one batch and completes in the next is still
+    flagged — the streaming equivalent of the batch 20-minute
+    previous-day lookback (Data_mart.sql:33-34). Assumes per-key
+    event-time-ordered arrival (one day per trigger, like the
+    reference's daily loads)."""
+    from greenplum_dwh_spark.mart.chains import (CHAIN_MIN_DECLINES,
+                                                 CHAIN_SEC_BUDGET)
+    (client,) = key
+    if state.exists:
+        counter, sec_count, zero_on_prev, last_sec, last_cents = state.get
+    else:
+        counter, sec_count, zero_on_prev, last_sec, last_cents = \
+            0, 0, False, -1, -1
+    rows = pd.concat(list(pdfs)).sort_values("trans_date")
+    out = []
+    for r in rows.itertuples(index=False):
+        sec = r.trans_date.value // 1_000_000_000
+        cents = int(round(float(r.amount) * 100))
+        if last_sec < 0:
+            amount_diff, sec_diff = -1, 0
+        else:
+            amount_diff = cents - last_cents
+            sec_diff = (sec - last_sec) % 86400
+        last_sec, last_cents = sec, cents
+        if zero_on_prev and r.oper_result == schemas.RESULT_DECLINED:
+            counter, zero_on_prev = 1, False
+        elif zero_on_prev and r.oper_result == schemas.RESULT_SUCCESS:
+            sec_count, counter, zero_on_prev = 0, 0, True
+        elif not zero_on_prev:
+            sec_count += sec_diff
+            if (counter >= CHAIN_MIN_DECLINES
+                    and r.oper_result == schemas.RESULT_SUCCESS
+                    and sec_count < CHAIN_SEC_BUDGET):
+                out.append((client, r.trans_date,
+                            schemas.FRAUD_AMOUNT_GUESS))
+                counter, sec_count, zero_on_prev = 0, 0, True
+            elif r.oper_result == schemas.RESULT_SUCCESS:
+                counter, sec_count, zero_on_prev = 0, 0, True
+            elif amount_diff >= 0 or sec_count >= CHAIN_SEC_BUDGET:
+                counter, sec_count, zero_on_prev = 1, 0, False
+            elif (amount_diff < 0 and sec_count < CHAIN_SEC_BUDGET
+                  and r.oper_result == schemas.RESULT_DECLINED):
+                counter, zero_on_prev = counter + 1, False
+    state.update((counter, sec_count, zero_on_prev, last_sec, last_cents))
+    yield pd.DataFrame(out, columns=[f.name for f in CHAIN_OUT_SCHEMA])
+
+
+def stream_chain_detector(tx_stream: DataFrame) -> DataFrame:
+    """Rule-4 amount-guessing chains over an unbounded transaction
+    stream; needs columns (client, trans_date, amount, oper_result)."""
+    return (tx_stream
+            .select("client", "trans_date", "amount", "oper_result")
+            .groupBy("client")
+            .applyInPandasWithState(
+                _chain_update, CHAIN_OUT_SCHEMA, _CHAIN_STATE_SCHEMA,
+                "append", GroupStateTimeout.NoTimeout))
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str,
                          spark: SparkSession) -> DataFrame:
     """Drain a stream with availableNow into an in-memory table —

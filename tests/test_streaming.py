@@ -62,6 +62,42 @@ def test_stream_expired_rules_matches_batch(spark, stream_setup):
     assert len(by_type[schemas.FRAUD_EXPIRED_ACCOUNT]) == 4
 
 
+def test_stream_chain_detector_across_batches(spark, tmp_path):
+    """A chain whose declines land in batch 1 and whose success lands in
+    batch 2 must still be flagged — state survives micro-batches (the
+    streaming form of the 20-min previous-day lookback)."""
+    import decimal
+
+    import pandas as pd
+    t0 = dt.datetime(2020, 5, 2, 23, 45, 0)
+    mk = lambda mins, amt, res: {
+        "client": "C1",
+        "trans_date": t0 + dt.timedelta(minutes=mins),
+        "amount": decimal.Decimal(amt), "oper_result": res}
+    batch1 = pd.DataFrame([mk(0, "9900.00", "Отказ"),
+                           mk(5, "9800.00", "Отказ"),
+                           mk(10, "9700.00", "Отказ")])
+    batch2 = pd.DataFrame([mk(18, "9650.00", "Успешно"),
+                           mk(30, "100.00", "Успешно")])
+    src = tmp_path / "tx_stream"
+    src.mkdir()
+    schema = "client string, trans_date timestamp, amount decimal(18,2), oper_result string"
+    # two separate files -> maxFilesPerTrigger=1 gives two micro-batches
+    spark.createDataFrame(batch1, schema).coalesce(1) \
+        .write.parquet(str(src / "b1.parquet"))
+    spark.createDataFrame(batch2, schema).coalesce(1) \
+        .write.parquet(str(src / "b2.parquet"))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*.parquet"))
+    got = MS.run_stream_to_memory(MS.stream_chain_detector(stream),
+                                  "chains_stream", spark)
+    rows = got.collect()
+    assert len(rows) == 1
+    assert rows[0]["client"] == "C1"
+    assert rows[0]["fraud_dt"] == t0 + dt.timedelta(minutes=18)
+
+
 def test_stream_sessionize_closed_sessions(spark, tmp_path):
     import pandas as pd
     t0 = dt.datetime(2024, 1, 1, 12, 0, 0)

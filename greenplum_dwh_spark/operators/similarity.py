@@ -23,12 +23,9 @@ from pyspark.sql import functions as F
 
 N_QUERIES = 8     # vec_id < 8 are the query vectors
 TOP_K = 10
-#: partitions probed by the IVF path. The testdata's label clusters are
-#: not cosine-geometric (random class assignment), so recall at
-#: nprobe=4 is ~0.55 — the operator demonstrates the partition-pruned
-#: scale shape; a learned coarse quantizer (k-means) would replace the
-#: label partitioner for real recall targets.
-NPROBE = 4
+NPROBE = 4        # coarse-quantizer partitions probed per query
+KMEANS_K = 16     # IVF coarse centroids
+KMEANS_ITERS = 2  # Lloyd iterations (deterministic init + tie-breaks)
 
 _DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> "
         "cast(x as double) * cast(y as double)), "
@@ -72,19 +69,59 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb.filter(F.col("vec_id") < N_QUERIES), emb)
 
 
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF: centroid per label partition; probe top-NPROBE centroids."""
-    emb = _emb(spark, sf_dir).cache()
-    dim = 64
-    centroids = (emb
-                 .select("label", F.posexplode("embedding")
-                         .alias("i", "x"))
-                 .groupBy("label", "i").agg(F.avg("x").alias("cx"))
-                 .groupBy("label")
-                 .agg(F.array_sort(F.collect_list(F.struct("i", "cx")))
-                      .alias("pairs"))
-                 .select("label", F.expr("transform(pairs, p -> p.cx)")
+def _mean_centroids(assigned: DataFrame) -> DataFrame:
+    """(cluster, embedding) rows → (cluster, centroid=mean vector)."""
+    return (assigned
+            .select("cluster", F.posexplode("embedding").alias("i", "x"))
+            .groupBy("cluster", "i").agg(F.avg("x").alias("cx"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "cx")))
+                 .alias("pairs"))
+            .select("cluster", F.expr("transform(pairs, p -> p.cx)")
+                    .alias("centroid")))
+
+
+def _assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid (cosine) assignment, deterministic tie-break."""
+    dot = _DOT.format(a="embedding", b="centroid")
+    en = _DOT.format(a="embedding", b="embedding")
+    cn = _DOT.format(a="centroid", b="centroid")
+    w = Window.partitionBy("vec_id").orderBy(F.desc("c_cos"),
+                                             F.asc("cluster"))
+    return (emb.crossJoin(F.broadcast(centroids))
+            .select("vec_id", "embedding", "cluster",
+                    (F.expr(dot) / (F.expr(f"sqrt({en})")
+                                    * F.expr(f"sqrt({cn})")))
+                    .alias("c_cos"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("vec_id", "embedding", "cluster"))
+
+
+def kmeans_centroids(emb: DataFrame, k: int = KMEANS_K,
+                     iters: int = KMEANS_ITERS) -> DataFrame:
+    """Deterministic Lloyd k-means entirely in DataFrame algebra:
+    init = the k lowest vec_ids, then assign→mean iterations. Each
+    iteration is one broadcast crossJoin + two shuffles of vector-sized
+    data; at 100 TB the assignment is the same broadcast pattern and
+    centroids stay driver-small."""
+    centroids = (emb.filter(F.col("vec_id") < k)
+                 .select(F.col("vec_id").cast("int").alias("cluster"),
+                         F.expr("transform(embedding, "
+                                "x -> cast(x as double))")
                          .alias("centroid")))
+    for _ in range(iters):
+        assigned = _assign(emb, centroids)
+        centroids = _mean_centroids(assigned)
+    return centroids
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF: k-means coarse quantizer; probe top-NPROBE centroids."""
+    emb = _emb(spark, sf_dir).cache()
+    centroids = kmeans_centroids(emb).cache()
+    clustered = _assign(emb, centroids).drop("embedding")
+    emb_clustered = emb.join(clustered, "vec_id")
     q = (emb.filter(F.col("vec_id") < N_QUERIES)
          .select(F.col("vec_id").alias("query_id"),
                  F.col("embedding").alias("query_emb")))
@@ -92,16 +129,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qn = _DOT.format(a="query_emb", b="query_emb")
     cn = _DOT.format(a="centroid", b="centroid")
     probe_w = Window.partitionBy("query_id").orderBy(
-        F.desc("c_cos"), F.asc("label"))
+        F.desc("c_cos"), F.asc("cluster"))
     probes = (q.crossJoin(F.broadcast(centroids))
-              .select("query_id", "query_emb", "label",
+              .select("query_id", "query_emb", "cluster",
                       (F.expr(dot) / (F.expr(f"sqrt({qn})")
                                       * F.expr(f"sqrt({cn})")))
                       .alias("c_cos"))
               .withColumn("p", F.row_number().over(probe_w))
               .filter(F.col("p") <= NPROBE)
-              .select("query_id", "query_emb", "label"))
-    cand = (probes.join(emb, "label")
+              .select("query_id", "query_emb", "cluster"))
+    cand = (probes.join(emb_clustered, "cluster")
             .filter(F.col("query_id") != F.col("vec_id"))
             .select("query_id", "query_emb",
                     F.col("vec_id").alias("neighbor_id"),

@@ -173,6 +173,27 @@ def union_labeled_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+# set ops beyond UNION ALL: INTERSECT / EXCEPT (distinct semantics in
+# both engines).
+def set_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    o = t.orders
+    a = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_custkey"))
+    return a.intersect(b).select(F.col("o_custkey").alias("custkey"))
+
+
+def set_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    o = t.orders
+    a = o.select("o_custkey")
+    b = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+         .select("o_custkey"))
+    # subtract == SQL EXCEPT (distinct) semantics
+    return a.subtract(b).select(F.col("o_custkey").alias("custkey"))
+
+
 # P3/F4/A2 — scalar-subquery threshold with the day-truncation idiom
 # (Data_mart.sql:138-139: >= day_start(max) − interval).
 def last_week_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,6 +347,8 @@ QUERIES = {
     "anti_join_no_orders": anti_join_no_orders,
     "semi_join_big_orders": semi_join_big_orders,
     "union_labeled_rules": union_labeled_rules,
+    "set_intersect_customers": set_intersect_customers,
+    "set_except_customers": set_except_customers,
     "last_week_threshold": last_week_threshold,
     "amount_diff_lag": amount_diff_lag,
     "rollup_status_priority": rollup_status_priority,
@@ -417,6 +440,14 @@ ORACLES = {
         UNION ALL
         SELECT o_orderkey, 'urgent' AS rule FROM orders
         WHERE o_orderpriority = '1-URGENT'""",
+    "set_intersect_customers": """
+        SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""",
+    "set_except_customers": """
+        SELECT o_custkey AS custkey FROM orders
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'""",
     "last_week_threshold": f"""
         SELECT l_returnflag, count(*) AS n_rows,
                {_DSUM.format('l_extendedprice')} AS sum_price

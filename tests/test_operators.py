@@ -63,3 +63,54 @@ def test_sessionize_pandas_unit():
     out = sessionize_pd(pdf)
     assert list(out["session_id"]) == [1, 2]
     assert list(out["n_events"]) == [2, 2]
+
+
+def test_salted_aggregation_and_join_match_plain(spark):
+    """Salting is a pure plan rewrite: results identical to unsalted."""
+    import random
+    from greenplum_dwh_spark.functions.skew import (salted_count_sum,
+                                                    salted_join)
+    rng = random.Random(7)
+    # hot key: 'k0' owns half the rows
+    rows = [("k0" if rng.random() < 0.5 else f"k{rng.randrange(1, 20)}",
+             round(rng.uniform(1, 100), 2)) for _ in range(5000)]
+    df = spark.createDataFrame(rows, "key string, value double")
+    plain = {(r["key"], r["n"], round(r["total"], 2)) for r in
+             df.groupBy("key")
+               .agg(F.count(F.lit(1)).alias("n"),
+                    (F.sum(F.round(F.col("value") * 100).cast("long"))
+                     .cast("double") / 100.0).alias("total")).collect()}
+    salted = {(r["key"], r["n"], round(r["total"], 2))
+              for r in salted_count_sum(df, "key", "value").collect()}
+    assert plain == salted
+
+    dim = spark.createDataFrame(
+        [(f"k{i}", f"name{i}") for i in range(20)], "key string, nm string")
+    plain_j = df.join(dim, "key").groupBy("key").count().collect()
+    salted_j = salted_join(df, dim, "key").groupBy("key").count().collect()
+    assert sorted((r["key"], r["count"]) for r in plain_j) == \
+        sorted((r["key"], r["count"]) for r in salted_j)
+
+
+def test_dim_time_travel(spark, tmp_path):
+    """Versioned dims retain the previous version for time travel."""
+    import datetime as dt
+    from greenplum_dwh_spark.etl import normalize_transactions
+    from greenplum_dwh_spark.sources import load_landing_file
+    from greenplum_dwh_spark.warehouse import Warehouse
+    from tests import bank_fixture as bf
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    paths = bf.write_extracts(spark, str(tmp_path / "ex"))
+    for p in paths[:2]:
+        load_landing_file(wh, p)
+        normalize_transactions(wh)
+    cur_v = wh.store.current_version("dim_terminals_hist")
+    assert cur_v >= 1
+    prev = wh.store.read_version("dim_terminals_hist", cur_v - 1)
+    cur = wh.store.read("dim_terminals_hist")
+    # day-2 address change exists now but not in the previous version
+    t5 = lambda df: df.filter(
+        (F.col("terminal_id") == bf.SCD2_TERMINAL)).count()
+    assert t5(cur) == 2 and t5(prev) == 1
+    with pytest.raises(ValueError):
+        wh.store.read_version("dim_terminals_hist", 99)

@@ -102,6 +102,8 @@ def detect_chains_pd(pdf: pd.DataFrame, run_ts: dt.datetime,
 
 def detect_amount_guessing(stg: DataFrame, run_ts: dt.datetime) -> DataFrame:
     """Distributed rule-4 detector over the mart staging DataFrame."""
+    from greenplum_dwh_spark.shipping import ensure_shipped
+    ensure_shipped(stg.sparkSession)
     mx = stg.agg(F.date_trunc("DAY", F.max("trans_date")).alias("_d"))
     window_start = (F.col("_d")
                     - F.expr(f"INTERVAL {LOOKBACK_MINUTES} MINUTES"))

@@ -74,5 +74,7 @@ def extract_features(packed: DataFrame) -> DataFrame:
                 "head_hex": payloads.map(lambda b: b[:4].hex()),
             })
 
+    from greenplum_dwh_spark.shipping import ensure_shipped
+    ensure_shipped(packed.sparkSession)
     return packed.select("doc_id", "payload").mapInPandas(
         run, FEATURE_SCHEMA)

@@ -39,6 +39,8 @@ SEC_BUDGET = 43200
 
 
 def chain_fraud_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from greenplum_dwh_spark.shipping import ensure_shipped
+    ensure_shipped(spark)  # workers must import this package
     ev = (Tables(spark, sf_dir).events
           .filter(F.col("event_type").isin("error", "purchase"))
           .select("user_id", F.col("ts").alias("trans_date"),

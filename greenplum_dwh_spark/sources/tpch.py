@@ -20,6 +20,8 @@ TABLE_NAMES = ["region", "nation", "customer", "supplier", "part",
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from greenplum_dwh_spark.shipping import ensure_confs
+    ensure_confs(spark)  # foreign sessions: ns-parquet + UTC tz
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division — a double division of an int64 ns value

@@ -42,11 +42,11 @@ SIMHASH_MAX_DIST = 8
 PREFIX_THRESHOLD = 0.6
 
 
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+def exact_dedup(docs: DataFrame) -> DataFrame:
     """One row per distinct text: digest, cluster size, representative
-    (min doc_id) — the exact-dedup primitive."""
-    t = Tables(spark, sf_dir)
-    return (t.documents
+    (min doc_id) — the exact-dedup primitive. ``docs`` needs
+    (doc_id, text)."""
+    return (docs
             .select(F.md5("text").alias("digest"), "doc_id")
             .groupBy("digest")
             .agg(F.count(F.lit(1)).alias("n_copies"),
@@ -65,9 +65,10 @@ def _pairs_with_jaccard(docs: DataFrame, pairs: DataFrame,
                     H.jaccard(F.col("sa.s"), F.col("sb.s")).alias("jac")))
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tables(spark, sf_dir)
-    docs = t.documents
+def minhash_pairs(docs: DataFrame,
+                  threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Near-duplicate pairs (doc_a, doc_b, jac) of a (doc_id, text)
+    DataFrame via minhash-LSH + exact verification."""
     sets_df = H.with_word_shingles(docs).cache()
     ex = sets_df.select("doc_id", F.explode("s").alias("sh"))
     sig = ex.groupBy("doc_id").agg(*H.minhash_aggs())
@@ -86,7 +87,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
     return (_pairs_with_jaccard(docs, cand, sets_df)
-            .filter(F.col("jac") >= JACCARD_THRESHOLD))
+            .filter(F.col("jac") >= threshold))
 
 
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
@@ -104,9 +105,11 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     return bit_sums.select("doc_id", fp.alias("fp"))
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tables(spark, sf_dir)
-    fps = simhash_fingerprints(t.documents).cache()
+def simhash_pairs(docs: DataFrame,
+                  max_dist: int = SIMHASH_MAX_DIST) -> DataFrame:
+    """Pairs within hamming ``max_dist`` of 60-bit simhash (exact:
+    banding is pigeonhole-complete for dist ≤ 9)."""
+    fps = simhash_fingerprints(docs).cache()
     n_bands = H.SIMHASH_BITS // H.SIMHASH_BAND_BITS
     mask = (1 << H.SIMHASH_BAND_BITS) - 1
     bands = fps.select(
@@ -131,12 +134,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b",
                     F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
                     .cast("int").alias("hamming"))
-            .filter(F.col("hamming") <= SIMHASH_MAX_DIST))
+            .filter(F.col("hamming") <= max_dist))
 
 
-def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tables(spark, sf_dir)
-    docs = t.documents
+def jaccard_prefix_pairs(docs: DataFrame,
+                         threshold: float = PREFIX_THRESHOLD) -> DataFrame:
+    """Exact word-2-gram jaccard join via prefix filtering."""
     grams = H.with_word_shingles(docs, n=2).cache()
     ex = grams.select("doc_id", F.explode("s").alias("g"),
                       F.size("s").alias("n"))
@@ -146,19 +149,39 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("rk", F.row_number().over(w))
               # |A| - ceil(t*|A|) + 1 rarest tokens form the prefix
               .filter(F.col("rk")
-                      <= F.col("n") - F.ceil(F.col("n") * PREFIX_THRESHOLD)
-                      + 1)
+                      <= F.col("n") - F.ceil(F.col("n") * threshold) + 1)
               .select("doc_id", "g", "n"))
     cand = (prefix.alias("a").join(prefix.alias("b"), "g")
             .filter((F.col("a.doc_id") < F.col("b.doc_id"))
                     # size-ratio prune: j >= t forces t|A| <= |B| <= |A|/t
-                    & (F.col("b.n") >= F.col("a.n") * PREFIX_THRESHOLD)
-                    & (F.col("b.n") * PREFIX_THRESHOLD <= F.col("a.n")))
+                    & (F.col("b.n") >= F.col("a.n") * threshold)
+                    & (F.col("b.n") * threshold <= F.col("a.n")))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
     return (_pairs_with_jaccard(docs, cand, grams)
-            .filter(F.col("jac") >= PREFIX_THRESHOLD))
+            .filter(F.col("jac") >= threshold))
+
+
+def _docs(spark, sf_dir):
+    return Tables(spark, sf_dir).documents
+
+
+# driver-contract wrappers over the DataFrame-level library API
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_pairs(_docs(spark, sf_dir))
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(_docs(spark, sf_dir))
+
+
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_prefix_pairs(_docs(spark, sf_dir))
 
 
 QUERIES = {

@@ -174,6 +174,46 @@ def union_labeled_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+# null-aware anti join: NOT IN (subquery) plans as a distinct Spark
+# operator (BroadcastNestedLoopJoin/NullAwareAntiJoin family).
+def not_in_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("_o")
+    t.customer.createOrReplaceTempView("_c")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey FROM _o
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM _c
+                                WHERE c_mktsegment = 'AUTOMOBILE')""")
+
+
+# correlated scalar subquery — Catalyst decorrelates to a join; issued
+# through the engine's SQL surface to exercise that entry path too.
+def scalar_subquery_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("_o2")
+    t.customer.createOrReplaceTempView("_c2")
+    return spark.sql("""
+        SELECT o_orderkey,
+               (SELECT c_acctbal FROM _c2 WHERE c_custkey = o_custkey)
+                   AS acctbal
+        FROM _o2""")
+
+
+# calendar extraction (engine-specific dow conventions normalized:
+# both sides compute ISO day-of-week 1=Monday..7=Sunday).
+def orders_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (t.orders
+            .select(F.year("o_orderdate").alias("y"),
+                    F.month("o_orderdate").alias("m"),
+                    F.dayofweek("o_orderdate").alias("_dow"))
+            .withColumn("isodow",
+                        F.when(F.col("_dow") == 1, 7)
+                        .otherwise(F.col("_dow") - 1).cast("int"))
+            .groupBy("y", "m", "isodow")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
 # ordered-set aggregates: exact interpolated percentiles (both engines
 # use the same a + (b-a)·frac interpolation, so parity is bit-exact).
 def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,6 +401,9 @@ QUERIES = {
     "semi_join_big_orders": semi_join_big_orders,
     "union_labeled_rules": union_labeled_rules,
     "percentile_prices": percentile_prices,
+    "not_in_customers": not_in_customers,
+    "scalar_subquery_acctbal": scalar_subquery_acctbal,
+    "orders_calendar": orders_calendar,
     "set_intersect_customers": set_intersect_customers,
     "set_except_customers": set_except_customers,
     "last_week_threshold": last_week_threshold,
@@ -454,6 +497,19 @@ ORACLES = {
         UNION ALL
         SELECT o_orderkey, 'urgent' AS rule FROM orders
         WHERE o_orderpriority = '1-URGENT'""",
+    "not_in_customers": """
+        SELECT o_orderkey, o_custkey FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'AUTOMOBILE')""",
+    "scalar_subquery_acctbal": """
+        SELECT o_orderkey,
+               (SELECT c_acctbal FROM customer WHERE c_custkey = o_custkey)
+                   AS acctbal
+        FROM orders""",
+    "orders_calendar": """
+        SELECT year(o_orderdate)::INT AS y, month(o_orderdate)::INT AS m,
+               isodow(o_orderdate)::INT AS isodow, count(*) AS n
+        FROM orders GROUP BY 1, 2, 3""",
     "percentile_prices": """
         SELECT l_returnflag,
                quantile_cont(l_quantity, 0.5) AS median_qty,

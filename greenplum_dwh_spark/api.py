@@ -1,0 +1,60 @@
+"""Public library API — the one-stop import surface for users
+switching from the reference warehouse.
+
+Batch warehouse::
+
+    from greenplum_dwh_spark import api
+    spark = api.get_spark()
+    wh = api.Warehouse(spark, "/data/wh")
+    api.load_landing_file(wh, "transactions_03052020.parquet")
+    api.normalize_transactions(wh)          # fn_normalize_transactions()
+    api.add_report_data(wh, "scd2")         # fn_add_report_data('scd2')
+    api.report_pivot(wh.read("report"))     # plot_report.py pivot
+
+Training-data operators (DataFrame-level)::
+
+    api.exact_dedup(docs)                # hash dedup
+    api.minhash_pairs(docs)              # near-dup pairs, LSH + verify
+    api.simhash_pairs(docs)              # hamming near-dups
+    api.jaccard_prefix_pairs(docs)       # exact set-similarity join
+    api.cosine_topk(queries, corpus)     # exact ANN
+    api.kmeans_centroids(embeddings)     # IVF coarse quantizer
+    api.sessionize(events)               # session assignment
+    api.pack_payloads(docs)              # multimodal binary columns
+    api.extract_features(packed)
+
+Streaming::
+
+    api.stream_landing / api.stream_expired_rules /
+    api.stream_sessionize / api.stream_chain_detector /
+    api.stream_tumbling_counts / api.run_streaming_mart
+"""
+
+from greenplum_dwh_spark.etl.normalize import normalize_transactions  # noqa: F401
+from greenplum_dwh_spark.functions.skew import (salted_count_sum,  # noqa: F401
+                                                salted_join)
+from greenplum_dwh_spark.mart.chains import detect_chains_pd  # noqa: F401
+from greenplum_dwh_spark.mart.report import (add_report_data,  # noqa: F401
+                                             plot_report, report_pivot)
+from greenplum_dwh_spark.multimodal.codec import (decode_image,  # noqa: F401
+                                                  extract_features,
+                                                  pack_payloads)
+from greenplum_dwh_spark.operators.dedup import (exact_dedup,  # noqa: F401
+                                                 jaccard_prefix_pairs,
+                                                 minhash_pairs,
+                                                 simhash_pairs)
+from greenplum_dwh_spark.operators.sessions import (sessionize,  # noqa: F401
+                                                    sessionize_pd)
+from greenplum_dwh_spark.operators.similarity import (cosine_topk,  # noqa: F401
+                                                      kmeans_centroids)
+from greenplum_dwh_spark.session import get_spark  # noqa: F401
+from greenplum_dwh_spark.sources.landing import (load_landing_file,  # noqa: F401
+                                                 read_extract)
+from greenplum_dwh_spark.sql import (register_testdata,  # noqa: F401
+                                     register_warehouse)
+from greenplum_dwh_spark.streaming.mart_stream import (  # noqa: F401
+    stream_chain_detector, stream_expired_rules, stream_landing,
+    stream_sessionize, stream_tumbling_counts)
+from greenplum_dwh_spark.streaming.pipeline import (  # noqa: F401
+    run_streaming_mart)
+from greenplum_dwh_spark.warehouse import Warehouse  # noqa: F401

@@ -47,7 +47,12 @@ def normalize_transactions(wh) -> dict:
     fact = landing.select(
         "trans_id", "trans_date", "card_num", "oper_type",
         F.col("amount").alias("amt"), "oper_result", "terminal")
-    wh.append("fact_transactions", with_day_partition(fact))
+    # cluster rows within each task by card_num before the partitioned
+    # write — parquet row-group min/max stats then prune per-card scans
+    # (the z-order-lite analogue of SURVEY.md §4's clustering note)
+    wh.append("fact_transactions",
+              with_day_partition(fact)
+              .sortWithinPartitions("trans_dt_day", "card_num"))
     counts["fact_appended"] = counts["landing"]
 
     # ---- SCD1 (ETL.sql:243-445) -------------------------------------

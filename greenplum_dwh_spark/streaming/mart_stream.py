@@ -103,6 +103,22 @@ def city_hop_foreach_batch(wh, run_ts: dt.datetime):
     return handle
 
 
+def stream_tumbling_counts(events_stream: DataFrame,
+                           window: str = "1 hour",
+                           watermark: str = "30 minutes") -> DataFrame:
+    """Event-time tumbling-window aggregation with a watermark — the
+    canonical late-data operator (SURVEY.md §2.9: the reference's
+    1-hour mart lookback ≈ a watermark on trans_date). In append mode a
+    window only emits once the watermark passes its end; events arriving
+    later than the watermark are dropped."""
+    return (events_stream
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", window).alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").alias("window_start"),
+                    "event_type", "n"))
+
+
 _SESSION_STATE_SCHEMA = T.StructType([
     T.StructField("last_sec", T.LongType()),
     T.StructField("session_id", T.IntegerType()),

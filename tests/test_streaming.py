@@ -62,6 +62,55 @@ def test_stream_expired_rules_matches_batch(spark, stream_setup):
     assert len(by_type[schemas.FRAUD_EXPIRED_ACCOUNT]) == 4
 
 
+def test_stream_watermark_drops_late_events(spark, tmp_path):
+    """Tumbling windows with a 30-min watermark: an event arriving in a
+    later batch but >30 min behind the max seen event time is dropped;
+    finalized windows emit exactly once."""
+    import pandas as pd
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m, 0)
+    batch1 = pd.DataFrame({
+        "event_id": [1, 2, 3],
+        "ts": pd.to_datetime([t(9, 10), t(9, 40), t(12, 0)]),
+        "event_type": ["click", "click", "click"],
+    })
+    # 9:05 arrives after the watermark advanced to 11:30 -> dropped;
+    # 12:10 is on time
+    batch2 = pd.DataFrame({
+        "event_id": [4, 5],
+        "ts": pd.to_datetime([t(9, 5), t(12, 10)]),
+        "event_type": ["click", "click"],
+    })
+    src = tmp_path / "wm_stream"
+    src.mkdir()
+    out = str(tmp_path / "wm_out")
+    ckpt = str(tmp_path / "wm_ckpt")
+    schema = "event_id bigint, ts timestamp, event_type string"
+
+    def drain():
+        stream = spark.readStream.schema(schema) \
+            .parquet(str(src) + "/*.parquet")
+        q = (MS.stream_tumbling_counts(stream)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # run 1: only batch1 → watermark advances to 11:30 at its end
+    spark.createDataFrame(batch1, schema).coalesce(1) \
+        .write.parquet(str(src / "b1.parquet"))
+    drain()
+    # run 2: batch2 arrives; the checkpoint carries the watermark, so
+    # the 9:05 event is late and dropped
+    spark.createDataFrame(batch2, schema).coalesce(1) \
+        .write.parquet(str(src / "b2.parquet"))
+    drain()
+    rows = {(r["window_start"], r["n"])
+            for r in spark.read.parquet(out).collect()}
+    # the 9:00 window finalized with 2 events (the late 9:05 dropped);
+    # the 12:00 window never finalizes (watermark stops at 11:40)
+    assert rows == {(t(9, 0), 2)}
+
+
 def test_streaming_mart_parquet_sink_resumes(spark, stream_setup, tmp_path):
     """run_streaming_mart drains to a checkpointed parquet sink; a
     second invocation over the same landing dir processes nothing new

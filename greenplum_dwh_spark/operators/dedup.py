@@ -163,6 +163,42 @@ def jaccard_prefix_pairs(docs: DataFrame,
             .filter(F.col("jac") >= threshold))
 
 
+def neardup_clusters(docs: DataFrame,
+                     threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Connected components over the near-dup pair graph — the dedup
+    *clustering* step that turns pairs into groups (pick one
+    representative per cluster to keep). Iterative min-label
+    propagation in DataFrame algebra: each round joins current labels
+    across edges and keeps the minimum; converges in O(diameter)
+    rounds (near-dup clusters are tiny, so 2-3). The driver loop only
+    checks a changed-row count per round — no data is collected.
+
+    Returns (doc_id, cluster_id) for every doc that has ≥1 near-dup.
+    """
+    edges = (minhash_pairs(docs, threshold)
+             .select("doc_a", "doc_b").cache())
+    bidir = (edges.select(F.col("doc_a").alias("u"),
+                          F.col("doc_b").alias("v"))
+             .unionByName(edges.select(F.col("doc_b").alias("u"),
+                                       F.col("doc_a").alias("v"))))
+    labels = (bidir.select("u").distinct()
+              .select("u", F.col("u").alias("lbl")).cache())
+    for _ in range(20):  # >= max component diameter; tiny in practice
+        prop = (bidir.join(labels, "u")
+                .select(F.col("v").alias("u"), "lbl"))
+        new_labels = (labels.unionByName(prop)
+                      .groupBy("u").agg(F.min("lbl").alias("lbl")).cache())
+        changed = (new_labels.join(labels.withColumnRenamed("lbl", "old"),
+                                   "u")
+                   .filter(F.col("lbl") != F.col("old")).count())
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("u").alias("doc_id"),
+                         F.col("lbl").alias("cluster_id"))
+
+
 def _docs(spark, sf_dir):
     return Tables(spark, sf_dir).documents
 
@@ -184,11 +220,16 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_prefix_pairs(_docs(spark, sf_dir))
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return neardup_clusters(_docs(spark, sf_dir))
+
+
 QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_jaccard_prefix": dedup_jaccard_prefix,
+    "dedup_clusters": dedup_clusters,
 }
 
 _W3 = H.word_shingles_sql()
@@ -222,6 +263,21 @@ ORACLES = {
                bit_count(xor(a.fp, b.fp))::INT AS hamming
         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.fp, b.fp)) <= {SIMHASH_MAX_DIST}""",
+    "dedup_clusters": f"""
+        WITH RECURSIVE
+        sh AS (SELECT doc_id, {_W3} AS s FROM documents),
+        edges AS (SELECT a.doc_id da, b.doc_id db
+                  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+                  WHERE {_J} >= {JACCARD_THRESHOLD}),
+        bidir AS (SELECT da u, db v FROM edges
+                  UNION ALL SELECT db, da FROM edges),
+        nodes AS (SELECT DISTINCT u FROM bidir),
+        walk(u, lbl) AS (
+          SELECT u, u FROM nodes
+          UNION
+          SELECT b.v, walk.lbl FROM walk JOIN bidir b ON b.u = walk.u
+          WHERE walk.lbl < b.v)
+        SELECT u AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY u""",
     "dedup_jaccard_prefix": f"""
         WITH sh AS (SELECT doc_id, {_W2} AS s FROM documents)
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, {_J} AS jac

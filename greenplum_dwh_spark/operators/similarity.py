@@ -5,11 +5,11 @@
   ``aggregate``) so the float arithmetic sequence is identical to the
   DuckDB oracle's ``list_reduce`` fold — bit-exact parity without
   quantization. Stays fully JVM-side (no UDF).
-- ``ann_ivf_topk`` — IVF-style scale path: coarse centroids (here the
-  embeddings' label clusters), queries probe the top-``NPROBE``
-  centroids and search only those partitions. Approximate → declared
-  rows-only (no oracle); its recall against the exact operator is
-  asserted in tests instead.
+- ``ann_euclidean_topk`` — exact euclidean top-k, same fold discipline.
+- ``ann_ivf_topk`` — IVF scale path: a deterministic DataFrame-native
+  k-means coarse quantizer; queries probe the top-``NPROBE`` centroids
+  and search only those partitions. Approximate → declared rows-only
+  (no oracle); recall vs the exact operator is asserted in tests.
 
 At 100 TB the brute-force variant is the per-partition kernel inside
 the IVF/LSH bucketed plan: candidates are colocated by bucket id, the
@@ -157,8 +157,36 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id", "rank", "cosine"))
 
 
+_SQDIFF = ("aggregate(zip_with({a}, {b}, (x, y) -> "
+           "(cast(x as double) - cast(y as double)) "
+           "* (cast(x as double) - cast(y as double))), "
+           "cast(0.0 as double), (acc, v) -> acc + v)")
+
+
+def ann_euclidean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact euclidean top-k — same bit-exact left-fold discipline as
+    the cosine variant."""
+    emb = _emb(spark, sf_dir)
+    q = (emb.filter(F.col("vec_id") < N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").alias("query_emb")))
+    c = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").alias("neighbor_emb"))
+    dist = F.expr(f"sqrt({_SQDIFF.format(a='query_emb', b='neighbor_emb')})")
+    scored = (q.crossJoin(c)
+              .filter(F.col("query_id") != F.col("neighbor_id"))
+              .select("query_id", "neighbor_id", dist.alias("dist")))
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"),
+                                               F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "neighbor_id",
+                    F.col("rank").cast("int").alias("rank"), "dist"))
+
+
 QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_euclidean_topk": ann_euclidean_topk,
     "ann_ivf_topk": ann_ivf_topk,       # rows-only (approximate)
 }
 
@@ -180,6 +208,20 @@ ORACLES = {
                    ORDER BY cosine DESC, neighbor_id) AS rank
                FROM scored)
         SELECT query_id, neighbor_id, rank::INT AS rank, cosine
+        FROM rk WHERE rank <= {TOP_K}""",
+    "ann_euclidean_topk": f"""
+        WITH scored AS (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 sqrt(list_reduce(list_transform(range(1, 65),
+                      i -> (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+                         * (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)),
+                      (x, y) -> x + y)) AS dist
+          FROM embeddings q JOIN embeddings c
+            ON q.vec_id < {N_QUERIES} AND q.vec_id != c.vec_id),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY dist, neighbor_id) AS rank
+               FROM scored)
+        SELECT query_id, neighbor_id, rank::INT AS rank, dist
         FROM rk WHERE rank <= {TOP_K}""",
     # ann_ivf_topk: intentionally no oracle (approximate operator;
     # driver records rows-only check, tests assert recall vs exact)

@@ -91,11 +91,30 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                             FINGERPRINT_K))).alias("fingerprint")))
 
 
+def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top term by frequency (tie-break lexicographic) with its
+    corpus document frequency — the integer-exact core of tf-idf
+    (scores stay downstream so parity holds without float logs)."""
+    t = Tables(spark, sf_dir)
+    ex = (t.documents
+          .select("doc_id", F.explode(F.split("text", " ")).alias("tok")))
+    tf = ex.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tf"), F.asc("tok"))
+    top = (tf.withColumn("rk", F.row_number().over(w))
+           .filter(F.col("rk") == 1).drop("rk"))
+    df_counts = (ex.select("doc_id", "tok").distinct()
+                 .groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
+    return (top.join(df_counts, "tok")
+            .select("doc_id", F.col("tok").alias("top_term"), "tf", "df"))
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
     "text_tokens": text_tokens,
     "text_fingerprint": text_fingerprint,
+    "text_term_stats": text_term_stats,
 }
 
 
@@ -110,6 +129,18 @@ _LANG_CASE = ("CASE WHEN greatest(s_en, s_de, s_es, s_fr) = 0 THEN 'und' "
                   f"WHEN s_{lg} = greatest(s_en, s_de, s_es, s_fr) "
                   f"THEN '{lg}'" for lg in sorted(LANG_MARKERS))
               + " END")
+
+_TERM_STATS_SQL = """
+    WITH ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf FROM ex GROUP BY 1, 2),
+    top AS (SELECT doc_id, tok, tf,
+                   row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tf DESC, tok) AS rk
+            FROM tf),
+    dfc AS (SELECT tok, count(DISTINCT doc_id) AS df FROM ex GROUP BY tok)
+    SELECT t.doc_id, t.tok AS top_term, t.tf, d.df
+    FROM top t JOIN dfc d ON d.tok = t.tok WHERE t.rk = 1"""
 
 ORACLES = {
     "text_langid": f"""
@@ -149,4 +180,5 @@ ORACLES = {
                FROM ex)
         SELECT doc_id, md5(string_agg(hh, '' ORDER BY hh)) AS fingerprint
         FROM rk WHERE rn <= {FINGERPRINT_K} GROUP BY doc_id""",
+    "text_term_stats": _TERM_STATS_SQL,
 }

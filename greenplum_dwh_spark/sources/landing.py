@@ -43,30 +43,34 @@ def read_extract(spark: SparkSession, path: str) -> DataFrame:
               .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
               .csv(path))
         return _positional(spark, df, cast=True)
-    # xlsx via pandas bridge (insert_from_excel.py:22). No OSS-native
-    # Spark xlsx reader exists; pandas needs openpyxl, which this
-    # container doesn't ship — fail with a clear remedy rather than a
-    # deep pandas stack.
-    try:
-        import openpyxl  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "xlsx ingestion needs openpyxl (not installed here); "
-            "convert the extract to parquet/csv or install openpyxl"
-        ) from e
-    import pandas as pd
-    pdf = pd.read_excel(path)
-    pdf.columns = EXTRACT_COLUMNS
-    # timestamp -> date coercions the reference applies client-side
-    # (insert_from_excel.py:24-25)
-    for c in ("account_valid_to", "date_of_birth", "passport_valid_to"):
-        pdf[c] = pd.to_datetime(pdf[c]).dt.date
-    pdf["trans_date"] = pd.to_datetime(pdf["trans_date"])
-    pdf["amount"] = pdf["amount"].map(
-        lambda x: decimal.Decimal(str(x)).quantize(decimal.Decimal("0.01")))
-    pdf = pdf.astype({c: str for c in (
-        "trans_id", "card_num", "account_num", "client", "passport_num")})
-    return spark.createDataFrame(pdf, schema=schemas.LANDING)
+    # xlsx via the dependency-free lite reader (insert_from_excel.py:22
+    # equivalent; falls back to pandas+openpyxl when available for
+    # workbooks outside the extracts' subset)
+    return _read_xlsx(spark, path)
+
+
+def _read_xlsx(spark: SparkSession, path: str) -> DataFrame:
+    from greenplum_dwh_spark.sources.xlsx_lite import (
+        excel_serial_to_datetime, read_xlsx_rows)
+    raw = read_xlsx_rows(path)[1:]  # drop header (mapping is positional)
+
+    def _s(v):  # numeric-looking ids render as integer strings
+        if isinstance(v, float):
+            return str(int(v))
+        return str(v)
+
+    def _d(v):
+        return excel_serial_to_datetime(v).date()
+
+    records = []
+    for r in raw:
+        records.append((
+            _s(r[0]), excel_serial_to_datetime(r[1]), _s(r[2]), _s(r[3]),
+            _d(r[4]), _s(r[5]), _s(r[6]), _s(r[7]), _s(r[8]), _d(r[9]),
+            _s(r[10]), _d(r[11]), _s(r[12]), _s(r[13]),
+            decimal.Decimal(str(round(r[14], 2))), _s(r[15]), _s(r[16]),
+            _s(r[17]), _s(r[18]), _s(r[19])))
+    return spark.createDataFrame(records, schema=schemas.LANDING)
 
 
 def _positional(spark: SparkSession, df: DataFrame, cast: bool = False) -> DataFrame:

@@ -71,14 +71,10 @@ def test_ann_cosine_stays_jvm_side(spark, sf_dir):
     assert "ArrowEvalPython" not in plan
 
 
-def test_xlsx_without_openpyxl_raises_clear_error(spark, tmp_path):
+def test_corrupt_xlsx_raises(spark, tmp_path):
+    """The lite xlsx reader fails loudly on a non-workbook file."""
     from greenplum_dwh_spark.sources.landing import read_extract
-    try:
-        import openpyxl  # noqa: F401
-        pytest.skip("openpyxl installed; gate not reachable")
-    except ImportError:
-        pass
     fake = tmp_path / "x.xlsx"
-    fake.write_bytes(b"PK")
-    with pytest.raises(ImportError, match="openpyxl"):
+    fake.write_bytes(b"PK\x03\x04 not a real workbook")
+    with pytest.raises(Exception):
         read_extract(spark, str(fake))

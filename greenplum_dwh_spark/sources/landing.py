@@ -5,13 +5,12 @@ newest day present in each file (insert_from_excel.py:27 — files are
 cumulative so older days are already loaded) and bulk-inserts into the
 landing table (insert_from_excel.py:30-48).
 
-Spark-side: pandas reads the extract (no OSS-native Spark xlsx reader;
-CSV/parquet extracts go through ``spark.read`` directly with the
-declared schema), a typed DataFrame is created via Arrow, the last-day
-filter is a catalyst-planned filter against a scalar max, and the write
-is a bulk parquet append. The reference's per-cell SQL-literal
-rendering (insert_from_excel.py:7-14) is obsolete under typed
-DataFrames.
+Spark-side: xlsx extracts go through the zero-dependency lite reader
+(sources/xlsx_lite.py) and CSV/parquet through ``spark.read`` with the
+declared schema; a typed DataFrame is created, the last-day filter is a
+catalyst-planned filter against a scalar max, and the write is a bulk
+parquet append. The reference's per-cell SQL-literal rendering
+(insert_from_excel.py:7-14) is obsolete under typed DataFrames.
 """
 
 from __future__ import annotations
@@ -44,8 +43,8 @@ def read_extract(spark: SparkSession, path: str) -> DataFrame:
               .csv(path))
         return _positional(spark, df, cast=True)
     # xlsx via the dependency-free lite reader (insert_from_excel.py:22
-    # equivalent; falls back to pandas+openpyxl when available for
-    # workbooks outside the extracts' subset)
+    # equivalent; handles the extracts' subset of xlsx — one sheet,
+    # shared strings, numeric/date-serial cells)
     return _read_xlsx(spark, path)
 
 

@@ -105,3 +105,21 @@ def test_scd2_exactly_one_terminal_and_one_client_versioned(ref_wh):
     assert closed_clients.first()["client_id"] == "3-58577"
     assert wh.read("dim_terminals_hist").count() == 101
     assert wh.read("dim_clients_hist").count() == 101
+
+
+def test_scd1_branch_agrees_on_reference_data(ref_wh):
+    """fn_add_report_data('scd1') vs 'scd2' on the real data: current
+    attribute values coincide (the one changed client/terminal has its
+    latest attrs in both), so a day-3 rerun must produce identical
+    fraud rows."""
+    wh, _ = ref_wh
+    extra_ts = dt.datetime(2020, 5, 3, 23, 59, 30)
+    add_report_data(wh, "scd1", run_ts=extra_ts)
+    scd1_rows = (wh.read("report")
+                 .filter(F.col("report_dt") == extra_ts)
+                 .select("fraud_dt", "passport", "fraud_type"))
+    scd2_rows = (wh.read("report")
+                 .filter(F.col("report_dt") == RUN_TS[2])
+                 .select("fraud_dt", "passport", "fraud_type"))
+    assert scd1_rows.exceptAll(scd2_rows).count() == 0
+    assert scd2_rows.exceptAll(scd1_rows).count() == 0

@@ -174,6 +174,59 @@ def union_labeled_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.unionByName(b)
 
 
+# scalar string-function family (F1/F11 and beyond): case mapping,
+# trim/pad, substring, replace, translate — identical across engines.
+def string_funcs_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return t.customer.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.length(F.trim(F.col("c_name"))).alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0")
+        .alias("key_padded"),
+        F.regexp_replace("c_name", "[0-9]", "#").alias("name_masked"),
+        F.translate("c_mktsegment", "AEIOU", "aeiou")
+        .alias("seg_translated"))
+
+
+# null-introduction + handling: nullif / coalesce / CASE over nulls.
+def null_handling_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    status_or_null = F.expr("nullif(o_orderstatus, 'O')")
+    return (t.orders.select(
+        "o_orderkey",
+        status_or_null.alias("closed_status"),
+        F.coalesce(status_or_null, F.lit("OPEN")).alias("status_filled"),
+        F.when(status_or_null.isNull(), 1).otherwise(0)
+        .cast("int").alias("is_open"))
+    )
+
+
+# range (theta) join: events against generated hour buckets — the join
+# family the equi-join operators don't cover. The bucket side is tiny
+# and broadcast, so the plan is a broadcast nested-loop with a range
+# predicate — the standard shape for interval/temporal joins.
+def range_join_hour_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    bounds = ev.agg(
+        F.date_trunc("HOUR", F.min("ts")).alias("lo"),
+        F.date_trunc("HOUR", F.max("ts")).alias("hi"))
+    buckets = (bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR")))
+        .alias("bucket_start")))
+    joined = ev.join(
+        F.broadcast(buckets),
+        (F.col("ts") >= F.col("bucket_start"))
+        & (F.col("ts") < F.col("bucket_start")
+           + F.expr("INTERVAL 1 HOUR")))
+    return (joined.groupBy("bucket_start")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
 # null-aware anti join: NOT IN (subquery) plans as a distinct Spark
 # operator (BroadcastNestedLoopJoin/NullAwareAntiJoin family).
 def not_in_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -401,6 +454,9 @@ QUERIES = {
     "semi_join_big_orders": semi_join_big_orders,
     "union_labeled_rules": union_labeled_rules,
     "percentile_prices": percentile_prices,
+    "string_funcs_demo": string_funcs_demo,
+    "null_handling_demo": null_handling_demo,
+    "range_join_hour_buckets": range_join_hour_buckets,
     "not_in_customers": not_in_customers,
     "scalar_subquery_acctbal": scalar_subquery_acctbal,
     "orders_calendar": orders_calendar,
@@ -497,6 +553,38 @@ ORACLES = {
         UNION ALL
         SELECT o_orderkey, 'urgent' AS rule FROM orders
         WHERE o_orderpriority = '1-URGENT'""",
+    "string_funcs_demo": """
+        SELECT c_custkey,
+               upper(c_name) AS name_upper,
+               lower(c_mktsegment) AS seg_lower,
+               substring(c_name, 1, 8) AS name_prefix,
+               length(trim(c_name))::INT AS name_len,
+               lpad(c_custkey::VARCHAR, 10, '0') AS key_padded,
+               regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+               translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated
+        FROM customer""",
+    "null_handling_demo": """
+        SELECT o_orderkey,
+               nullif(o_orderstatus, 'O') AS closed_status,
+               coalesce(nullif(o_orderstatus, 'O'), 'OPEN')
+                   AS status_filled,
+               (CASE WHEN nullif(o_orderstatus, 'O') IS NULL
+                     THEN 1 ELSE 0 END)::INT AS is_open
+        FROM orders""",
+    "range_join_hour_buckets": """
+        WITH bounds AS (SELECT date_trunc('hour', min(ts))::TIMESTAMP lo,
+                               date_trunc('hour', max(ts))::TIMESTAMP hi
+                        FROM events),
+        buckets AS (SELECT unnest(generate_series(lo, hi,
+                               INTERVAL 1 HOUR)) AS bucket_start
+                    FROM bounds)
+        SELECT b.bucket_start::TIMESTAMP AS bucket_start,
+               count(*) AS n,
+               count(DISTINCT e.user_id) AS n_users
+        FROM events e JOIN buckets b
+          ON e.ts >= b.bucket_start
+         AND e.ts < b.bucket_start + INTERVAL 1 HOUR
+        GROUP BY 1""",
     "not_in_customers": """
         SELECT o_orderkey, o_custkey FROM orders
         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer

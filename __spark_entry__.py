@@ -24,11 +24,11 @@ from pyspark.sql import DataFrame, SparkSession
 
 def _modules():
     from greenplum_dwh_spark.operators import (dedup, multimodal_ops,
-                                               quality, relational,
-                                               sessions, similarity,
-                                               text_analysis)
+                                               packing, quality,
+                                               relational, sessions,
+                                               similarity, text_analysis)
     return [relational, dedup, text_analysis, similarity, sessions,
-            multimodal_ops, quality]
+            multimodal_ops, quality, packing]
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -360,6 +360,16 @@ def distinct_parts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_rows")))
 
 
+# approximate percentile sketch (t-digest-style) — rows-only like the
+# HLL aggregate; tests bound its error vs the exact interpolated
+# percentile.
+def approx_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (t.lineitem.groupBy("l_returnflag")
+            .agg(F.expr("approx_percentile(l_extendedprice, 0.5, 1000)")
+                 .alias("median_price_approx")))
+
+
 # approximate COUNT(DISTINCT) (HyperLogLog++) — the sketch-aggregate
 # scale path; estimates are engine-specific so this is rows-only, and
 # tests assert the estimate's relative error against the exact count.
@@ -468,6 +478,7 @@ QUERIES = {
     "cube_status_priority": cube_status_priority,
     "distinct_parts_per_flag": distinct_parts_per_flag,
     "approx_distinct_parts": approx_distinct_parts,   # rows-only (HLL)
+    "approx_percentile_prices": approx_percentile_prices,  # rows-only
     "late_shipments": late_shipments,
     "json_props_agg": json_props_agg,
     "tumbling_hourly": tumbling_hourly,

@@ -115,3 +115,18 @@ def test_csv_extract_roundtrip(spark, tmp_path):
     assert len(rows) == 20
     assert rows[0]["trans_date"] == pdf.iloc[0]["trans_date"].to_pydatetime()
     assert float(rows[0]["amount"]) == float(pdf.iloc[0]["amount"])
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    from greenplum_dwh_spark.operators.relational import (
+        approx_percentile_prices)
+    from greenplum_dwh_spark.sources.tpch import Tables
+    exact = {r["l_returnflag"]: r["m"] for r in
+             Tables(spark, sf_dir).lineitem
+             .groupBy("l_returnflag")
+             .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("m"))
+             .collect()}
+    approx = {r["l_returnflag"]: r["median_price_approx"] for r in
+              approx_percentile_prices(spark, sf_dir).collect()}
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / v < 0.05, (k, v, approx[k])

@@ -267,6 +267,26 @@ def orders_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n")))
 
 
+# funnel analysis: users progressing signup → later click → later
+# purchase (strict event-time ordering via staged minimum timestamps).
+def funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    s1 = (ev.filter(F.col("event_type") == "signup")
+          .groupBy("user_id").agg(F.min("ts").alias("t_signup")))
+    s2 = (ev.filter(F.col("event_type") == "click")
+          .join(s1, "user_id")
+          .filter(F.col("ts") > F.col("t_signup"))
+          .groupBy("user_id", "t_signup")
+          .agg(F.min("ts").alias("t_click")))
+    s3 = (ev.filter(F.col("event_type") == "purchase")
+          .join(s2, "user_id")
+          .filter(F.col("ts") > F.col("t_click"))
+          .groupBy("user_id", "t_signup", "t_click")
+          .agg(F.min("ts").alias("t_purchase")))
+    return s3.select("user_id", "t_signup", "t_click", "t_purchase")
+
+
 # ordered-set aggregates: exact interpolated percentiles (both engines
 # use the same a + (b-a)·frac interpolation, so parity is bit-exact).
 def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -464,6 +484,7 @@ QUERIES = {
     "semi_join_big_orders": semi_join_big_orders,
     "union_labeled_rules": union_labeled_rules,
     "percentile_prices": percentile_prices,
+    "funnel_users": funnel_users,
     "string_funcs_demo": string_funcs_demo,
     "null_handling_demo": null_handling_demo,
     "range_join_hour_buckets": range_join_hour_buckets,
@@ -564,6 +585,21 @@ ORACLES = {
         UNION ALL
         SELECT o_orderkey, 'urgent' AS rule FROM orders
         WHERE o_orderpriority = '1-URGENT'""",
+    "funnel_users": """
+        WITH s1 AS (SELECT user_id, min(ts)::TIMESTAMP AS t_signup
+                    FROM events WHERE event_type = 'signup'
+                    GROUP BY user_id),
+        s2 AS (SELECT e.user_id, s1.t_signup,
+                      min(e.ts)::TIMESTAMP AS t_click
+               FROM events e JOIN s1 ON e.user_id = s1.user_id
+               WHERE e.event_type = 'click' AND e.ts > s1.t_signup
+               GROUP BY e.user_id, s1.t_signup),
+        s3 AS (SELECT e.user_id, s2.t_signup, s2.t_click,
+                      min(e.ts)::TIMESTAMP AS t_purchase
+               FROM events e JOIN s2 ON e.user_id = s2.user_id
+               WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+               GROUP BY e.user_id, s2.t_signup, s2.t_click)
+        SELECT user_id, t_signup, t_click, t_purchase FROM s3""",
     "string_funcs_demo": """
         SELECT c_custkey,
                upper(c_name) AS name_upper,

@@ -119,6 +119,18 @@ def stream_tumbling_counts(events_stream: DataFrame,
                     "event_type", "n"))
 
 
+def stream_dedup(docs_stream: DataFrame,
+                 watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: drop payloads whose content digest was
+    already seen within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` keeps state bounded — the
+    streaming form of the exact-dedup first pass)."""
+    return (docs_stream
+            .withColumn("digest", F.md5("text"))
+            .withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["digest"]))
+
+
 _SESSION_STATE_SCHEMA = T.StructType([
     T.StructField("last_sec", T.LongType()),
     T.StructField("session_id", T.IntegerType()),

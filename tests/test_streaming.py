@@ -62,6 +62,42 @@ def test_stream_expired_rules_matches_batch(spark, stream_setup):
     assert len(by_type[schemas.FRAUD_EXPIRED_ACCOUNT]) == 4
 
 
+def test_stream_dedup_across_batches(spark, tmp_path):
+    """A payload repeated in a later batch (within the watermark) is
+    dropped; distinct payloads pass through."""
+    import pandas as pd
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    b1 = pd.DataFrame({"doc_id": [1, 2],
+                       "ts": pd.to_datetime([t0, t0]),
+                       "text": ["alpha", "beta"]})
+    b2 = pd.DataFrame({"doc_id": [3, 4],
+                       "ts": pd.to_datetime(
+                           [t0 + dt.timedelta(minutes=5)] * 2),
+                       "text": ["alpha", "gamma"]})  # alpha is a dup
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "dd_out"), str(tmp_path / "dd_ckpt")
+    schema = "doc_id bigint, ts timestamp, text string"
+
+    def drain():
+        stream = spark.readStream.schema(schema) \
+            .parquet(str(src) + "/*.parquet")
+        q = (MS.stream_dedup(stream)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.parquet(str(src / "b1.parquet"))
+    drain()
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.parquet(str(src / "b2.parquet"))
+    drain()
+    kept = sorted(r["text"] for r in spark.read.parquet(out).collect())
+    assert kept == ["alpha", "beta", "gamma"]
+
+
 def test_stream_watermark_drops_late_events(spark, tmp_path):
     """Tumbling windows with a 30-min watermark: an event arriving in a
     later batch but >30 min behind the max seen event time is dropped;

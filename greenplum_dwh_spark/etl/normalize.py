@@ -39,6 +39,14 @@ def normalize_transactions(wh) -> dict:
         staged = staging.scd2_staging(landing, meta)
         dim = wh.read(meta["hist"])
         attr_cols = [dst for _, dst in meta["attrs"]]
+        # steady-state short-circuit: a batch with no new attribute
+        # tuples is a semantic no-op (close-out + insert both act only
+        # on `changes`) — skip the copy-on-write rewrite entirely. The
+        # emptiness probe is a dim-sized anti-join, orders cheaper than
+        # rewriting the dim at scale.
+        if scd2.scd2_changes(staged, dim, attr_cols).isEmpty():
+            counts[meta["hist"]] = dim.count()
+            continue
         new_dim = scd2.scd2_apply(dim, staged, meta["key"], attr_cols)
         wh.overwrite_dim(meta["hist"], new_dim)
         counts[meta["hist"]] = wh.read(meta["hist"]).count()
@@ -59,6 +67,10 @@ def normalize_transactions(wh) -> dict:
     for name, meta in schemas.DIMENSIONS.items():
         staged = staging.scd1_staging(landing, meta)
         dim = wh.read(meta["scd1"])
+        if scd1.scd1_is_noop(dim, staged, meta["key"],
+                             scd1.UPDATE_ATTRS[name]):
+            counts[meta["scd1"]] = dim.count()
+            continue
         new_dim = scd1.scd1_apply(dim, staged, meta["key"],
                                   scd1.UPDATE_ATTRS[name])
         wh.overwrite_dim(meta["scd1"], new_dim)

@@ -34,6 +34,20 @@ UPDATE_ATTRS = {
 }
 
 
+def scd1_is_noop(dim: DataFrame, staged: DataFrame, key: str,
+                 update_attrs: list[str]) -> bool:
+    """True when the batch would neither update nor insert: no staged
+    key is new, and no matched key differs on an updateable attr —
+    lets the caller skip the copy-on-write rewrite in steady state."""
+    if not staged.join(dim.select(key), on=key, how="left_anti").isEmpty():
+        return False
+    s = staged.select(key, *[F.col(c).alias(f"_s_{c}")
+                             for c in update_attrs])
+    differs = reduce(lambda a, b: a | b,
+                     [F.col(f"_s_{c}") != F.col(c) for c in update_attrs])
+    return dim.join(s, on=key).filter(differs).isEmpty()
+
+
 def scd1_apply(dim: DataFrame, staged: DataFrame, key: str,
                update_attrs: list[str]) -> DataFrame:
     """Return the new full contents of the SCD1 dim."""

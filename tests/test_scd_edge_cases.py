@@ -130,3 +130,26 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
               approx_percentile_prices(spark, sf_dir).collect()}
     for k, v in exact.items():
         assert abs(approx[k] - v) / v < 0.05, (k, v, approx[k])
+
+
+def test_unchanged_batch_skips_dim_rewrites(spark, tmp_path):
+    """Loading a batch whose entities carry identical attributes must
+    not bump the dim versions (steady-state no-op short-circuit)."""
+    from greenplum_dwh_spark.etl import normalize_transactions
+    from greenplum_dwh_spark.sources import load_landing_file
+    from greenplum_dwh_spark.warehouse import Warehouse
+    from tests import bank_fixture as bf
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    paths = bf.write_extracts(spark, str(tmp_path / "ex"))
+    load_landing_file(wh, paths[0])
+    normalize_transactions(wh)
+    v_before = {n: wh.store.current_version(n)
+                for n in ("dim_cards_hist", "dim_cards")}
+    # re-load the SAME day-1 file: all attr tuples already known
+    load_landing_file(wh, paths[0])
+    normalize_transactions(wh)
+    v_after = {n: wh.store.current_version(n)
+               for n in ("dim_cards_hist", "dim_cards")}
+    assert v_before == v_after          # no rewrite happened
+    # fact still double-appends (reference semantics)
+    assert wh.read("fact_transactions").count() == 130

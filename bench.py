@@ -26,8 +26,9 @@ def main() -> None:
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from greenplum_dwh_spark.session import get_spark
-    from greenplum_dwh_spark.operators import (dedup, relational, sessions,
-                                               similarity, text_analysis)
+    from greenplum_dwh_spark.operators import (dedup, packing, relational,
+                                               sessions, similarity,
+                                               text_analysis)
 
     spark = get_spark("bench", extra_conf={"spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")
@@ -49,6 +50,10 @@ def main() -> None:
         "text_quality": text_analysis.text_quality,
         "text_fingerprint": text_analysis.text_fingerprint,
         "ann_cosine_topk": similarity.ann_cosine_topk,
+        "funnel_users": relational.funnel_users,
+        "range_join_hour_buckets": relational.range_join_hour_buckets,
+        "dedup_clusters": dedup.dedup_clusters,
+        "pack_documents": packing.pack_documents,
     }
 
     # untimed warm-up: touch every input table once so per-query numbers

@@ -39,10 +39,16 @@ from greenplum_dwh_spark.mart.report import (add_report_data,  # noqa: F401
 from greenplum_dwh_spark.multimodal.codec import (decode_image,  # noqa: F401
                                                   extract_features,
                                                   pack_payloads)
+from greenplum_dwh_spark.functions.sketch import (kmv_estimate,  # noqa: F401
+                                                  kmv_merge, kmv_sketch)
 from greenplum_dwh_spark.operators.dedup import (exact_dedup,  # noqa: F401
                                                  jaccard_prefix_pairs,
                                                  minhash_pairs,
+                                                 neardup_clusters,
                                                  simhash_pairs)
+from greenplum_dwh_spark.operators.packing import pack_batches  # noqa: F401
+from greenplum_dwh_spark.operators.patterns import match_pattern  # noqa: F401
+from greenplum_dwh_spark.operators.rollup_store import HourlyRollup  # noqa: F401
 from greenplum_dwh_spark.operators.sessions import (sessionize,  # noqa: F401
                                                     sessionize_pd)
 from greenplum_dwh_spark.operators.similarity import (cosine_topk,  # noqa: F401
@@ -53,8 +59,8 @@ from greenplum_dwh_spark.sources.landing import (load_landing_file,  # noqa: F40
 from greenplum_dwh_spark.sql import (register_testdata,  # noqa: F401
                                      register_warehouse)
 from greenplum_dwh_spark.streaming.mart_stream import (  # noqa: F401
-    stream_chain_detector, stream_expired_rules, stream_landing,
-    stream_sessionize, stream_tumbling_counts)
+    stream_chain_detector, stream_dedup, stream_expired_rules,
+    stream_landing, stream_sessionize, stream_tumbling_counts)
 from greenplum_dwh_spark.streaming.pipeline import (  # noqa: F401
     run_streaming_mart)
 from greenplum_dwh_spark.warehouse import Warehouse  # noqa: F401

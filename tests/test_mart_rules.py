@@ -138,3 +138,22 @@ def test_hour_diff_interval_field_quirk(spark):
     got = rule_city_hop(stg, dt.datetime(2020, 5, 4)).collect()
     assert len(got) == 1
     assert got[0]["fraud_dt"] == dt.datetime(2020, 5, 2, 10, 5, 0)
+
+
+def test_mart_rerun_appends_duplicates_faithfully(mart_wh, spark):
+    """Re-running fn_add_report_data without new data appends the same
+    fraud rows again (the report is append-only and cumulative,
+    DDL.sql:155-169) — duplicates differ only in report_dt. Faithful
+    reference semantics, documented by test."""
+    wh, _ = mart_wh
+    rerun_ts = dt.datetime(2020, 5, 5, 12, 0, 0)
+    before = wh.read("report").count()
+    n = add_report_data(wh, "scd2", run_ts=rerun_ts)
+    assert n > 0
+    assert wh.read("report").count() == before + n
+    day3 = (wh.read("report").filter(F.col("report_dt") == RUN_TS[2])
+            .select("fraud_dt", "passport", "fraud_type"))
+    rerun = (wh.read("report").filter(F.col("report_dt") == rerun_ts)
+             .select("fraud_dt", "passport", "fraud_type"))
+    assert day3.exceptAll(rerun).count() == 0
+    assert rerun.exceptAll(day3).count() == 0

@@ -145,6 +145,38 @@ def window_last_scd1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct())
 
 
+# W5 frame variants beyond the unbounded/running frames: a bounded
+# sliding ROWS frame (trailing-3 moving sum) ...
+def moving_sum_rows_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-3, Window.currentRow))
+    cents = F.round(F.col("value") * 100).cast("long")
+    return t.events.select(
+        "event_id", "user_id",
+        (F.sum(cents).over(w).cast("double") / 100.0)
+        .alias("trailing_sum"),
+        F.count(F.lit(1)).over(w).cast("int").alias("n_in_frame"))
+
+
+# ... and a time-RANGE frame (sum over the trailing hour of event
+# time, on integer epoch seconds so both engines frame identically).
+def range_frame_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    sec = F.unix_timestamp("ts")
+    w = (Window.partitionBy("user_id").orderBy("sec")
+         .rangeBetween(-3600, 0))
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (t.events
+            .select("event_id", "user_id", sec.alias("sec"),
+                    cents.alias("cents"))
+            .select("event_id", "user_id",
+                    (F.sum("cents").over(w).cast("double") / 100.0)
+                    .alias("hour_sum"),
+                    F.count(F.lit(1)).over(w).cast("int")
+                    .alias("n_in_hour")))
+
+
 # J2/J3 — anti join (NOT EXISTS, ETL.sql:92-99).
 def anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
@@ -480,6 +512,8 @@ QUERIES = {
     "window_lead_scd2": window_lead_scd2,
     "window_lag_hop": window_lag_hop,
     "window_last_scd1": window_last_scd1,
+    "moving_sum_rows_frame": moving_sum_rows_frame,
+    "range_frame_hour_sum": range_frame_hour_sum,
     "anti_join_no_orders": anti_join_no_orders,
     "semi_join_big_orders": semi_join_big_orders,
     "union_labeled_rules": union_labeled_rules,
@@ -571,6 +605,25 @@ ORACLES = {
                     THEN NULL ELSE max(o_orderdate) OVER k
                END AS update_dt
         FROM orders WINDOW k AS (PARTITION BY o_custkey)""",
+    "moving_sum_rows_frame": """
+        SELECT event_id, user_id,
+               (sum(round(value * 100)::BIGINT) OVER w)::DOUBLE / 100.0
+                   AS trailing_sum,
+               (count(*) OVER w)::INT AS n_in_frame
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)""",
+    "range_frame_hour_sum": """
+        WITH x AS (SELECT event_id, user_id,
+                          floor(epoch(ts))::BIGINT AS sec,
+                          round(value * 100)::BIGINT AS cents
+                   FROM events)
+        SELECT event_id, user_id,
+               (sum(cents) OVER w)::DOUBLE / 100.0 AS hour_sum,
+               (count(*) OVER w)::INT AS n_in_hour
+        FROM x
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
     "anti_join_no_orders": """
         SELECT c_custkey, c_name FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",

@@ -34,3 +34,12 @@ def test_rows_only_queries_run(name, spark, sf_dir):
 def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
+
+
+def test_no_query_name_collisions_across_modules():
+    """queries() merges module dicts — a duplicate name would silently
+    shadow an operator and shrink driver coverage."""
+    import __spark_entry__ as e
+    total = sum(len(m.QUERIES) for m in e._modules()) + 1  # chain_fraud_state
+    assert total == len(e.queries())
+    assert sum(len(m.ORACLES) for m in e._modules()) == len(e.oracle_sql())

@@ -47,6 +47,7 @@ def main() -> None:
         "sessionize_events": sessions.sessionize_events,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_simhash": dedup.dedup_simhash,
+        "dedup_jaccard_prefix": dedup.dedup_jaccard_prefix,
         "text_quality": text_analysis.text_quality,
         "text_fingerprint": text_analysis.text_fingerprint,
         "ann_cosine_topk": similarity.ann_cosine_topk,

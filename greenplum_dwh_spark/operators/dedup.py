@@ -17,13 +17,14 @@ Four members, each a different point on the exactness/scale frontier
   band join (pigeonhole-complete for hamming ≤ 9) + exact hamming
   verify at ≤ 8. Again: banded plan, ground-truth output.
 - ``dedup_jaccard_prefix`` — exact word-2-gram jaccard join via
-  prefix filtering (tokens globally ordered by document frequency; a
-  pair above threshold t must share one of the first
-  |A| − ⌈t·|A|⌉ + 1 rarest tokens) plus the size-ratio prune
-  (t·|A| ≤ |B| ≤ |A|/t). Fully exact, no probabilistic step; the
-  candidate set is linear-ish under a Zipfian vocabulary (this
-  synthetic corpus's tiny uniform vocabulary is the worst case for
-  prefix discrimination — a realistic corpus prunes far harder).
+  PPJoin-style prefix + size-ratio + positional filtering. Fully
+  exact, no probabilistic step; the positional (overlap upper-bound)
+  filter keeps the candidate set near-linear even on this synthetic
+  corpus's tiny uniform vocabulary, which is the worst case for the
+  prefix filter alone.
+- ``neardup_clusters`` — connected components over the verified pair
+  graph via alternating large-star/small-star contraction (O(log² n)
+  rounds, lineage truncated per round).
 
 All hot paths are pure Spark SQL expressions (whole-stage codegen);
 no Python UDFs.
@@ -40,6 +41,17 @@ from greenplum_dwh_spark.sources.tpch import Tables
 JACCARD_THRESHOLD = 0.5
 SIMHASH_MAX_DIST = 8
 PREFIX_THRESHOLD = 0.6
+
+#: hot-band guard: LSH band buckets larger than this are dropped before
+#: the self-join.  A degenerate band value (identical boilerplate across
+#: a corpus slice) otherwise makes one bucket quadratic — the classic
+#: banded-LSH failure at scale.  Pairs whose only collisions are in hot
+#:  buckets are lost (documented recall trade); exact duplicates should
+#: be removed by ``exact_dedup`` *first*, which catches the
+#: all-identical case precisely.  1000 is far above any bucket this
+#: corpus produces (oracle parity unaffected) while bounding worst-case
+#: candidates per bucket at ~5·10⁵.
+BAND_CAP = 1000
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:
@@ -65,8 +77,27 @@ def _pairs_with_jaccard(docs: DataFrame, pairs: DataFrame,
                     H.jaccard(F.col("sa.s"), F.col("sb.s")).alias("jac")))
 
 
+def _banded_candidates(bands: DataFrame,
+                       band_cap: int = BAND_CAP) -> DataFrame:
+    """(doc_id, band) → distinct candidate pairs via bucket self-join,
+    with the hot-band guard: buckets above ``band_cap`` members are
+    dropped entirely (see :data:`BAND_CAP`).  The guard costs one extra
+    aggregation on the same shuffle key as the join — map-side combined,
+    no extra shuffle round beyond the count."""
+    counts = bands.groupBy("band").agg(F.count(F.lit(1)).alias("_bn"))
+    cool = (bands.join(counts.filter(F.col("_bn") <= band_cap), "band")
+            .select("doc_id", "band"))
+    return (cool.alias("a")
+            .join(cool.alias("b"), "band")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
 def minhash_pairs(docs: DataFrame,
-                  threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+                  threshold: float = JACCARD_THRESHOLD,
+                  band_cap: int = BAND_CAP) -> DataFrame:
     """Near-duplicate pairs (doc_a, doc_b, jac) of a (doc_id, text)
     DataFrame via minhash-LSH + exact verification."""
     sets_df = H.with_word_shingles(docs).cache()
@@ -80,12 +111,7 @@ def minhash_pairs(docs: DataFrame,
                         *[F.col(f"m{b * H.MINHASH_BAND_R + r}")
                           for r in range(H.MINHASH_BAND_R)])
             for b in range(n_bands)])).alias("band"))
-    cand = (bands.alias("a")
-            .join(bands.alias("b"), "band")
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+    cand = _banded_candidates(bands, band_cap)
     return (_pairs_with_jaccard(docs, cand, sets_df)
             .filter(F.col("jac") >= threshold))
 
@@ -106,9 +132,12 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
 
 
 def simhash_pairs(docs: DataFrame,
-                  max_dist: int = SIMHASH_MAX_DIST) -> DataFrame:
+                  max_dist: int = SIMHASH_MAX_DIST,
+                  band_cap: int = BAND_CAP) -> DataFrame:
     """Pairs within hamming ``max_dist`` of 60-bit simhash (exact:
-    banding is pigeonhole-complete for dist ≤ 9)."""
+    banding is pigeonhole-complete for dist ≤ 9; the hot-band guard —
+    see :data:`BAND_CAP` — is the only recall trade, and only fires on
+    degenerate buckets)."""
     fps = simhash_fingerprints(docs).cache()
     n_bands = H.SIMHASH_BITS // H.SIMHASH_BAND_BITS
     mask = (1 << H.SIMHASH_BAND_BITS) - 1
@@ -120,12 +149,7 @@ def simhash_pairs(docs: DataFrame,
                                      b * H.SIMHASH_BAND_BITS)
                         .bitwiseAND(mask).cast("string"))
             for b in range(n_bands)])).alias("band"))
-    cand = (bands.alias("a")
-            .join(bands.alias("b"), "band")
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+    cand = _banded_candidates(bands, band_cap)
     fa = fps.select(F.col("doc_id").alias("doc_a"),
                     F.col("fp").alias("fp_a"))
     fb = fps.select(F.col("doc_id").alias("doc_b"),
@@ -139,64 +163,166 @@ def simhash_pairs(docs: DataFrame,
 
 def jaccard_prefix_pairs(docs: DataFrame,
                          threshold: float = PREFIX_THRESHOLD) -> DataFrame:
-    """Exact word-2-gram jaccard join via prefix filtering."""
+    """Exact word-2-gram jaccard join via PPJoin-style prefix +
+    positional filtering (Xiao et al., "Efficient Similarity Joins for
+    Near Duplicate Detection" — public set-similarity-join literature,
+    see PAPERS.md).
+
+    Three exact pruning layers before the (expensive) jaccard verify:
+
+    1. **prefix filter** — tokens globally ordered by (df, token); a
+       pair with jaccard ≥ t must share one of each side's first
+       ``|A| − ⌈t·|A|⌉ + 1`` rarest tokens;
+    2. **size-ratio prune** — ``t·|A| ≤ |B| ≤ |A|/t``;
+    3. **positional filter** — jaccard ≥ t requires overlap
+       ``α = ⌈t/(1+t)·(|A|+|B|)⌉``.  Because both prefixes are sorted
+       by the SAME global order, shared tokens appear in the same
+       relative order on both sides, so per matched token at ranks
+       (ra, rb): ``overlap ≤ min(ra, rb) + min(|A|−ra, |B|−rb)`` (rows
+       below α cannot belong to a qualifying pair — dropped before the
+       shuffle-heavy aggregation); and per candidate pair with c
+       matched prefix tokens whose last match sits at ranks (ra*, rb*):
+       ``overlap ≤ c + min(|A|−ra*, |B|−rb*)`` (every common token
+       ordered before the last prefix match is itself a prefix match on
+       both sides, so c counts them all).
+
+    The pair-level bound is what kills the worst case: on a tiny
+    uniform vocabulary the prefix filter alone admits ~all pairs, but
+    non-dup pairs share few prefix tokens (small c) and fail the α
+    test, so only near-dups reach the verify join."""
     grams = H.with_word_shingles(docs, n=2).cache()
     ex = grams.select("doc_id", F.explode("s").alias("g"),
                       F.size("s").alias("n"))
     freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "g")
+    # The prefix index is MATERIALIZED (persisted) before the
+    # self-join: it is referenced three times downstream (both join
+    # sides + candidate re-derivation under the verify join), and
+    # recomputing the df-join + window rank per reference multiplies
+    # the pipeline cost ~6× (measured 25 s → 4 s at sf0.1).  This is
+    # the classic PPJoin "build the prefix index once" step; its size
+    # is ~(1−t)·Σ|doc| tokens, far smaller than the corpus.
     prefix = (ex.join(freq, "g")
               .withColumn("rk", F.row_number().over(w))
               # |A| - ceil(t*|A|) + 1 rarest tokens form the prefix
               .filter(F.col("rk")
                       <= F.col("n") - F.ceil(F.col("n") * threshold) + 1)
-              .select("doc_id", "g", "n"))
-    cand = (prefix.alias("a").join(prefix.alias("b"), "g")
-            .filter((F.col("a.doc_id") < F.col("b.doc_id"))
-                    # size-ratio prune: j >= t forces t|A| <= |B| <= |A|/t
-                    & (F.col("b.n") >= F.col("a.n") * threshold)
-                    & (F.col("b.n") * threshold <= F.col("a.n")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+              .select("doc_id", "g", "n", "rk")
+              .cache())
+    # required overlap; the tiny epsilon makes float rounding err on the
+    # conservative (keep) side
+    t_factor = threshold / (1.0 + threshold)
+    na, nb = F.col("a.n"), F.col("b.n")
+    ra, rb = F.col("a.rk"), F.col("b.rk")
+    alpha = F.ceil((na + nb) * t_factor - 1e-9)
+    matches = (prefix.alias("a").join(prefix.alias("b"), "g")
+               .filter((F.col("a.doc_id") < F.col("b.doc_id"))
+                       # size-ratio prune: j >= t forces t|A| <= |B| <= |A|/t
+                       & (nb >= na * threshold)
+                       & (nb * threshold <= na)
+                       # token-level positional bound
+                       & (F.least(ra, rb) + F.least(na - ra, nb - rb)
+                          >= alpha))
+               .select(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"),
+                       na.alias("na"), nb.alias("nb"),
+                       ra.alias("ra"), rb.alias("rb")))
+    cand = (matches
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("c"),
+                 F.max("ra").alias("ra"), F.max("rb").alias("rb"),
+                 F.first("na").alias("na"), F.first("nb").alias("nb"))
+            # pair-level positional bound
+            .filter(F.col("c")
+                    + F.least(F.col("na") - F.col("ra"),
+                              F.col("nb") - F.col("rb"))
+                    >= F.ceil((F.col("na") + F.col("nb")) * t_factor
+                              - 1e-9))
+            .select("doc_a", "doc_b"))
     return (_pairs_with_jaccard(docs, cand, grams)
             .filter(F.col("jac") >= threshold))
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """One large-star round (Kiveris et al., "Connected Components in
+    MapReduce and Beyond" — public literature, see PAPERS.md): every
+    node connects its strictly-larger neighbours to the minimum of its
+    closed neighbourhood.  ``edges`` is canonical (u < v); output is
+    canonical too (the emitted edge (m, v) has m ≤ u < v)."""
+    sym = (edges.select("u", "v")
+           .unionByName(edges.select(F.col("v").alias("u"),
+                                     F.col("u").alias("v"))))
+    mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+            .select("u", F.least("u", "mn").alias("m")))
+    return (sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("u"), F.col("v").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct())
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """One small-star round: every node connects its smaller
+    neighbours (and itself) to the minimum of its closed
+    neighbourhood.  Keyed on the LARGER endpoint, so all grouped
+    neighbours are < key and m = min(neighbours)."""
+    nb = edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    mins = nb.groupBy("u").agg(F.min("v").alias("m"))
+    joined = nb.join(mins, "u")
+    out = (joined.select(F.col("m").alias("u"), F.col("v").alias("v"))
+           .unionByName(joined.select(F.col("m").alias("u"),
+                                      F.col("u").alias("v"))))
+    return (out.filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("u"),
+                    F.greatest("u", "v").alias("v"))
+            .distinct())
 
 
 def neardup_clusters(docs: DataFrame,
                      threshold: float = JACCARD_THRESHOLD) -> DataFrame:
     """Connected components over the near-dup pair graph — the dedup
     *clustering* step that turns pairs into groups (pick one
-    representative per cluster to keep). Iterative min-label
-    propagation in DataFrame algebra: each round joins current labels
-    across edges and keeps the minimum; converges in O(diameter)
-    rounds (near-dup clusters are tiny, so 2-3). The driver loop only
-    checks a changed-row count per round — no data is collected.
+    representative per cluster to keep).
 
-    Returns (doc_id, cluster_id) for every doc that has ≥1 near-dup.
-    """
-    edges = (minhash_pairs(docs, threshold)
-             .select("doc_a", "doc_b").cache())
-    bidir = (edges.select(F.col("doc_a").alias("u"),
-                          F.col("doc_b").alias("v"))
-             .unionByName(edges.select(F.col("doc_b").alias("u"),
-                                       F.col("doc_a").alias("v"))))
-    labels = (bidir.select("u").distinct()
-              .select("u", F.col("u").alias("lbl")).cache())
-    for _ in range(20):  # >= max component diameter; tiny in practice
-        prop = (bidir.join(labels, "u")
-                .select(F.col("v").alias("u"), "lbl"))
-        new_labels = (labels.unionByName(prop)
-                      .groupBy("u").agg(F.min("lbl").alias("lbl")).cache())
-        changed = (new_labels.join(labels.withColumnRenamed("lbl", "old"),
-                                   "u")
-                   .filter(F.col("lbl") != F.col("old")).count())
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+    Alternating large-star / small-star contraction: O(log² n) rounds
+    on ANY graph (vs O(diameter) for plain label propagation — a
+    100 TB corpus can contain long duplicate chains), each round a
+    pair of groupBy+join stages over the edge list.  Per round the
+    edge list is ``localCheckpoint``-ed, truncating lineage so plan
+    size and stage count stay constant no matter how many rounds run;
+    convergence is detected with a single-row aggregate (count +
+    order-independent hash) — no data is collected to the driver.
+
+    Returns (doc_id, cluster_id) for every doc that has ≥1 near-dup,
+    cluster_id = min doc_id of the component (matches the recursive-CTE
+    oracle)."""
+    pairs = (minhash_pairs(docs, threshold)
+             .select(F.col("doc_a").alias("u"),
+                     F.col("doc_b").alias("v"))
+             .localCheckpoint())  # materialize the LSH pipeline ONCE
+    nodes = (pairs.select("u")
+             .unionByName(pairs.select(F.col("v").alias("u")))
+             .distinct())
+    edges = pairs
+    prev_sig = None
+    for _ in range(25):  # > log²(any realistic component); guard only
+        # lazy checkpoint: the signature aggregate below is the action
+        # that materializes it — one Spark job per round, not two
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
+        sig = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            # pmod keeps summands < 2^31: no ANSI overflow below ~4e9 edges
+            F.sum(F.pmod(F.xxhash64("u", "v"),
+                         F.lit(2147483647))).alias("h")).first()
+        if prev_sig == sig:
             break
-    return labels.select(F.col("u").alias("doc_id"),
-                         F.col("lbl").alias("cluster_id"))
+        prev_sig = sig
+    # converged: every edge is (component_min, member)
+    roots = edges.select(F.col("u").alias("lbl"), F.col("v").alias("u"))
+    return (nodes.join(roots, "u", "left")
+            .select(F.col("u").alias("doc_id"),
+                    F.coalesce(F.col("lbl"), F.col("u"))
+                    .alias("cluster_id")))
 
 
 def _docs(spark, sf_dir):

@@ -1,0 +1,181 @@
+"""Scale-hardening tests for the dedup family: hot-band guard on an
+adversarial boilerplate corpus, star-contraction round bounds on a
+deep chain, and PPJoin exactness against brute force on a worst-case
+tiny-vocabulary corpus.
+
+These pin the three 100 TB failure modes called out for banded-LSH /
+connected-components designs: quadratic degenerate buckets, O(diameter)
+propagation on long chains, and prefix-filter collapse under uniform
+vocabularies.
+"""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from pyspark.sql import functions as F
+
+from greenplum_dwh_spark.operators import dedup
+
+
+def _docs_df(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- hot band
+
+
+def _boilerplate_corpus(n=120, seed=3):
+    """Docs sharing one identical boilerplate sentence + unique tails.
+
+    Every pair agrees on the shingles of the boilerplate prefix, so
+    without a guard at least one minhash/simhash band is shared by ALL
+    docs -> a single n^2/2 bucket.
+    """
+    rng = random.Random(seed)
+    # long DISTINCT boilerplate (dominates every minhash signature) +
+    # a tiny unique tail per doc: most permutations take their min from
+    # a shared shingle, so most bands are identical across ALL docs
+    boiler = " ".join(f"legal{i}" for i in range(100)) + " "
+    texts = []
+    for i in range(n):
+        tail = " ".join(f"w{rng.randrange(10_000)}_{i}" for _ in range(5))
+        texts.append(boiler + tail)
+    return texts
+
+
+def test_hot_band_guard_bounds_candidates(spark):
+    docs = _docs_df(spark, _boilerplate_corpus())
+    sets_df = dedup.H.with_word_shingles(docs).cache()
+    ex = sets_df.select("doc_id", F.explode("s").alias("sh"))
+    sig = ex.groupBy("doc_id").agg(*dedup.H.minhash_aggs())
+    n_bands = dedup.H.MINHASH_PERMS // dedup.H.MINHASH_BAND_R
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(str(b)),
+                        *[F.col(f"m{b * dedup.H.MINHASH_BAND_R + r}")
+                          for r in range(dedup.H.MINHASH_BAND_R)])
+            for b in range(n_bands)])).alias("band"))
+    uncapped = dedup._banded_candidates(bands, band_cap=10**9).count()
+    capped = dedup._banded_candidates(bands, band_cap=10).count()
+    # the boilerplate corpus explodes to all-pairs without the guard...
+    assert uncapped >= 120 * 119 / 2, uncapped
+    # ...and the guard drops the degenerate buckets: any surviving
+    # bucket has <= 10 members, bounding candidates per band at 45
+    assert capped < uncapped / 10, (capped, uncapped)
+
+
+def test_hot_band_guard_no_recall_loss_on_normal_corpus(spark):
+    """On a corpus with no degenerate bands, cap on/off is identical."""
+    rng = random.Random(11)
+    vocab = [f"tok{i}" for i in range(200)]
+    base = [" ".join(rng.choice(vocab) for _ in range(60))
+            for _ in range(30)]
+    # seed 5 near-dup pairs by light edits
+    texts = list(base)
+    for i in range(5):
+        words = base[i].split()
+        words[3] = "edited"
+        texts.append(" ".join(words))
+    docs = _docs_df(spark, texts)
+    with_cap = {(r["doc_a"], r["doc_b"])
+                for r in dedup.minhash_pairs(docs).collect()}
+    no_cap = {(r["doc_a"], r["doc_b"])
+              for r in dedup.minhash_pairs(docs, band_cap=10**9).collect()}
+    assert with_cap == no_cap
+    assert len(with_cap) >= 5
+
+
+# ------------------------------------------------------- star contraction
+
+
+def test_star_contraction_deep_chain(spark):
+    """A 21-node path graph (diameter 20): label propagation needs ~20
+    rounds; large/small-star contracts it in O(log^2 n) — assert the
+    loop exits well below the diameter and labels are exact."""
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "u long, v long"
+    ).localCheckpoint()
+    rounds = 0
+    prev_sig = None
+    cur = edges
+    for _ in range(25):
+        cur = dedup._small_star(
+            dedup._large_star(cur)).localCheckpoint(eager=False)
+        sig = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64("u", "v"),
+                         F.lit(2147483647))).alias("h")).first()
+        rounds += 1
+        if prev_sig == sig:
+            break
+        prev_sig = sig
+    assert rounds <= 8, f"chain of diameter 20 took {rounds} rounds"
+    got = {(r["u"], r["v"]) for r in cur.collect()}
+    assert got == {(0, v) for v in range(1, 21)}
+
+
+def test_star_contraction_two_components(spark):
+    """Two separate chains + an isolated pair stay separate clusters."""
+    raw = ([(i, i + 1) for i in range(0, 5)]           # chain 0..5
+           + [(i, i + 1) for i in range(10, 14)]       # chain 10..14
+           + [(100, 101)])
+    edges = spark.createDataFrame(raw, "u long, v long").localCheckpoint()
+    cur = edges
+    prev_sig = None
+    for _ in range(25):
+        cur = dedup._small_star(
+            dedup._large_star(cur)).localCheckpoint(eager=False)
+        sig = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.pmod(F.xxhash64("u", "v"),
+                         F.lit(2147483647))).alias("h")).first()
+        if prev_sig == sig:
+            break
+        prev_sig = sig
+    got = {(r["u"], r["v"]) for r in cur.collect()}
+    want = ({(0, v) for v in range(1, 6)}
+            | {(10, v) for v in range(11, 15)}
+            | {(100, 101)})
+    assert got == want
+
+
+# ------------------------------------------------------------ ppjoin exact
+
+
+def _brute_force_pairs(texts, threshold):
+    def shingles(t):
+        w = t.split()
+        return {" ".join(w[i:i + 2]) for i in range(len(w) - 1)}
+    sets = {i: shingles(t) for i, t in enumerate(texts)}
+    out = set()
+    for a, b in itertools.combinations(sorted(sets), 2):
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        if union and inter / union >= threshold:
+            out.add((a, b))
+    return out
+
+
+def test_ppjoin_exact_on_uniform_vocab(spark):
+    """Worst case for prefix filtering: tiny uniform vocabulary. The
+    PPJoin positional filters must still return EXACTLY the brute-force
+    answer (they are pruning bounds, not approximations)."""
+    rng = random.Random(5)
+    vocab = [f"v{i}" for i in range(12)]  # tiny vocab: everything collides
+    texts = [" ".join(rng.choice(vocab) for _ in range(30))
+             for _ in range(60)]
+    # seed near-dups: copy with one word changed
+    for i in range(6):
+        words = texts[i].split()
+        words[7] = "v0"
+        texts.append(" ".join(words))
+    docs = _docs_df(spark, texts)
+    got = {(r["doc_a"], r["doc_b"])
+           for r in dedup.jaccard_prefix_pairs(docs).collect()}
+    want = _brute_force_pairs(texts, dedup.PREFIX_THRESHOLD)
+    assert got == want
+    assert len(want) >= 5  # fixture actually seeds pairs

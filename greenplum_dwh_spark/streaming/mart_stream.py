@@ -60,9 +60,19 @@ def stream_expired_rules(stream: DataFrame, dims: dict[str, DataFrame],
                          run_ts: dt.datetime) -> DataFrame:
     """Rules 1–2 as a stateless streaming projection.
 
-    ``dims`` carries the static current-version dimension DataFrames
-    (stream-static inner joins re-evaluate the static side per
-    micro-batch, so SCD updates between batches are picked up)."""
+    ``dims`` carries the static current-version dimension DataFrames.
+    NOTE two deliberate divergences from the batch mart at this API
+    level (both closed by the production wiring in pipeline.py):
+
+    - the reference restricts rules 1–2 to the last day present
+      (``trans_date >= day_start(max(trans_date))``,
+      Data_mart.sql:271-272) — not computable on an unbounded stream,
+      so replaying a multi-day landing directory through THIS function
+      flags older transactions too; ``run_streaming_mart`` applies the
+      per-micro-batch last-day filter instead.
+    - the dim DataFrames are pinned to the version directories resolved
+      when the caller built them; ``run_streaming_mart`` re-resolves
+      current versions inside each micro-batch via foreachBatch."""
     tx = stream.select("trans_id", "trans_date", "card_num")
     cards = dims["cards"].select("card_num", "account_num")
     accounts = dims["accounts"].select("account_num", "valid_to", "client")
@@ -90,8 +100,16 @@ def stream_expired_rules(stream: DataFrame, dims: dict[str, DataFrame],
 
 
 def city_hop_foreach_batch(wh, run_ts: dt.datetime):
-    """foreachBatch handler running the batch rule-3 operator over each
-    accumulated micro-batch joined to current dims."""
+    """foreachBatch handler running the batch rule-3 operator over the
+    mart staging once per micro-batch.
+
+    Rule 3 needs an ordered per-client lag over the full staging scope
+    (including the 1-hour previous-day lookback), so each batch re-runs
+    the batch operator rather than using batch_df directly; to keep the
+    report append-only-correct when a day arrives split across several
+    files (maxFilesPerTrigger=1), the output is anti-joined against the
+    report on (fraud_dt, passport, fraud_type) so re-detected rows are
+    not appended twice."""
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
@@ -99,7 +117,11 @@ def city_hop_foreach_batch(wh, run_ts: dt.datetime):
         stg = mart_staging(wh, "scd2")
         if stg is not None:
             out = rules.rule_city_hop(stg, run_ts)
-            wh.append("report", out)
+            seen = wh.read("report").select(
+                "fraud_dt", "passport", "fraud_type")
+            fresh = out.join(seen, ["fraud_dt", "passport", "fraud_type"],
+                             "left_anti")
+            wh.append("report", fresh)
     return handle
 
 

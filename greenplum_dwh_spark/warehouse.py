@@ -6,6 +6,7 @@ dims, 4 SCD1 dims, report) over a :class:`TableStore` root directory.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 
 from greenplum_dwh_spark import schemas
@@ -48,9 +49,16 @@ class Warehouse:
 
     # convenience accessors -----------------------------------------------
     def read(self, name: str) -> DataFrame:
+        if TABLES[name][1] == "versioned":
+            # Versioned dims always have a committed v=N directory after
+            # init; a read failure there is real (corruption, missing
+            # version dir) and MUST propagate — an empty fallback would
+            # let the next overwrite_dim commit a dim holding only the
+            # current batch, silently losing SCD history.
+            return self.store.read(name)
         try:
             return self.store.read(name)
-        except Exception:
+        except AnalysisException:
             # an empty partitioned append table has no parquet footers
             # to infer from — fall back to a typed empty DataFrame
             import pyspark.sql.types as T

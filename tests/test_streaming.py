@@ -161,6 +161,86 @@ def test_streaming_mart_parquet_sink_resumes(spark, stream_setup, tmp_path):
     assert spark.read.parquet(out).count() == first
 
 
+def test_city_hop_foreach_batch_matches_batch_no_dups(spark, stream_setup,
+                                                      tmp_path):
+    """Rule 3 over a day delivered as TWO files (maxFilesPerTrigger=1 →
+    two micro-batches): the handler re-runs the batch rule-3 operator
+    per batch, and the report anti-join keeps the appended output
+    identical to a single batch run — no duplicates
+    (ref Data_mart.sql:281-293)."""
+    from greenplum_dwh_spark.mart.rules import rule_city_hop
+    from greenplum_dwh_spark.mart.staging import mart_staging
+    wh, land_dir = stream_setup
+    wh.truncate("report")
+    expected = sorted(
+        (r["fraud_dt"], r["passport"], r["fraud_type"])
+        for r in rule_city_hop(mart_staging(wh, "scd2"), RUN).collect())
+    assert expected  # fixture seeds C003's day-3 hop
+    day3 = spark.read.parquet(land_dir + "/batch3.parquet")
+    split = tmp_path / "hop_stream"
+    split.mkdir()
+    day3.filter(F.hour("trans_date") < 12).coalesce(1) \
+        .write.parquet(str(split / "f1.parquet"))
+    day3.filter(F.hour("trans_date") >= 12).coalesce(1) \
+        .write.parquet(str(split / "f2.parquet"))
+    stream = MS.stream_landing(spark, str(split) + "/*.parquet")
+    q = (stream.writeStream
+         .foreachBatch(MS.city_hop_foreach_batch(wh, RUN))
+         .option("checkpointLocation", str(tmp_path / "hop_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = sorted((r["fraud_dt"], r["passport"], r["fraud_type"])
+                 for r in wh.read("report").collect())
+    assert got == expected
+
+
+def test_streaming_mart_fresh_dims_and_last_day(spark, tmp_path):
+    """The foreachBatch pipeline re-resolves dim versions per micro-batch
+    — dim rewrites whose vacuum deleted the previously-current version
+    directories are picked up, not strand the stream — and applies the
+    reference's last-day restriction per batch, so a cumulative
+    multi-day landing file is scoped like the batch mart
+    (Data_mart.sql:271-272)."""
+    from greenplum_dwh_spark.streaming.pipeline import run_streaming_mart
+    from greenplum_dwh_spark.warehouse import Warehouse
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    paths = bf.write_extracts(spark, str(tmp_path / "ex"))
+    land = tmp_path / "land"
+    land.mkdir()
+    out = str(tmp_path / "rep_stream")
+
+    # dims through day 2; stream file 1 = the cumulative day-2 extract
+    # (days 1-2), so without the per-batch last-day filter day-1
+    # transactions would be flagged too
+    for p in paths[:2]:
+        load_landing_file(wh, p)
+        normalize_transactions(wh)
+    spark.read.parquet(paths[1]).coalesce(1) \
+        .write.parquet(str(land / "f1.parquet"))
+    run_streaming_mart(wh, str(land) + "/*.parquet", out, run_ts=RUN)
+    first = spark.read.parquet(out)
+    assert first.filter(
+        F.to_date("fraud_dt") != F.lit(bf.DAYS[1])).count() == 0
+    n1 = first.count()
+    assert n1 > 0  # expired-account seeds C010/C011 fire on day 2
+
+    # day-3 ETL plus two extra rewrites per dim: the version dirs the
+    # first drain read are now vacuumed (TableStore keeps only v, v-1)
+    load_landing_file(wh, paths[2])
+    normalize_transactions(wh)
+    for d in ("dim_cards_hist", "dim_accounts_hist", "dim_clients_hist"):
+        wh.overwrite_dim(d, wh.read(d))
+        wh.overwrite_dim(d, wh.read(d))
+    spark.read.parquet(paths[2]).coalesce(1) \
+        .write.parquet(str(land / "f2.parquet"))
+    run_streaming_mart(wh, str(land) + "/*.parquet", out, run_ts=RUN)
+    got = spark.read.parquet(out)
+    day3 = got.filter(F.to_date("fraud_dt") == F.lit(bf.DAYS[2]))
+    # batch-mart day-3 scope: 2 expired-passport + 4 expired-account
+    assert day3.count() == 6
+    assert got.count() == n1 + 6
+
+
 def test_stream_chain_detector_across_batches(spark, tmp_path):
     """A chain whose declines land in batch 1 and whose success lands in
     batch 2 must still be flagged — state survives micro-batches (the

@@ -53,6 +53,7 @@ def main() -> None:
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "funnel_users": relational.funnel_users,
         "range_join_hour_buckets": relational.range_join_hour_buckets,
+        "range_join_tumbling_rewrite": relational.range_join_tumbling_rewrite,
         "dedup_clusters": dedup.dedup_clusters,
         "pack_documents": packing.pack_documents,
     }

@@ -259,6 +259,35 @@ def range_join_hour_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("user_id").alias("n_users")))
 
 
+# scale-safe rewrite of range_join_hour_buckets: because the buckets
+# are ALIGNED (hour-truncated sequence), the range predicate collapses
+# to an equi key — bucket_start == date_trunc('HOUR', ts). The plan
+# becomes one hash aggregate on the hour key plus a broadcast equi-join
+# against the generated bucket dimension, instead of a broadcast
+# nested-loop evaluating every event against every bucket (which grows
+# with the covered time span: years of data ⇒ ~10⁴ buckets per event).
+# Aggregate-before-join keeps the join input at one row per non-empty
+# hour. Oracle-checked to the identical result as the theta form; keep
+# range_join_hour_buckets as the general (unaligned-interval) demo.
+def range_join_tumbling_rewrite(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events
+    binned = (ev.select(F.date_trunc("HOUR", "ts").alias("bucket_start"),
+                        "user_id")
+              .groupBy("bucket_start")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.countDistinct("user_id").alias("n_users")))
+    bounds = ev.agg(
+        F.date_trunc("HOUR", F.min("ts")).alias("lo"),
+        F.date_trunc("HOUR", F.max("ts")).alias("hi"))
+    buckets = (bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR")))
+        .alias("bucket_start")))
+    return (binned.join(F.broadcast(buckets), "bucket_start")
+            .select("bucket_start", "n", "n_users"))
+
+
 # null-aware anti join: NOT IN (subquery) plans as a distinct Spark
 # operator (BroadcastNestedLoopJoin/NullAwareAntiJoin family).
 def not_in_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -522,6 +551,7 @@ QUERIES = {
     "string_funcs_demo": string_funcs_demo,
     "null_handling_demo": null_handling_demo,
     "range_join_hour_buckets": range_join_hour_buckets,
+    "range_join_tumbling_rewrite": range_join_tumbling_rewrite,
     "not_in_customers": not_in_customers,
     "scalar_subquery_acctbal": scalar_subquery_acctbal,
     "orders_calendar": orders_calendar,
@@ -685,6 +715,19 @@ ORACLES = {
           ON e.ts >= b.bucket_start
          AND e.ts < b.bucket_start + INTERVAL 1 HOUR
         GROUP BY 1""",
+    "range_join_tumbling_rewrite": """
+        WITH bounds AS (SELECT date_trunc('hour', min(ts))::TIMESTAMP lo,
+                               date_trunc('hour', max(ts))::TIMESTAMP hi
+                        FROM events),
+        buckets AS (SELECT unnest(generate_series(lo, hi,
+                               INTERVAL 1 HOUR)) AS bucket_start
+                    FROM bounds),
+        binned AS (SELECT date_trunc('hour', ts)::TIMESTAMP AS bucket_start,
+                          count(*) AS n,
+                          count(DISTINCT user_id) AS n_users
+                   FROM events GROUP BY 1)
+        SELECT b.bucket_start::TIMESTAMP AS bucket_start, x.n, x.n_users
+        FROM binned x JOIN buckets b USING (bucket_start)""",
     "not_in_customers": """
         SELECT o_orderkey, o_custkey FROM orders
         WHERE o_custkey NOT IN (SELECT c_custkey FROM customer

@@ -55,6 +55,21 @@ def test_mart_staging_broadcasts_dims_and_prunes_partitions(
     assert "trans_dt_day" in checks.partition_filters(stg)
 
 
+def test_range_join_rewrite_is_equi_not_bnlj(spark, sf_dir):
+    """The aligned-bucket rewrite must plan as hash aggregate + equi
+    join — NO BroadcastNestedLoopJoin (whose cost grows with the time
+    span) — and must return exactly the theta-join result."""
+    from greenplum_dwh_spark.operators.relational import (
+        range_join_hour_buckets, range_join_tumbling_rewrite)
+    rewrite = range_join_tumbling_rewrite(spark, sf_dir)
+    plan = checks.physical_plan(rewrite)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashAggregate" in plan
+    theta = range_join_hour_buckets(spark, sf_dir)
+    assert rewrite.exceptAll(theta).count() == 0
+    assert theta.exceptAll(rewrite).count() == 0
+
+
 def test_dedup_hot_path_has_no_python_udf(spark, sf_dir):
     from greenplum_dwh_spark.operators.dedup import (dedup_minhash_lsh,
                                                      dedup_simhash)

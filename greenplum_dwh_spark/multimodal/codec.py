@@ -6,14 +6,17 @@ feature-extract / resize / frame-sample run as Arrow-batched pandas
 iterators over ``mapInPandas`` so each Python worker touches one batch
 of payloads at a time (bounded memory at 100 TB, no driver collect).
 
-The container has no image/audio libraries, so the *decode* kernel is
-stubbed: ``decode_image`` raises ``NotImplementedError`` unless the
-deterministic fake decoder is selected. Everything around it — schema,
-partitioning, batch iteration, UDF signatures — is real and tested.
+The *decode* kernel is a real pure-Python container-header parser for
+PNG / BMP / GIF / JPEG (dimensions + channel count — the metadata a
+training-data pipeline filters and buckets on without full pixel
+decode); full pixel decoding would swap PIL/libvips into the same
+mapInPandas seam. ``encode_bmp`` writes genuine 24-bit BMP containers
+so the decode path is exercised on real image bytes end-to-end.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -30,21 +33,99 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("head_hex", T.StringType()),
 ])
 
+#: PNG color type → samples per pixel (PNG spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
-def decode_image(payload: bytes, fake: bool = False) -> dict:
-    """Decode an image payload into (width, height, channels).
+#: JPEG SOFn markers carrying frame dimensions (ITU T.81 §B.2.2);
+#: C4/C8/CC are DHT/JPG/DAC, not frames.
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+             0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
 
-    STUB: real decoding needs an image library not present in this
-    container. ``fake=True`` selects the deterministic fake decoder
-    used by tests; production wiring would swap in PIL/libvips here.
+
+def decode_image(payload: bytes) -> dict | None:
+    """Parse an image container header into
+    ``{"format", "width", "height", "channels"}``.
+
+    Pure-Python (struct unpacks only, no image library): PNG IHDR,
+    BMP BITMAPINFOHEADER, GIF logical screen descriptor, JPEG SOFn
+    frame header. Returns ``None`` for unrecognized or truncated
+    payloads — the mapInPandas callers surface that as null columns
+    rather than failing the batch.
     """
-    if not fake:
-        raise NotImplementedError(
-            "image decoding requires an image library; "
-            "use fake=True for the deterministic test decoder")
-    return {"width": 1 + payload[0] if payload else 0,
-            "height": 1 + (payload[-1] if payload else 0),
-            "channels": 3}
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 26 \
+            and b[12:16] == b"IHDR":
+        w, h = struct.unpack_from(">II", b, 16)
+        depth, color = b[24], b[25]
+        if color not in _PNG_CHANNELS or w == 0 or h == 0:
+            return None
+        return {"format": "png", "width": w, "height": h,
+                "channels": _PNG_CHANNELS[color]}
+    if b[:2] == b"BM" and len(b) >= 30:
+        w, h = struct.unpack_from("<ii", b, 18)
+        bpp = struct.unpack_from("<H", b, 28)[0]
+        if w <= 0 or h == 0 or bpp == 0:
+            return None
+        return {"format": "bmp", "width": w, "height": abs(h),
+                "channels": max(1, bpp // 8)}
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack_from("<HH", b, 6)
+        if w == 0 or h == 0:
+            return None
+        return {"format": "gif", "width": w, "height": h, "channels": 3}
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:          # desynced — not a valid stream
+                return None
+            marker = b[i + 1]
+            if marker == 0xFF:        # fill bytes before a marker
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2                # standalone markers, no length
+                continue
+            if marker == 0xD9:        # EOI before any SOF
+                return None
+            seg_len = struct.unpack_from(">H", b, i + 2)[0]
+            if marker in _JPEG_SOF:
+                if i + 4 + 5 > len(b):
+                    return None
+                h, w = struct.unpack_from(">HH", b, i + 5)
+                channels = b[i + 9]
+                if w == 0 or h == 0:
+                    return None
+                return {"format": "jpeg", "width": w, "height": h,
+                        "channels": channels}
+            i += 2 + seg_len
+        return None
+    return None
+
+
+def encode_bmp(data: bytes, width: int = 16) -> bytes:
+    """Pack raw bytes into a genuine 24-bit bottom-up BMP container
+    (BITMAPFILEHEADER + BITMAPINFOHEADER + zero-padded pixel rows).
+
+    ``height = max(1, ceil(len(data) / (3*width)))`` — deterministic
+    from the byte length, so decoded dimensions stay SQL-derivable for
+    the DuckDB oracle."""
+    row_bytes = width * 3
+    height = max(1, -(-len(data) // row_bytes))
+    stride = (row_bytes + 3) & ~3            # rows pad to 4 bytes
+    pixels = bytearray(stride * height)
+    for r in range(height):
+        chunk = data[r * row_bytes:(r + 1) * row_bytes]
+        # bottom-up row order, as positive-height BMPs require
+        off = (height - 1 - r) * stride
+        pixels[off:off + len(chunk)] = chunk
+    header_size = 14 + 40
+    file_size = header_size + len(pixels)
+    return (struct.pack("<2sIHHI", b"BM", file_size, 0, 0, header_size)
+            + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                          len(pixels), 2835, 2835, 0, 0)
+            + bytes(pixels))
 
 
 def pack_payloads(docs: DataFrame) -> DataFrame:
@@ -78,3 +159,55 @@ def extract_features(packed: DataFrame) -> DataFrame:
     ensure_shipped(packed.sparkSession)
     return packed.select("doc_id", "payload").mapInPandas(
         run, FEATURE_SCHEMA)
+
+
+DECODE_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+])
+
+
+def pack_image_payloads(docs: DataFrame, width: int = 16) -> DataFrame:
+    """documents → (doc_id, payload binary) where payload is a real BMP
+    container carrying the document's UTF-8 bytes as pixel data —
+    genuine image binaries without needing image assets in the corpus."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": pdf["text"].map(
+                    lambda s: encode_bmp(s.encode("utf-8"), width)),
+            })
+
+    from greenplum_dwh_spark.shipping import ensure_shipped
+    ensure_shipped(docs.sparkSession)
+    return docs.select("doc_id", "text").mapInPandas(
+        run, "doc_id bigint, payload binary")
+
+
+def decode_images(packed: DataFrame) -> DataFrame:
+    """Arrow-batched container-header decode over mapInPandas:
+    (doc_id, payload) → (doc_id, format, width, height, channels);
+    unrecognized payloads yield nulls."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = pdf["payload"].map(decode_image)
+            get = lambda k: metas.map(
+                lambda m: m[k] if m is not None else None)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "format": get("format"),
+                "width": get("width").astype("Int32"),
+                "height": get("height").astype("Int32"),
+                "channels": get("channels").astype("Int32"),
+            })
+
+    from greenplum_dwh_spark.shipping import ensure_shipped
+    ensure_shipped(packed.sparkSession)
+    return packed.select("doc_id", "payload").mapInPandas(
+        run, DECODE_SCHEMA)

@@ -5,7 +5,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from greenplum_dwh_spark.multimodal.codec import (extract_features,
+from greenplum_dwh_spark.multimodal.codec import (decode_images,
+                                                  extract_features,
+                                                  pack_image_payloads,
                                                   pack_payloads)
 from greenplum_dwh_spark.sources.tpch import Tables
 
@@ -28,9 +30,20 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(pack_payloads(Tables(spark, sf_dir).documents))
 
 
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end image column: pack each document's bytes into a real
+    24-bit BMP container, then parse the container header back with the
+    pure-Python decoder. Dimensions are deterministic from the byte
+    length (width 16, height = ceil(bytes/48)), so the decode is fully
+    oracle-checkable."""
+    packed = pack_image_payloads(Tables(spark, sf_dir).documents, width=16)
+    return decode_images(packed)
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,   # rows-only
+    "multimodal_decode": multimodal_decode,
 }
 
 ORACLES = {
@@ -40,5 +53,12 @@ ORACLES = {
                length(text)::INT AS n_chars_meta,
                'text/plain' AS mime,
                strlen(text)::INT AS payload_bytes
+        FROM documents""",
+    "multimodal_decode": """
+        SELECT doc_id,
+               'bmp' AS format,
+               16::INT AS width,
+               greatest(1, ceil(strlen(text) / 48.0))::INT AS height,
+               3::INT AS channels
         FROM documents""",
 }

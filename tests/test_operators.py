@@ -19,12 +19,66 @@ def test_ann_ivf_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.7, f"IVF recall too low: {recall}"
 
 
-def test_decode_image_stub_raises():
-    from greenplum_dwh_spark.multimodal.codec import decode_image
-    with pytest.raises(NotImplementedError):
-        decode_image(b"abc")
-    meta = decode_image(b"abc", fake=True)
-    assert meta == {"width": 98, "height": 100, "channels": 3}
+def test_decode_image_headers():
+    """Pure-Python header decode across all four containers, built from
+    the specs (PNG IHDR, BMP BITMAPINFOHEADER, GIF LSD, JPEG SOF0)."""
+    import struct
+    import zlib
+
+    from greenplum_dwh_spark.multimodal.codec import (decode_image,
+                                                      encode_bmp)
+    # real zlib-complete 3x2 RGB PNG
+    ihdr = struct.pack(">II5B", 3, 2, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n"
+           + struct.pack(">I", 13) + b"IHDR" + ihdr
+           + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
+    raw = b"".join(b"\x00" + b"\x10\x20\x30" * 3 for _ in range(2))
+    idat = zlib.compress(raw)
+    png += (struct.pack(">I", len(idat)) + b"IDAT" + idat
+            + struct.pack(">I", zlib.crc32(b"IDAT" + idat))
+            + struct.pack(">I", 0) + b"IEND"
+            + struct.pack(">I", zlib.crc32(b"IEND")))
+    assert decode_image(png) == {"format": "png", "width": 3,
+                                 "height": 2, "channels": 3}
+    # real BMP from our own encoder: 100 bytes / (16*3) → height 3
+    bmp = encode_bmp(bytes(range(100)), width=16)
+    assert decode_image(bmp) == {"format": "bmp", "width": 16,
+                                 "height": 3, "channels": 3}
+    assert decode_image(encode_bmp(b"", width=16))["height"] == 1
+    # GIF89a logical screen descriptor
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00"
+    assert decode_image(gif) == {"format": "gif", "width": 320,
+                                 "height": 200, "channels": 3}
+    # minimal JPEG: SOI, APP0 (skipped via its length), SOF0 640x480x3
+    sof = struct.pack(">BHHB", 8, 480, 640, 3) + b"\x01\x11\x00" * 3
+    jpg = (b"\xff\xd8"
+           + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+           + b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof)
+    assert decode_image(jpg) == {"format": "jpeg", "width": 640,
+                                 "height": 480, "channels": 3}
+    # non-images and truncations → None, never an exception
+    assert decode_image(b"") is None
+    assert decode_image(b"plain text payload") is None
+    assert decode_image(png[:10]) is None
+    assert decode_image(b"\xff\xd8\xff") is None
+
+
+def test_multimodal_decode_roundtrip(spark, sf_dir):
+    """pack_image_payloads builds real BMPs; decode_images recovers the
+    deterministic dimensions through the Spark mapInPandas path."""
+    from greenplum_dwh_spark.multimodal.codec import (decode_images,
+                                                      pack_image_payloads)
+    from greenplum_dwh_spark.sources.tpch import Tables
+    docs = Tables(spark, sf_dir).documents.limit(20)
+    got = decode_images(pack_image_payloads(docs, width=16)) \
+        .join(docs.select("doc_id",
+                          F.octet_length("text").alias("n_bytes")),
+              "doc_id").collect()
+    assert len(got) == 20
+    for r in got:
+        assert r["format"] == "bmp" and r["channels"] == 3
+        assert r["width"] == 16
+        assert r["height"] == max(1, -(-r["n_bytes"] // 48))
 
 
 def test_multimodal_features_deterministic(spark, sf_dir):

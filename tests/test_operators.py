@@ -15,8 +15,9 @@ def test_ann_ivf_recall_vs_exact(spark, sf_dir):
     approx = {(r["query_id"], r["neighbor_id"])
               for r in ann_ivf_topk(spark, sf_dir).collect()}
     recall = len(exact & approx) / len(exact)
-    # k-means coarse quantizer, nprobe=4 of 16 clusters
-    assert recall >= 0.7, f"IVF recall too low: {recall}"
+    # k-means coarse quantizer, nprobe=4 of 16 clusters, top-2
+    # redundant corpus assignment
+    assert recall >= 0.9, f"IVF recall too low: {recall}"
 
 
 def test_decode_image_headers():

@@ -109,12 +109,125 @@ def text_term_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.col("tok").alias("top_term"), "tf", "df"))
 
 
+#: static retrieval query terms (present across the synthetic corpus);
+#: BM25 constants k1=1.2=6/5, b=0.75=3/4 — the rational forms below.
+BM25_TERMS = ["hash", "join", "filter"]
+BM25_TOP_K = 10
+_BM25_SCALE = 10_000  # fixed-point scale for the integer-exact score
+
+
+def _corpus_stats(docs: DataFrame) -> DataFrame:
+    """One-row (n_docs, total_len) for broadcast into the scorers."""
+    return (docs.select(F.size(F.split("text", " ")).alias("dl"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("dl").alias("total_len")))
+
+
+def _bm25_parts(docs: DataFrame, terms: list[str]) -> DataFrame:
+    """(doc_id, tok, tf, dl, df, n_docs, total_len) for the query terms.
+
+    tf is per (doc, term); df is the term's corpus document frequency;
+    dl the doc's whitespace token count. One shuffle for tf, one for
+    df (broadcast back), stats broadcast — the standard inverted-index
+    build restricted to the query vocabulary, which is exactly what a
+    posting-list scan does at scale."""
+    ex = (docs.select("doc_id",
+                      F.size(F.split("text", " ")).alias("dl"),
+                      F.explode(F.split("text", " ")).alias("tok"))
+          .filter(F.col("tok").isin(terms)))
+    tf = (ex.groupBy("doc_id", "dl", "tok")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    dfc = (ex.select("doc_id", "tok").distinct()
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("df")))
+    return (tf.join(F.broadcast(dfc), "tok")
+            .crossJoin(F.broadcast(_corpus_stats(docs))))
+
+
+def text_bm25_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer-exact BM25 ranked retrieval, one ranking per query term.
+
+    With k1=6/5, b=3/4 and avgdl = L/N, the per-term BM25 score is the
+    exact rational
+
+        (2N−2df+1)·22·tf·L
+        ------------------------------------
+        (2df+1)·(10·tf·L + 3L + 9·dl·N)
+
+    (idf in the (N−df+0.5)/(df+0.5) rational form — for a single-term
+    ranking idf is a per-term constant, so the ranking equals true
+    ln-idf BM25). The emitted score is floor(num·SCALE/den): pure
+    BIGINT arithmetic, bit-identical in Spark and DuckDB, so the
+    ranking is oracle-checked exactly — no float logs
+    (ln-BM25 with multi-term sums is text_bm25_topk, tolerance-tested).
+    Magnitudes: num·SCALE ≤ 22·54·L·2N·10⁴ stays under 2⁶³ through
+    corpus sizes of ~50k docs; beyond that lift SCALE into DECIMAL(38).
+    """
+    parts = _bm25_parts(Tables(spark, sf_dir).documents, BM25_TERMS)
+    b = lambda c: c.cast("long")
+    num = (b(F.lit(22)) * b(F.col("tf")) * b(F.col("total_len"))
+           * (b(F.lit(2)) * b(F.col("n_docs"))
+              - b(F.lit(2)) * b(F.col("df")) + b(F.lit(1))))
+    den = ((b(F.lit(2)) * b(F.col("df")) + b(F.lit(1)))
+           * (b(F.lit(10)) * b(F.col("tf")) * b(F.col("total_len"))
+              + b(F.lit(3)) * b(F.col("total_len"))
+              + b(F.lit(9)) * b(F.col("dl")) * b(F.col("n_docs"))))
+    scored = parts.select(
+        F.col("tok").alias("term"), "doc_id", "tf",
+        F.col("dl").cast("int").alias("dl"), "df",
+        (num * F.lit(_BM25_SCALE)).cast("long").alias("_num"),
+        den.alias("_den"))
+    from pyspark.sql import Window
+    w = Window.partitionBy("term").orderBy(
+        F.desc(F.expr("_num DIV _den")), F.asc("doc_id"))
+    return (scored
+            .withColumn("score_scaled", F.expr("_num DIV _den"))
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= BM25_TOP_K)
+            .select("term", "doc_id", "rank", "tf", "dl", "df",
+                    "score_scaled"))
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True ln-idf BM25 over the multi-term query set: per-doc score is
+    the sum over matched query terms of
+
+        ln(1 + (N−df+0.5)/(df+0.5)) · tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl))
+
+    Float logs are not ulp-stable across engines → rows-only for the
+    driver; the ranking is tolerance-tested against an independent
+    pandas model in tests."""
+    parts = _bm25_parts(Tables(spark, sf_dir).documents, BM25_TERMS)
+    d = lambda c: c.cast("double")
+    idf = F.log(F.lit(1.0)
+                + (d(F.col("n_docs")) - d(F.col("df")) + 0.5)
+                / (d(F.col("df")) + 0.5))
+    avgdl = d(F.col("total_len")) / d(F.col("n_docs"))
+    tf_part = (d(F.col("tf")) * 2.2
+               / (d(F.col("tf"))
+                  + 1.2 * (0.25 + 0.75 * d(F.col("dl")) / avgdl)))
+    per_term = parts.select(
+        "doc_id", (idf * tf_part).alias("s"))
+    # orderBy+limit plans as TakeOrderedAndProject (distributed partial
+    # top-k, no single-partition window shuffle); rank is then assigned
+    # over the K surviving rows only
+    top = (per_term.groupBy("doc_id")
+           .agg(F.sum("s").alias("score"))
+           .orderBy(F.desc("score"), F.asc("doc_id"))
+           .limit(BM25_TOP_K))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("doc_id", "rank", "score"))
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
     "text_tokens": text_tokens,
     "text_fingerprint": text_fingerprint,
     "text_term_stats": text_term_stats,
+    "text_bm25_scaled": text_bm25_scaled,
+    "text_bm25_topk": text_bm25_topk,   # rows-only (float logs)
 }
 
 
@@ -181,4 +294,35 @@ ORACLES = {
         SELECT doc_id, md5(string_agg(hh, '' ORDER BY hh)) AS fingerprint
         FROM rk WHERE rn <= {FINGERPRINT_K} GROUP BY doc_id""",
     "text_term_stats": _TERM_STATS_SQL,
+    "text_bm25_scaled": f"""
+        WITH terms AS (SELECT unnest(
+                 [{', '.join(repr(t) for t in BM25_TERMS)}]) AS term),
+        docs AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                        string_split(text, ' ') AS toks
+                 FROM documents),
+        stats AS (SELECT count(*)::BIGINT AS n_docs,
+                         sum(dl)::BIGINT AS total_len
+                  FROM docs),
+        ex AS (SELECT d.doc_id, d.dl, unnest(d.toks) AS tok FROM docs d),
+        hits AS (SELECT doc_id, dl, tok, count(*)::BIGINT AS tf
+                 FROM ex WHERE tok IN (SELECT term FROM terms)
+                 GROUP BY 1, 2, 3),
+        dfc AS (SELECT tok, count(DISTINCT doc_id)::BIGINT AS df
+                FROM ex WHERE tok IN (SELECT term FROM terms)
+                GROUP BY tok),
+        scored AS (
+          SELECT h.tok AS term, h.doc_id, h.tf, h.dl::INT AS dl, f.df,
+                 (22::BIGINT * h.tf * s.total_len
+                    * (2 * s.n_docs - 2 * f.df + 1)
+                    * {_BM25_SCALE})
+                 // ((2 * f.df + 1)
+                     * (10 * h.tf * s.total_len + 3 * s.total_len
+                        + 9 * h.dl * s.n_docs)) AS score_scaled
+          FROM hits h JOIN dfc f USING (tok) CROSS JOIN stats s),
+        rk AS (SELECT *, row_number() OVER (PARTITION BY term
+                   ORDER BY score_scaled DESC, doc_id) AS rank
+               FROM scored)
+        SELECT term, doc_id, rank::INT AS rank, tf, dl, df,
+               score_scaled::BIGINT AS score_scaled
+        FROM rk WHERE rank <= {BM25_TOP_K}""",
 }

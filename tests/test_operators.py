@@ -93,6 +93,37 @@ def test_multimodal_features_deterministic(spark, sf_dir):
     assert all(r["n_bytes"] > 0 and len(r["head_hex"]) == 8 for r in a)
 
 
+def test_bm25_topk_matches_reference_model(spark, sf_dir):
+    """ln-idf BM25 ranking vs an independently-coded pandas model:
+    identical top-k ranking, scores within 1e-9."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from greenplum_dwh_spark.operators.text_analysis import (BM25_TERMS,
+                                                             BM25_TOP_K,
+                                                             text_bm25_topk)
+    docs = pq.read_table(f"{sf_dir}/documents.parquet").to_pandas()
+    toks = docs["text"].str.split(" ")
+    n, avgdl = len(docs), toks.map(len).mean()
+    scores = {}
+    for term in BM25_TERMS:
+        df_t = int((toks.map(lambda ts: term in ts)).sum())
+        idf = math.log(1.0 + (n - df_t + 0.5) / (df_t + 0.5))
+        for doc_id, ts in zip(docs["doc_id"], toks):
+            tf = ts.count(term)
+            if tf:
+                dl = len(ts)
+                part = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+                scores[doc_id] = scores.get(doc_id, 0.0) + idf * part
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+    got = text_bm25_topk(spark, sf_dir).orderBy("rank").collect()
+    assert len(got) == BM25_TOP_K
+    for r, (doc_id, score) in zip(got, want[:BM25_TOP_K]):
+        assert r["doc_id"] == doc_id
+        assert abs(r["score"] - score) < 1e-9
+
+
 def test_minhash_finds_seeded_neardups(spark, sf_dir):
     from greenplum_dwh_spark.operators.dedup import dedup_minhash_lsh
     pairs = dedup_minhash_lsh(spark, sf_dir).collect()

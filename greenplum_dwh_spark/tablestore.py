@@ -10,20 +10,28 @@ append-only zlib tables for landing/fact/report (DDL.sql:37-39,53-58,
   Spark equivalent of the daily RANGE partitioning (DDL.sql:60-67) and
   gives Catalyst static + dynamic partition pruning.
 - **versioned tables** (dimensions): UPDATE/MERGE is emulated with
-  whole-table copy-on-write — the merged result is written as a new
-  ``v=N`` directory and a pointer file is flipped. This is exactly the
-  mechanism Delta/Iceberg use at file granularity; dimensions are small
-  relative to facts (reference: ≤101 rows vs all transactions) so
-  table-granularity rewrite is the right local trade-off, and the call
-  sites are written against a MERGE-shaped API so swapping in Delta
-  (`MERGE INTO`) on a real cluster is a one-module change.
+  **bucket-granular copy-on-write** — rows are hash-bucketed on the
+  dimension's natural key into ``b=K/v=M`` directories, and each commit
+  writes a JSON *manifest* mapping bucket → the version whose files
+  carry it. A merge fingerprints each bucket on both sides (sum of
+  64-bit row hashes + row count) and rewrites **only the buckets whose
+  content changed**; untouched buckets' parquet files are reused
+  byte-identical by reference from the new manifest. A batch that
+  changes nothing commits nothing. This is the file-granularity
+  mechanism Delta/Iceberg use for MERGE: at 100 TB a daily SCD batch
+  touching 0.1% of a multi-GB dimension rewrites ~0.1% of its files
+  instead of all of them, while the atomic pointer flip keeps
+  snapshot-isolated reads. ``N_BUCKETS`` (16) suits broadcast-sized
+  dims; size it so a bucket ≈ one comfortable parquet file at the
+  target scale.
 
 At 100 TB the fact table never rewrites (append-only + partition
-pruning); only dims rewrite, and dims stay broadcast-sized.
+pruning); only dims rewrite, and only their changed buckets.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 
@@ -32,6 +40,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _POINTER = "_current_version"
+_META = "_meta.json"
+# no leading underscore: Spark's file index treats `_*`/`.*` paths as
+# hidden metadata and drops them from multi-path reads (the 0-row anchor
+# must be READ so empty tables keep their schema without warnings)
+_ANCHOR = "anchor"
+
+N_BUCKETS = 16
 
 
 class TableStore:
@@ -41,8 +56,8 @@ class TableStore:
         os.makedirs(base_dir, exist_ok=True)
 
     # ---- generic helpers -------------------------------------------------
-    def _path(self, name: str) -> str:
-        return os.path.join(self.base_dir, name)
+    def _path(self, name: str, *parts: str) -> str:
+        return os.path.join(self.base_dir, name, *parts)
 
     def exists(self, name: str) -> bool:
         return os.path.isdir(self._path(name))
@@ -76,54 +91,178 @@ class TableStore:
         self.drop(name)
         self.init_append(name, schema)
 
-    # ---- versioned (copy-on-write) tables --------------------------------
+    # ---- versioned (bucketed copy-on-write) tables ------------------------
     def _current_version(self, name: str) -> int:
-        ptr = os.path.join(self._path(name), _POINTER)
+        ptr = self._path(name, _POINTER)
         if not os.path.isfile(ptr):
             return -1
         with open(ptr) as f:
             return int(f.read().strip())
 
-    def init_versioned(self, name: str, schema: T.StructType) -> None:
-        if self._current_version(name) < 0:
-            self.overwrite_versioned(name, self._empty(self.spark, schema))
+    def _table_meta(self, name: str) -> dict:
+        with open(self._path(name, _META)) as f:
+            return json.load(f)
 
-    def overwrite_versioned(self, name: str, df: DataFrame) -> None:
-        """Write df as the new current version (copy-on-write commit)."""
-        v = self._current_version(name) + 1
-        path = os.path.join(self._path(name), f"v={v}")
-        df.write.mode("overwrite").parquet(path)
-        ptr = os.path.join(self._path(name), _POINTER)
+    def _manifest(self, name: str, version: int) -> dict[int, int]:
+        """bucket id -> version whose ``b=K/v=M`` dir carries its rows."""
+        path = self._path(name, f"m_{version}.json")
+        if not os.path.isfile(path):
+            raise ValueError(
+                f"manifest for version {version} of {name} not available "
+                f"(current={self._current_version(name)}, vacuum keeps 2)")
+        with open(path) as f:
+            return {int(k): v for k, v in json.load(f)["buckets"].items()}
+
+    def _bucket_col(self, name: str) -> F.Column:
+        meta = self._table_meta(name)
+        return F.pmod(F.xxhash64(F.col(meta["key"])),
+                      F.lit(meta["n_buckets"])).cast("int")
+
+    def init_versioned(self, name: str, schema: T.StructType,
+                       key_col: str | None = None,
+                       n_buckets: int = N_BUCKETS) -> None:
+        if self._current_version(name) >= 0:
+            return
+        os.makedirs(self._path(name), exist_ok=True)
+        # key defaults to the first schema column: every dim has its
+        # natural key first; callers pass it explicitly from schema meta
+        key = key_col or schema.fields[0].name
+        with open(self._path(name, _META), "w") as f:
+            json.dump({"key": key, "n_buckets": n_buckets}, f)
+        # 0-row schema anchor: keeps reads typed when no bucket has rows
+        self._empty(self.spark, schema).write.mode("overwrite") \
+            .parquet(self._path(name, _ANCHOR))
+        self._commit(name, 0, {})
+
+    def _commit(self, name: str, version: int,
+                buckets: dict[int, int]) -> None:
+        """Write manifest, flip the pointer (atomic commit), vacuum."""
+        with open(self._path(name, f"m_{version}.json"), "w") as f:
+            json.dump({"buckets": {str(k): v
+                                   for k, v in sorted(buckets.items())}}, f)
+        ptr = self._path(name, _POINTER)
         tmp = ptr + ".tmp"
         with open(tmp, "w") as f:
-            f.write(str(v))
+            f.write(str(version))
         os.replace(tmp, ptr)  # atomic pointer flip = commit
-        # vacuum: keep only previous version for debugging
-        for d in os.listdir(self._path(name)):
-            if d.startswith("v=") and int(d[2:]) < v - 1:
-                shutil.rmtree(os.path.join(self._path(name), d),
-                              ignore_errors=True)
+        self._vacuum(name, version)
+
+    def _vacuum(self, name: str, version: int) -> None:
+        """Keep manifests {v, v-1} and every bucket dir they reference;
+        delete the rest (time travel depth 2, as before)."""
+        live: set[tuple[int, int]] = set()
+        for v in (version, version - 1):
+            if v >= 0 and os.path.isfile(self._path(name, f"m_{v}.json")):
+                live.update(self._manifest(name, v).items())
+        root = self._path(name)
+        for d in os.listdir(root):
+            if d.startswith("m_") and d.endswith(".json"):
+                if int(d[2:-5]) < version - 1:
+                    os.remove(os.path.join(root, d))
+            elif d.startswith("b="):
+                k = int(d[2:])
+                for vd in os.listdir(os.path.join(root, d)):
+                    if vd.startswith("v=") \
+                            and (k, int(vd[2:])) not in live:
+                        shutil.rmtree(os.path.join(root, d, vd),
+                                      ignore_errors=True)
+
+    def _fingerprints(self, df: DataFrame, bucket: F.Column) -> dict:
+        """bucket -> (sum of xxhash64 over all columns, row count).
+        Order-insensitive 64-bit content fingerprint per bucket; the sum
+        is carried in decimal(38) so it never overflows (ANSI-safe)."""
+        rows = (df.groupBy(bucket.alias("__b"))
+                .agg(F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)"))
+                     .alias("fp"),
+                     F.count(F.lit(1)).alias("n"))
+                .collect())
+        return {r["__b"]: (r["fp"], r["n"]) for r in rows}
+
+    def overwrite_versioned(self, name: str, df: DataFrame) -> None:
+        """MERGE-shaped commit: diff per-bucket fingerprints against the
+        current version and rewrite only changed buckets. Identical
+        content commits nothing (steady-state no-op)."""
+        v_cur = self._current_version(name)
+        bucket = self._bucket_col(name)
+        # pin the anchor's column order: bucket files from different
+        # commits must share one parquet schema, and the content
+        # fingerprint hashes columns in a fixed order
+        anchor_cols = [
+            f.name for f in
+            self.spark.read.parquet(self._path(name, _ANCHOR)).schema]
+        df = df.select(*anchor_cols).persist()
+        try:
+            new_fp = self._fingerprints(df, bucket)
+            old_fp = (self._fingerprints(self.read(name), bucket)
+                      if v_cur >= 0 else {})
+            changed = {k for k in new_fp.keys() | old_fp.keys()
+                       if new_fp.get(k) != old_fp.get(k)}
+            if not changed and v_cur >= 0:
+                return
+            v = v_cur + 1
+            if changed:
+                stage = self._path(name, f"_stage_v={v}")
+                (df.withColumn("__b", bucket)
+                 .filter(F.col("__b").isin([int(k) for k in changed]))
+                 .write.mode("overwrite").partitionBy("__b")
+                 .parquet(stage))
+                for k in changed:
+                    src = os.path.join(stage, f"__b={k}")
+                    if os.path.isdir(src):       # bucket emptied → no dir
+                        dst = self._path(name, f"b={k}", f"v={v}")
+                        os.makedirs(os.path.dirname(dst), exist_ok=True)
+                        shutil.rmtree(dst, ignore_errors=True)
+                        os.replace(src, dst)
+                shutil.rmtree(stage, ignore_errors=True)
+            manifest = ({} if v_cur < 0
+                        else dict(self._manifest(name, v_cur)))
+            for k in changed:
+                if k in new_fp:
+                    manifest[k] = v
+                else:
+                    manifest.pop(k, None)        # bucket vanished
+            self._commit(name, v, manifest)
+        finally:
+            df.unpersist()
 
     # ---- reads -----------------------------------------------------------
+    def _read_manifest_paths(self, name: str, version: int) -> list[str]:
+        return [self._path(name, _ANCHOR)] + [
+            self._path(name, f"b={k}", f"v={m}")
+            for k, m in sorted(self._manifest(name, version).items())]
+
     def read(self, name: str) -> DataFrame:
         v = self._current_version(name)
         if v >= 0:
             return self.spark.read.parquet(
-                os.path.join(self._path(name), f"v={v}"))
+                *self._read_manifest_paths(name, v))
         return self.spark.read.parquet(self._path(name))
 
     def read_version(self, name: str, version: int) -> DataFrame:
         """Time travel on a versioned table (the retained previous
         version — Delta-style ``VERSION AS OF`` at our vacuum depth)."""
-        path = os.path.join(self._path(name), f"v={version}")
-        if not os.path.isdir(path):
+        if version < 0 \
+                or not os.path.isfile(self._path(name, f"m_{version}.json")):
             raise ValueError(
                 f"version {version} of {name} not available "
                 f"(current={self._current_version(name)}, vacuum keeps 2)")
-        return self.spark.read.parquet(path)
+        return self.spark.read.parquet(
+            *self._read_manifest_paths(name, version))
 
     def current_version(self, name: str) -> int:
         return self._current_version(name)
+
+    def bucket_files(self, name: str, version: int | None = None) -> dict:
+        """bucket id -> sorted data-file paths for a version (default
+        current) — inspection/test helper for the copy-on-write layout."""
+        v = self._current_version(name) if version is None else version
+        out = {}
+        for k, m in self._manifest(name, v).items():
+            d = self._path(name, f"b={k}", f"v={m}")
+            out[k] = sorted(
+                os.path.join(d, f) for f in os.listdir(d)
+                if f.endswith(".parquet"))
+        return out
 
 
 def with_day_partition(df: DataFrame,

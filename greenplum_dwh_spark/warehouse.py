@@ -25,6 +25,13 @@ TABLES = {
 
 FACT_PARTITION_COLS = ["trans_dt_day"]
 
+#: versioned table -> natural-key column (bucket key for the
+#: bucket-granular copy-on-write merge in TableStore)
+DIM_KEYS = {}
+for _meta in schemas.DIMENSIONS.values():
+    DIM_KEYS[_meta["hist"]] = _meta["key"]
+    DIM_KEYS[_meta["scd1"]] = _meta["key"]
+
 
 class Warehouse:
     def __init__(self, spark: SparkSession, base_dir: str):
@@ -45,7 +52,8 @@ class Warehouse:
                         + [T.StructField("trans_dt_day", T.DateType(), True)])
                 self.store.init_append(name, schema, parts)
             else:
-                self.store.init_versioned(name, schema)
+                self.store.init_versioned(name, schema,
+                                          key_col=DIM_KEYS[name])
 
     # convenience accessors -----------------------------------------------
     def read(self, name: str) -> DataFrame:

@@ -132,6 +132,54 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
         assert abs(approx[k] - v) / v < 0.05, (k, v, approx[k])
 
 
+def test_dim_merge_rewrites_only_changed_buckets(spark, tmp_path):
+    """Bucket-granular copy-on-write: a day-3 batch whose only client
+    change is C002's phone must leave every clients-dim bucket that
+    does not hold C002 byte-identical (same files, same content) —
+    only C002's bucket gets a new version directory."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from greenplum_dwh_spark.etl import normalize_transactions
+    from greenplum_dwh_spark.sources import load_landing_file
+    from greenplum_dwh_spark.warehouse import Warehouse
+    from tests import bank_fixture as bf
+
+    def digests(files):
+        return [(p, hashlib.md5(open(p, "rb").read()).hexdigest())
+                for p in files]
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    paths = bf.write_extracts(spark, str(tmp_path / "ex"))
+    for p in paths[:2]:
+        load_landing_file(wh, p)
+        normalize_transactions(wh)
+    table = "dim_clients_hist"
+    before = {k: digests(v)
+              for k, v in wh.store.bucket_files(table).items()}
+    # day 3: client C002 changes phone (the only client-attr change)
+    load_landing_file(wh, paths[2])
+    normalize_transactions(wh)
+    after = {k: digests(v)
+             for k, v in wh.store.bucket_files(table).items()}
+    changed = {k for k in before.keys() | after.keys()
+               if before.get(k) != after.get(k)}
+    # exactly the bucket holding C002 was rewritten...
+    hot = wh.read(table).filter(F.col("client_id") == bf.SCD_CLIENT) \
+        .select(wh.store._bucket_col(table).alias("b")).first()["b"]
+    assert changed == {hot}
+    # ...and every other bucket's files are the same paths AND bytes
+    for k in before:
+        if k != hot:
+            assert after[k] == before[k]
+    # the merge closed out the old C002 row and added the new version
+    c2 = wh.read(table).filter(
+        F.col("client_id") == bf.SCD_CLIENT).collect()
+    assert len(c2) == 2
+    assert {r["phone"] for r in c2} == {"+79000000002", bf.NEW_PHONE}
+
+
 def test_unchanged_batch_skips_dim_rewrites(spark, tmp_path):
     """Loading a batch whose entities carry identical attributes must
     not bump the dim versions (steady-state no-op short-circuit)."""

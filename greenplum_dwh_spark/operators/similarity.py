@@ -169,6 +169,86 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id", "rank", "cosine"))
 
 
+NEARDUP_THRESHOLD = 0.4   # synthetic corpus: max pairwise cosine ~0.55
+SRP_PLANES = 32           # sign-random-projection hyperplanes
+SRP_BAND_BITS = 8         # 4 bands x 8 bits
+
+
+def _srp_planes(spark: SparkSession, dim: int, n_planes: int = SRP_PLANES,
+                seed: int = 42) -> DataFrame:
+    """Deterministic random hyperplanes for sign-LSH (seeded host RNG,
+    broadcast-small: n_planes x dim doubles)."""
+    import random
+    rng = random.Random(seed)
+    rows = [(p, [rng.uniform(-1.0, 1.0) for _ in range(dim)])
+            for p in range(n_planes)]
+    return spark.createDataFrame(rows, "plane_id int, plane array<double>")
+
+
+def embedding_neardup_pairs(emb: DataFrame,
+                            threshold: float = NEARDUP_THRESHOLD,
+                            method: str = "exact",
+                            dim: int = 64) -> DataFrame:
+    """Near-duplicate pairs (a_id < b_id, cosine >= threshold) over an
+    (vec_id, embedding) DataFrame — the embedding-cosine member of the
+    dedup family.
+
+    - ``method="exact"``: all-pairs blocked comparison with the same
+      bit-exact double fold as :func:`cosine_topk` — the correct plan
+      when the threshold sits near the bulk of the cosine distribution
+      (as on this corpus: nothing prunes when threshold ~ mean + 2
+      sigma, measured: top-4 IVF buckets still admit 71% of all pairs).
+    - ``method="lsh"``: sign-random-projection banding (Charikar
+      rounding) + exact verify — the 100 TB path for true near-dups
+      (cosine >= ~0.9), where band collision probability separates
+      sharply. Recall vs exact is pinned on planted duplicates in
+      tests/test_operators.py.
+    """
+    a = _with_norm(emb, "a")
+    b = _with_norm(emb, "b")
+    dot = _DOT.format(a="a_emb", b="b_emb")
+    if method == "exact":
+        cand = (a.crossJoin(b)
+                .filter(F.col("a_id") < F.col("b_id")))
+    elif method == "lsh":
+        planes = _srp_planes(emb.sparkSession, dim)
+        pdot = _DOT.format(a="embedding", b="plane")
+        bits = (emb.crossJoin(F.broadcast(planes))
+                .select(F.col("vec_id").alias("doc_id"),
+                        F.floor(F.col("plane_id") / SRP_BAND_BITS)
+                        .cast("int").alias("bno"),
+                        (F.col("plane_id") % SRP_BAND_BITS).alias("pos"),
+                        F.when(F.expr(pdot) >= 0, F.lit(1))
+                        .otherwise(F.lit(0)).alias("bit")))
+        bands = (bits.groupBy("doc_id", "bno")
+                 .agg(F.expr("array_join(transform(array_sort("
+                             "collect_list(struct(pos, bit))), "
+                             "p -> cast(p.bit as string)), '')")
+                      .alias("sig"))
+                 .select("doc_id",
+                         F.concat_ws(":", F.col("bno").cast("string"),
+                                     "sig").alias("band")))
+        from greenplum_dwh_spark.operators.dedup import _banded_candidates
+        pairs = _banded_candidates(bands)
+        cand = (pairs
+                .join(a, F.col("doc_a") == F.col("a_id"))
+                .join(b, F.col("doc_b") == F.col("b_id")))
+    else:
+        raise ValueError(f"unknown method: {method}")
+    return (cand
+            .select("a_id", "b_id",
+                    (F.expr(dot) / (F.col("a_norm") * F.col("b_norm")))
+                    .alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query: exact embedding-cosine near-dup pairs at the
+    corpus-calibrated threshold (oracle = DuckDB brute force, bit-exact
+    fold parity)."""
+    return embedding_neardup_pairs(_emb(spark, sf_dir))
+
+
 _SQDIFF = ("aggregate(zip_with({a}, {b}, (x, y) -> "
            "(cast(x as double) - cast(y as double)) "
            "* (cast(x as double) - cast(y as double))), "
@@ -200,6 +280,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_euclidean_topk": ann_euclidean_topk,
     "ann_ivf_topk": ann_ivf_topk,       # rows-only (approximate)
+    "dedup_embedding": dedup_embedding,
 }
 
 _DOT_SQL = ("list_reduce(list_transform(range(1, 65), i -> "
@@ -237,4 +318,15 @@ ORACLES = {
         FROM rk WHERE rank <= {TOP_K}""",
     # ann_ivf_topk: intentionally no oracle (approximate operator;
     # driver records rows-only check, tests assert recall vs exact)
+    "dedup_embedding": f"""
+        WITH n AS (SELECT vec_id, embedding,
+                   sqrt({_DOT_SQL.format(a='embedding', b='embedding')})
+                       AS nrm
+                   FROM embeddings),
+        p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                         / (a.nrm * b.nrm) AS cosine
+              FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        SELECT a_id, b_id, cosine FROM p
+        WHERE cosine >= {NEARDUP_THRESHOLD}""",
 }

@@ -20,6 +20,34 @@ def test_ann_ivf_recall_vs_exact(spark, sf_dir):
     assert recall >= 0.9, f"IVF recall too low: {recall}"
 
 
+def test_embedding_neardup_lsh_matches_exact_on_planted_dups(spark):
+    """Sign-LSH candidate path finds exactly the planted near-duplicate
+    pairs that the exact all-pairs scan finds (high-threshold regime
+    where banding separates: cosine ~0.9995 vs random ~0). Deterministic:
+    seeded corpus + seeded hyperplanes."""
+    import random
+
+    from greenplum_dwh_spark.operators.similarity import (
+        embedding_neardup_pairs)
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(200):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(64)]))
+    # plant 20 near-identical copies of the first 20 vectors
+    for j in range(20):
+        base = rows[j][1]
+        rows.append((1000 + j, [x + rng.gauss(0, 0.01) for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    exact = {(r.a_id, r.b_id) for r in embedding_neardup_pairs(
+        emb, threshold=0.99, method="exact").collect()}
+    lsh = {(r.a_id, r.b_id) for r in embedding_neardup_pairs(
+        emb, threshold=0.99, method="lsh").collect()}
+    assert exact == {(j, 1000 + j) for j in range(20)}
+    assert lsh == exact
+
+
 def test_decode_image_headers():
     """Pure-Python header decode across all four containers, built from
     the specs (PNG IHDR, BMP BITMAPINFOHEADER, GIF LSD, JPEG SOF0)."""

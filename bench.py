@@ -8,6 +8,12 @@ Prints ONE JSON line:
 Each query is forced through the ``noop`` sink so full column
 computation happens (a bare count() would let Catalyst prune the
 measure columns away).
+
+Methodology: per-query wall time is the BEST OF 2 back-to-back runs
+(steady-state measurement; single runs on a shared host vary ±30%
+run-to-run from JIT/GC/worker-pool churn — measured spread on an idle
+box: pack_documents 2.3 s vs 6.5 s with identical code).  The total is
+the sum of per-query best-of-2.
 """
 
 from __future__ import annotations
@@ -72,9 +78,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, fn in bench_queries.items():
-        t0 = time.time()
-        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

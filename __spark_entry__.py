@@ -39,16 +39,27 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Run order for the driver's correctness pass.  Round-1 showed the
 #: driver truncates the tail of this dict when its global budget runs
-#: out, so: queries it has never checked come FIRST, the expensive
-#: iterative dedups LAST — a timeout then costs re-confirmation of a
-#: known-green query, never first-time coverage.
+#: out, so: queries it has never checked (or whose implementation was
+#: touched most recently) come FIRST, the freshest-green ones LAST — a
+#: timeout then costs re-confirmation of a known-green query, never
+#: first-time coverage.  Round-3 rotation: new entries first, then the
+#: 8 queries whose last green row is r01, then the rest; the 8 queries
+#: already green in r02 run last.
 _RUN_FIRST = [
+    # new in round 3
+    "dedup_embedding_lsh", "multimodal_features", "text_bm25_topk_ranks",
+    # perf-touched this round (must re-green fresh)
+    "dedup_simhash",
+    # last green in r01 (rotated out of r02's budget)
+    "dedup_minhash_lsh", "dedup_jaccard_prefix", "dedup_clusters",
+    "sessionize_events", "ann_ivf_topk", "multimodal_meta",
+]
+_RUN_LAST = [
+    # green in r02, nothing changed since
     "dq_orders_profile", "pack_documents", "chain_fraud_state",
     "range_join_tumbling_rewrite", "text_bm25_scaled", "text_bm25_topk",
     "dedup_embedding", "multimodal_decode",
 ]
-_RUN_LAST = ["dedup_minhash_lsh", "dedup_simhash",
-             "dedup_jaccard_prefix", "dedup_clusters"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -58,10 +69,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from greenplum_dwh_spark.operators.chains_events import (
         chain_fraud_state)
     out["chain_fraud_state"] = chain_fraud_state
-    ordered = {k: out[k] for k in _RUN_FIRST}
+    ordered = {k: out[k] for k in _RUN_FIRST if k in out}
     ordered.update((k, v) for k, v in out.items()
                    if k not in _RUN_FIRST and k not in _RUN_LAST)
-    ordered.update((k, out[k]) for k in _RUN_LAST)
+    ordered.update((k, out[k]) for k in _RUN_LAST if k in out)
     return ordered
 
 

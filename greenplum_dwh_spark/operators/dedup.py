@@ -77,6 +77,46 @@ def _pairs_with_jaccard(docs: DataFrame, pairs: DataFrame,
                     H.jaccard(F.col("sa.s"), F.col("sb.s")).alias("jac")))
 
 
+#: guard observations from the most recent banded-LSH actions, newest
+#: last: ``(Observation, band_cap)`` pairs.  Read via
+#: :func:`last_band_guard_metrics` *after* an action has run on the
+#: operator's output — the recall trade the guard makes is then
+#: observable instead of silent (dropped rows/buckets, max bucket).
+_GUARD_OBSERVATIONS: list = []
+_GUARD_KEEP = 8
+
+
+def last_band_guard_metrics() -> dict | None:
+    """Metrics of the most recent hot-band-guard evaluation:
+    ``{"dropped_rows", "dropped_buckets", "max_band_size"}`` —
+    populated by the Spark action that executed the guarded plan
+    (``Observation``-based: zero extra jobs on the hot path).
+    ``None`` if no banded operator has run yet; call *after* the
+    action on the operator's output has finished.
+
+    When AQE's empty-relation propagation prunes the observed subtree
+    (zero candidate pairs survive the guard + join), the observation
+    comes back empty — the stats are then recomputed directly from the
+    retained counted plan (one extra small job, diagnostics path
+    only)."""
+    if not _GUARD_OBSERVATIONS:
+        return None
+    obs, cap, counted = _GUARD_OBSERVATIONS[-1]
+    dropped = F.col("_bn") > cap
+    try:
+        m = dict(obs.get)
+    except Exception:
+        m = counted.agg(
+            F.sum(F.when(dropped, 1).otherwise(0)).alias("dropped_rows"),
+            F.sum(F.when(dropped, 1.0 / F.col("_bn")).otherwise(0.0))
+            .alias("dropped_buckets_frac"),
+            F.max("_bn").alias("max_band_size")).first().asDict()
+    # each row of a dropped bucket contributes 1/_bn → buckets count
+    m["dropped_buckets"] = int(round(m.pop("dropped_buckets_frac") or 0.0))
+    m["dropped_rows"] = int(m["dropped_rows"] or 0)
+    return m
+
+
 def _banded_candidates(bands: DataFrame,
                        band_cap: int = BAND_CAP) -> DataFrame:
     """(doc_id, band) → distinct candidate pairs via bucket self-join,
@@ -86,13 +126,35 @@ def _banded_candidates(bands: DataFrame,
     partitions the data on the SAME key the self-join needs, so the
     join reuses it (one shuffle total; the earlier groupBy+join
     formulation cost two extra exchanges, measured +1.5 s on minhash
-    at sf0.1)."""
+    at sf0.1).
+
+    The rows the guard drops are *observed*, not silently lost: an
+    ``Observation`` on the counted node records dropped rows, dropped
+    buckets (Σ 1/bucket_size over dropped rows — exact up to float
+    rounding) and the max bucket size, collected for free during
+    whatever action executes the plan (readable afterwards via
+    :func:`last_band_guard_metrics`)."""
+    from pyspark.sql import Observation
     w = Window.partitionBy("band")
-    cool = (bands.withColumn("_bn", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bn") <= band_cap)
-            .select("doc_id", "band"))
-    return (cool.alias("a")
-            .join(cool.alias("b"), "band")
+    obs = Observation()
+    dropped = F.col("_bn") > band_cap
+    counted = bands.withColumn("_bn", F.count(F.lit(1)).over(w))
+    # the observe node must appear exactly ONCE in the executed plan
+    # (a CollectMetrics duplicated by the self-join breaks metric
+    # retrieval), so only the left side carries it
+    observed = counted.observe(
+        obs,
+        F.sum(F.when(dropped, 1).otherwise(0)).alias("dropped_rows"),
+        F.sum(F.when(dropped, 1.0 / F.col("_bn"))
+              .otherwise(0.0)).alias("dropped_buckets_frac"),
+        F.max("_bn").alias("max_band_size"))
+    _GUARD_OBSERVATIONS.append((obs, band_cap, counted))
+    del _GUARD_OBSERVATIONS[:-_GUARD_KEEP]
+    keep = F.col("_bn") <= band_cap
+    cool_a = observed.filter(keep).select("doc_id", "band")
+    cool_b = counted.filter(keep).select("doc_id", "band")
+    return (cool_a.alias("a")
+            .join(cool_b.alias("b"), "band")
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
@@ -120,19 +182,48 @@ def minhash_pairs(docs: DataFrame,
             .filter(F.col("jac") >= threshold))
 
 
+#: SWAR packing for the simhash bit-count aggregate: 60 per-bit
+#: counters packed 4-per-long in 16-bit fields — 15 sum buffers + one
+#: count instead of 60 conditional sums (4× narrower aggregation
+#: state).  Field width 16 caps the per-doc shingle count at 16383
+#: before the packed long sum could overflow (16383·(2⁴⁸+2³²+2¹⁶+1)
+#: < 2⁶³); a 16k-shingle document is a ~16k-word text, far beyond any
+#: training-data document this operator should see un-chunked.
+_SIMHASH_PACK_FIELDS = 4
+_SIMHASH_PACK_WIDTH = 16
+
+
 def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    """60-bit simhash per doc over word-3-gram shingle hashes."""
+    """60-bit simhash per doc over word-3-gram shingle hashes.
+
+    The majority vote per bit j is ``ones_j > n/2`` (⇔ the classic
+    ±1 sum > 0, ties → 0): counting ones and the row total is enough,
+    so the ones-counts are packed 4-per-long (see
+    :data:`_SIMHASH_PACK_FIELDS`) and unpacked after the aggregate."""
     ex = (H.with_word_shingles(docs)
           .select("doc_id", F.explode("s").alias("sh")))
     h = ex.select("doc_id", H.hash60(F.col("sh")).alias("hh"))
-    bit_sums = h.groupBy("doc_id").agg(*[
-        F.sum(F.when(F.shiftright(F.col("hh"), j).bitwiseAND(1) == 1,
-                     1).otherwise(-1)).alias(f"s{j}")
-        for j in range(H.SIMHASH_BITS)])
-    fp = sum([F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long"))
+    nf, wf = _SIMHASH_PACK_FIELDS, _SIMHASH_PACK_WIDTH
+    n_longs = H.SIMHASH_BITS // nf
+    packed = [
+        sum([(F.shiftright(F.col("hh"), nf * k + m).bitwiseAND(1)
+              .cast("long") * F.lit(1 << (wf * m)).cast("long"))
+             for m in range(nf)], F.lit(0).cast("long"))
+        for k in range(n_longs)]
+    agg = h.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(packed[k]).alias(f"p{k}") for k in range(n_longs)])
+
+    def ones(j: int):
+        k, m = divmod(j, nf)
+        return (F.shiftright(F.col(f"p{k}"), wf * m)
+                .bitwiseAND((1 << wf) - 1))
+
+    fp = sum([F.when(ones(j) * 2 > F.col("n"),
+                     F.lit(1 << j).cast("long"))
               .otherwise(F.lit(0).cast("long"))
               for j in range(H.SIMHASH_BITS)], F.lit(0).cast("long"))
-    return bit_sums.select("doc_id", fp.alias("fp"))
+    return agg.select("doc_id", fp.alias("fp"))
 
 
 def simhash_pairs(docs: DataFrame,

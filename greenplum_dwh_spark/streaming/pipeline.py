@@ -62,7 +62,8 @@ def run_streaming_mart(wh, landing_dir: str, out_dir: str,
     (set False to scan whole multi-day files, a deliberate divergence).
     """
     if run_ts is None:
-        run_ts = dt.datetime.utcnow()
+        # naive-UTC wall clock (utcnow() is deprecated in 3.12)
+        run_ts = dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     ts = run_ts
     stream = stream_landing(wh.spark, landing_dir)
 

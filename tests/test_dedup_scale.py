@@ -68,6 +68,30 @@ def test_hot_band_guard_bounds_candidates(spark):
     assert capped < uncapped / 10, (capped, uncapped)
 
 
+def test_hot_band_guard_metrics_observed(spark):
+    """The recall trade the guard makes is observable: on the
+    boilerplate corpus with a low cap, the Observation attached to the
+    guarded plan reports dropped rows/buckets and the hot bucket size —
+    collected by the SAME action that ran the operator (no extra job)."""
+    docs = _docs_df(spark, _boilerplate_corpus())
+    n_pairs = dedup.minhash_pairs(docs, band_cap=10).count()
+    m = dedup.last_band_guard_metrics()
+    assert m is not None
+    # every degenerate all-docs band was dropped…
+    assert m["dropped_buckets"] >= 1, m
+    assert m["dropped_rows"] > 100, m
+    # …and the hot bucket really was a near-all-docs one
+    assert m["max_band_size"] >= 100, m
+    assert n_pairs >= 0
+    # sanity: a benign corpus reports a clean guard
+    benign = _docs_df(spark, [f"doc {i} totally unique text {i}"
+                              for i in range(20)])
+    dedup.minhash_pairs(benign).count()
+    m2 = dedup.last_band_guard_metrics()
+    assert m2["dropped_rows"] == 0, m2
+    assert m2["dropped_buckets"] == 0, m2
+
+
 def test_hot_band_guard_no_recall_loss_on_normal_corpus(spark):
     """On a corpus with no degenerate bands, cap on/off is identical."""
     rng = random.Random(11)

@@ -7,8 +7,7 @@ similarity search, text analysis, sessionization, multimodal columns).
 
 Queries without an ``oracle_sql`` entry are the deliberately
 non-SQL-exact ones: ``ann_ivf_topk`` (approximate IVF scale path;
-recall vs the exact operator is asserted in tests),
-``multimodal_features`` (Arrow mapInPandas byte features) and
+recall vs the exact operator is asserted in tests) and
 ``chain_fraud_state`` (general ≥3-chain state machine — the
 fixed-lookback window variant ``chain_fraud_window`` IS oracle-checked,
 and the state machine itself is golden-tested in tests/ against the

@@ -28,6 +28,7 @@ from pyspark.sql import types as T
 FEATURE_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("n_bytes", T.IntegerType()),
+    T.StructField("sum_bytes", T.LongType()),
     T.StructField("byte_mean", T.DoubleType()),
     T.StructField("byte_max", T.IntegerType()),
     T.StructField("head_hex", T.StringType()),
@@ -145,11 +146,17 @@ def extract_features(packed: DataFrame) -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
+            sums = payloads.map(sum)
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "n_bytes": payloads.map(len).astype("int32"),
-                "byte_mean": payloads.map(
-                    lambda b: (sum(b) / len(b)) if len(b) else 0.0),
+                # exact integer ingredients (sum_bytes, n_bytes) make
+                # byte_mean a single exact-int double division —
+                # bit-reproducible by the SQL oracle
+                "sum_bytes": sums.astype("int64"),
+                "byte_mean": [
+                    (s / len(b)) if len(b) else 0.0
+                    for s, b in zip(sums, payloads)],
                 "byte_max": payloads.map(
                     lambda b: max(b) if len(b) else 0).astype("int32"),
                 "head_hex": payloads.map(lambda b: b[:4].hex()),

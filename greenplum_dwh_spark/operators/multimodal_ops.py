@@ -25,8 +25,10 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched byte-feature extraction (mapInPandas plumbing);
-    byte_mean is Python-float arithmetic → rows-only check."""
+    """Arrow-batched byte-feature extraction (mapInPandas plumbing).
+    Oracle-exact: every feature is integer arithmetic over the UTF-8
+    payload bytes (hex-decoded in the SQL twin) and byte_mean is one
+    exact-int double division — identical IEEE result both engines."""
     return extract_features(pack_payloads(Tables(spark, sf_dir).documents))
 
 
@@ -42,11 +44,30 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "multimodal_meta": multimodal_meta,
-    "multimodal_features": multimodal_features,   # rows-only
+    "multimodal_features": multimodal_features,
     "multimodal_decode": multimodal_decode,
 }
 
+#: byte-level twin of the mapInPandas feature kernel: the payload is
+#: the UTF-8 encoding of ``text``, recovered byte-by-byte from
+#: ``hex(encode(text))`` (2 hex chars per byte — correct for any
+#: input, not just ASCII)
+_BYTES = ("list_transform(range(0, strlen(text)), "
+          "i -> ('0x' || substr(hex(encode(text)), 2*i+1, 2))::INT)")
+
 ORACLES = {
+    "multimodal_features": f"""
+        WITH b AS (SELECT doc_id, strlen(text) AS n_bytes,
+                          coalesce(list_sum({_BYTES}), 0) AS sum_bytes,
+                          coalesce(list_max({_BYTES}), 0) AS byte_max,
+                          lower(substr(hex(encode(text)), 1, 8)) AS head_hex
+                   FROM documents)
+        SELECT doc_id, n_bytes::INT AS n_bytes,
+               sum_bytes::BIGINT AS sum_bytes,
+               CASE WHEN n_bytes = 0 THEN 0.0
+                    ELSE sum_bytes::DOUBLE / n_bytes END AS byte_mean,
+               byte_max::INT AS byte_max, head_hex
+        FROM b""",
     "multimodal_meta": """
         SELECT doc_id,
                strlen(text)::INT AS n_bytes,

@@ -249,6 +249,38 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(_emb(spark, sf_dir))
 
 
+#: dedup_embedding_lsh: planted near-dups for the banded scale path.
+#: The synthetic corpus' max organic pairwise cosine is ~0.51 (measured
+#: at sf0.01), so at a true near-dup threshold nothing organic
+#: qualifies; vectors vec_id < PLANT_COPIES are re-inserted under
+#: vec_id + PLANT_OFFSET with identical embeddings.  Identical vectors
+#: have cosine ≈ 1 (same double fold both engines) and — decisive for
+#: oracle exactness — identical SRP sign signatures, so every band
+#: collides: banding is deterministically lossless for every
+#: qualifying pair and the banded output EQUALS the brute-force ground
+#: truth the oracle computes.  Sub-threshold collisions are removed by
+#: the exact cosine verify.
+PLANT_COPIES = 200
+PLANT_OFFSET = 1_000_000
+LSH_NEARDUP_THRESHOLD = 0.85
+
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver query for the 100 TB embedding-dedup plan: SRP-banded
+    candidates + exact verify at a true near-dup threshold (0.85),
+    checked against brute force over the same planted corpus.  Unlike
+    :func:`dedup_embedding` (all-pairs, justified only when the
+    threshold sits in the cosine bulk), this plan is bucketed — the
+    candidate count scales with collisions, not n²."""
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    planted = (emb.filter(F.col("vec_id") < PLANT_COPIES)
+               .select((F.col("vec_id") + PLANT_OFFSET).alias("vec_id"),
+                       "embedding"))
+    corpus = emb.unionByName(planted)
+    return embedding_neardup_pairs(
+        corpus, threshold=LSH_NEARDUP_THRESHOLD, method="lsh")
+
+
 _SQDIFF = ("aggregate(zip_with({a}, {b}, (x, y) -> "
            "(cast(x as double) - cast(y as double)) "
            "* (cast(x as double) - cast(y as double))), "
@@ -281,6 +313,7 @@ QUERIES = {
     "ann_euclidean_topk": ann_euclidean_topk,
     "ann_ivf_topk": ann_ivf_topk,       # rows-only (approximate)
     "dedup_embedding": dedup_embedding,
+    "dedup_embedding_lsh": dedup_embedding_lsh,
 }
 
 _DOT_SQL = ("list_reduce(list_transform(range(1, 65), i -> "
@@ -329,4 +362,18 @@ ORACLES = {
               FROM n a JOIN n b ON a.vec_id < b.vec_id)
         SELECT a_id, b_id, cosine FROM p
         WHERE cosine >= {NEARDUP_THRESHOLD}""",
+    "dedup_embedding_lsh": f"""
+        WITH u AS (SELECT vec_id, embedding FROM embeddings
+                   UNION ALL
+                   SELECT vec_id + {PLANT_OFFSET}, embedding
+                   FROM embeddings WHERE vec_id < {PLANT_COPIES}),
+        n AS (SELECT vec_id, embedding,
+              sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS nrm
+              FROM u),
+        p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                     {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                         / (a.nrm * b.nrm) AS cosine
+              FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        SELECT a_id, b_id, cosine FROM p
+        WHERE cosine >= {LSH_NEARDUP_THRESHOLD}""",
 }

@@ -187,6 +187,50 @@ def text_bm25_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "score_scaled"))
 
 
+def _bm25_rational_scaled(parts: DataFrame) -> DataFrame:
+    """Per-(doc, term) integer-exact scaled BM25-rational score:
+    ``floor(SCALE · num/den)`` with the k1=6/5, b=3/4 rational from
+    :func:`text_bm25_scaled` — pure BIGINT arithmetic, bit-identical
+    in Spark and DuckDB."""
+    b = lambda c: c.cast("long")
+    num = (b(F.lit(22)) * b(F.col("tf")) * b(F.col("total_len"))
+           * (b(F.lit(2)) * b(F.col("n_docs"))
+              - b(F.lit(2)) * b(F.col("df")) + b(F.lit(1))))
+    den = ((b(F.lit(2)) * b(F.col("df")) + b(F.lit(1)))
+           * (b(F.lit(10)) * b(F.col("tf")) * b(F.col("total_len"))
+              + b(F.lit(3)) * b(F.col("total_len"))
+              + b(F.lit(9)) * b(F.col("dl")) * b(F.col("n_docs"))))
+    return parts.select(
+        "doc_id",
+        (num * F.lit(_BM25_SCALE)).cast("long").alias("_num"),
+        den.alias("_den")).withColumn(
+            "s_scaled", F.expr("_num DIV _den")).drop("_num", "_den")
+
+
+def text_bm25_topk_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-term BM25 top-k with an ORACLE-EXACT ranking: the per-doc
+    score is the sum over matched query terms of the integer-scaled
+    rational per-term score (idf in its (N−df+0.5)/(df+0.5) rational
+    form, quantized to :data:`_BM25_SCALE` *before* the sum).  Unlike
+    the float-log ``text_bm25_topk``, every arithmetic step is BIGINT —
+    the driver hash-checks ranking AND score.  The quantized rational
+    ranking is a documented scoring-function variant (ln replaced by
+    its monotone rational argument), not an approximation of the ln
+    ranking; both are shipped.  Plans as TakeOrderedAndProject —
+    distributed partial top-k, no global window shuffle."""
+    parts = _bm25_parts(Tables(spark, sf_dir).documents, BM25_TERMS)
+    top = (_bm25_rational_scaled(parts)
+           .groupBy("doc_id")
+           .agg(F.sum("s_scaled").alias("score_scaled"))
+           .orderBy(F.desc("score_scaled"), F.asc("doc_id"))
+           .limit(BM25_TOP_K))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.desc("score_scaled"), F.asc("doc_id"))
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("doc_id", F.col("rank").cast("int").alias("rank"),
+                    "score_scaled"))
+
+
 def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True ln-idf BM25 over the multi-term query set: per-doc score is
     the sum over matched query terms of
@@ -227,6 +271,7 @@ QUERIES = {
     "text_fingerprint": text_fingerprint,
     "text_term_stats": text_term_stats,
     "text_bm25_scaled": text_bm25_scaled,
+    "text_bm25_topk_ranks": text_bm25_topk_ranks,
     "text_bm25_topk": text_bm25_topk,   # rows-only (float logs)
 }
 
@@ -324,5 +369,37 @@ ORACLES = {
                FROM scored)
         SELECT term, doc_id, rank::INT AS rank, tf, dl, df,
                score_scaled::BIGINT AS score_scaled
+        FROM rk WHERE rank <= {BM25_TOP_K}""",
+    "text_bm25_topk_ranks": f"""
+        WITH terms AS (SELECT unnest(
+                 [{', '.join(repr(t) for t in BM25_TERMS)}]) AS term),
+        docs AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                        string_split(text, ' ') AS toks
+                 FROM documents),
+        stats AS (SELECT count(*)::BIGINT AS n_docs,
+                         sum(dl)::BIGINT AS total_len
+                  FROM docs),
+        ex AS (SELECT d.doc_id, d.dl, unnest(d.toks) AS tok FROM docs d),
+        hits AS (SELECT doc_id, dl, tok, count(*)::BIGINT AS tf
+                 FROM ex WHERE tok IN (SELECT term FROM terms)
+                 GROUP BY 1, 2, 3),
+        dfc AS (SELECT tok, count(DISTINCT doc_id)::BIGINT AS df
+                FROM ex WHERE tok IN (SELECT term FROM terms)
+                GROUP BY tok),
+        per_term AS (
+          SELECT h.doc_id,
+                 (22::BIGINT * h.tf * s.total_len
+                    * (2 * s.n_docs - 2 * f.df + 1)
+                    * {_BM25_SCALE})
+                 // ((2 * f.df + 1)
+                     * (10 * h.tf * s.total_len + 3 * s.total_len
+                        + 9 * h.dl * s.n_docs)) AS s_scaled
+          FROM hits h JOIN dfc f USING (tok) CROSS JOIN stats s),
+        agg AS (SELECT doc_id, sum(s_scaled)::BIGINT AS score_scaled
+                FROM per_term GROUP BY doc_id),
+        rk AS (SELECT *, row_number() OVER (
+                   ORDER BY score_scaled DESC, doc_id) AS rank
+               FROM agg)
+        SELECT doc_id, rank::INT AS rank, score_scaled
         FROM rk WHERE rank <= {BM25_TOP_K}""",
 }

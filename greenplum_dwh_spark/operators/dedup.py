@@ -118,7 +118,8 @@ def last_band_guard_metrics() -> dict | None:
 
 
 def _banded_candidates(bands: DataFrame,
-                       band_cap: int = BAND_CAP) -> DataFrame:
+                       band_cap: int = BAND_CAP,
+                       distinct: bool = True) -> DataFrame:
     """(doc_id, band) → distinct candidate pairs via bucket self-join,
     with the hot-band guard: buckets above ``band_cap`` members are
     dropped entirely (see :data:`BAND_CAP`).  The guard is a windowed
@@ -153,12 +154,16 @@ def _banded_candidates(bands: DataFrame,
     keep = F.col("_bn") <= band_cap
     cool_a = observed.filter(keep).select("doc_id", "band")
     cool_b = counted.filter(keep).select("doc_id", "band")
-    return (cool_a.alias("a")
-            .join(cool_b.alias("b"), "band")
-            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+    out = (cool_a.alias("a")
+           .join(cool_b.alias("b"), "band")
+           .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+           .select(F.col("a.doc_id").alias("doc_a"),
+                   F.col("b.doc_id").alias("doc_b")))
+    # distinct=False lets a caller with a CHEAP verify predicate defer
+    # deduplication until after verification: when band collisions are
+    # frequent (small band alphabets), shuffling the raw candidate
+    # multiset for distinct costs more than verifying duplicates twice
+    return out.distinct() if distinct else out
 
 
 def minhash_pairs(docs: DataFrame,
@@ -244,7 +249,13 @@ def simhash_pairs(docs: DataFrame,
                                      b * H.SIMHASH_BAND_BITS)
                         .bitwiseAND(mask).cast("string"))
             for b in range(n_bands)])).alias("band"))
-    cand = _banded_candidates(bands, band_cap)
+    # 6-bit band alphabets collide often on random fingerprints
+    # (~n²/2⁷ candidate rows per band), so verify-then-distinct: the
+    # hamming check is one XOR+popcount against the (doc-count-sized)
+    # fingerprint table, and only the tiny verified survivor set pays
+    # the distinct shuffle — measured 4.0 s → 2.7 s at sf0.1 vs
+    # distinct-then-verify.
+    cand = _banded_candidates(bands, band_cap, distinct=False)
     fa = fps.select(F.col("doc_id").alias("doc_a"),
                     F.col("fp").alias("fp_a"))
     fb = fps.select(F.col("doc_id").alias("doc_b"),
@@ -253,7 +264,8 @@ def simhash_pairs(docs: DataFrame,
             .select("doc_a", "doc_b",
                     F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
                     .cast("int").alias("hamming"))
-            .filter(F.col("hamming") <= max_dist))
+            .filter(F.col("hamming") <= max_dist)
+            .distinct())
 
 
 def jaccard_prefix_pairs(docs: DataFrame,

@@ -66,10 +66,22 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 
 def _pairs_with_jaccard(docs: DataFrame, pairs: DataFrame,
-                        sets_df: DataFrame) -> DataFrame:
-    """pairs (doc_a, doc_b) × per-doc shingle sets → exact jaccard."""
-    a = sets_df.alias("sa")
-    b = sets_df.alias("sb")
+                        sets_df: DataFrame,
+                        broadcast_sets: bool = True) -> DataFrame:
+    """pairs (doc_a, doc_b) × per-doc shingle sets → exact jaccard.
+
+    The per-doc set index is BROADCAST by default: a shuffle join here
+    moves one shingle *array* per candidate row (~1 KB each — measured
+    16 GB shuffled and 90 s for 10.9 M candidates at the derived sf1),
+    while the index itself is one row per doc (~1 KB/doc — 50 MB at
+    50 k docs).  Broadcast attaches the arrays map-side and the select
+    drops them immediately after the jaccard, so nothing array-sized
+    is ever exchanged.  For corpora whose set index outgrows executor
+    memory, pass ``broadcast_sets=False`` to fall back to the shuffle
+    join (the candidate side is then the thing to shard on)."""
+    sets = F.broadcast(sets_df) if broadcast_sets else sets_df
+    a = sets.alias("sa")
+    b = sets.alias("sb")
     return (pairs
             .join(a, F.col("doc_a") == F.col("sa.doc_id"))
             .join(b, F.col("doc_b") == F.col("sb.doc_id"))

@@ -1,0 +1,92 @@
+"""Derive a larger scale factor from /root/testdata/sf0.1 for the
+scaling probe (no sf1 driver data exists; BASELINE.md records the
+per-query sf1/sf0.1 ratios this enables).
+
+Replication design (K copies, default 10):
+
+- fact tables get per-replica key offsets so join fan-out per dim row
+  scales K x, matching how TPC-H scale factors behave (lineitem /
+  orders share the orderkey offset so their join lines up);
+- events shift user_id too (users grow with data in any real corpus);
+- documents re-tokenize replica i > 0 with an ``r{i}`` prefix on every
+  word: a bijection on tokens preserves each replica's internal
+  near-dup structure exactly while giving zero cross-replica shingle
+  overlap — naive text copies would make every document a 10-way
+  near-dup cluster and measure an artificial quadratic blow-up instead
+  of the operator's scaling;
+- embeddings shift vec_id only (query vectors vec_id < 8 stay unique,
+  the ANN corpus grows K x);
+- dimension tables are copied as-is.
+
+Usage: python scripts/make_sf_big.py [K] [out_dir]
+Defaults: K=10, out_dir=/root/repo/.bigdata/sf1
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+SRC = "/root/testdata/sf0.1"
+OFFSET = 10_000_000
+
+
+def main() -> None:
+    k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/.bigdata/sf1"
+    from greenplum_dwh_spark.session import get_spark
+    spark = get_spark("make_sf_big",
+                      extra_conf={"spark.ui.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def src(t):
+        return spark.read.parquet(f"{SRC}/{t}.parquet")
+
+    def write(df, t):
+        df.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+        print(t, "rows:", spark.read.parquet(f"{out_dir}/{t}.parquet").count(),
+              flush=True)
+
+    def replicate(t, shifts, transform=None):
+        base = src(t)
+        parts = []
+        for i in range(k):
+            df = base
+            for col in shifts:
+                df = df.withColumn(col, F.col(col) + F.lit(i * OFFSET))
+            if transform is not None:
+                df = transform(df, i)
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        write(out.repartition(32), t)
+
+    for t in ["region", "nation", "customer", "supplier", "part"]:
+        write(src(t), t)
+
+    replicate("orders", ["o_orderkey"])
+    replicate("lineitem", ["l_orderkey"])
+    replicate("events", ["event_id", "user_id"])
+
+    def retokenize(df, i):
+        if i == 0:
+            return df
+        new_text = F.array_join(
+            F.transform(F.split("text", " "),
+                        lambda x: F.concat(F.lit(f"r{i}"), x)), " ")
+        return (df.withColumn("text", new_text)
+                .withColumn("n_chars", F.length("text").cast("long")))
+
+    replicate("documents", ["doc_id"], retokenize)
+    replicate("embeddings", ["vec_id"])
+    print("done:", out_dir)
+
+
+if __name__ == "__main__":
+    main()

@@ -99,6 +99,20 @@ def word_shingles_sql(text_expr: str = "text", n: int = 3) -> str:
             f"ELSE [{text_expr}] END")
 
 
+def with_char_ngrams(docs, out: str = "s", n: int = 4,
+                     text_col: str = "text"):
+    """(doc_id, <out>=char n-gram array) projection — same pinned
+    repartition rationale as :func:`with_word_shingles`."""
+    try:
+        nparts = int(docs.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        nparts = docs.sparkSession.sparkContext.defaultParallelism
+    return (docs.select("doc_id", F.col(text_col))
+            .repartition(nparts, "doc_id")
+            .select("doc_id", char_ngrams(text_col, n).alias(out)))
+
+
 def char_ngrams(text_col: str = "text", n: int = 4) -> Column:
     """Distinct character n-grams (same branch-free construction as
     :func:`word_shingles`: substring truncates past the end, so short

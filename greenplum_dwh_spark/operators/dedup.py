@@ -41,6 +41,9 @@ from greenplum_dwh_spark.sources.tpch import Tables
 JACCARD_THRESHOLD = 0.5
 SIMHASH_MAX_DIST = 8
 PREFIX_THRESHOLD = 0.6
+#: char-4-gram jaccard: the corpus' planted near-dups sit ≥ 0.8 in
+#: char-gram space, organics < 0.5 (measured at sf0.01) — 0.7 is mid-gap
+CHAR_JACCARD_THRESHOLD = 0.7
 
 #: hot-band guard: LSH band buckets larger than this are dropped before
 #: the self-join.  A degenerate band value (identical boilerplate across
@@ -310,6 +313,24 @@ def jaccard_prefix_pairs(docs: DataFrame,
     non-dup pairs share few prefix tokens (small c) and fail the α
     test, so only near-dups reach the verify join."""
     grams = H.with_word_shingles(docs, n=2).cache()
+    return _prefix_filtered_pairs(docs, grams, threshold)
+
+
+def char_jaccard_pairs(docs: DataFrame,
+                       threshold: float = CHAR_JACCARD_THRESHOLD) -> DataFrame:
+    """Exact character-4-gram jaccard join — the char-level member of
+    the n-gram jaccard family (robust to tokenization differences:
+    whitespace/punctuation edits barely move char-gram sets).  Same
+    PPJoin prefix/size/positional filtering as the word variant, over
+    :func:`H.char_ngrams` sets."""
+    grams = H.with_char_ngrams(docs).cache()
+    return _prefix_filtered_pairs(docs, grams, threshold)
+
+
+def _prefix_filtered_pairs(docs: DataFrame, grams: DataFrame,
+                           threshold: float) -> DataFrame:
+    """PPJoin core over a (doc_id, s=token array) set index ``grams``
+    (see :func:`jaccard_prefix_pairs` for the filter derivations)."""
     ex = grams.select("doc_id", F.explode("s").alias("g"),
                       F.size("s").alias("n"))
     freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
@@ -465,6 +486,10 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_prefix_pairs(_docs(spark, sf_dir))
 
 
+def dedup_char_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return char_jaccard_pairs(_docs(spark, sf_dir))
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(_docs(spark, sf_dir))
 
@@ -474,11 +499,13 @@ QUERIES = {
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
     "dedup_jaccard_prefix": dedup_jaccard_prefix,
+    "dedup_char_jaccard": dedup_char_jaccard,
     "dedup_clusters": dedup_clusters,
 }
 
 _W3 = H.word_shingles_sql()
 _W2 = H.word_shingles_sql(n=2)
+_C4 = H.char_ngrams_sql()
 
 #: the LSH/banded plans verify candidates exactly, so the oracle is the
 #: brute-force ground truth — any recall loss would surface as a
@@ -495,6 +522,8 @@ _W2 = H.word_shingles_sql(n=2)
 
 
 def _jaccard_pairs_oracle(shingle_sql: str, threshold: float) -> str:
+    # NOTE: valid only while every qualifying pair shares >= 1 token
+    # (always true for jaccard > 0), and every doc list is non-empty
     return f"""
         WITH sh AS (SELECT doc_id, {shingle_sql} AS s FROM documents),
         ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS t FROM sh),
@@ -551,4 +580,6 @@ ORACLES = {
           WHERE walk.lbl < b.v)
         SELECT u AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY u""",
     "dedup_jaccard_prefix": _jaccard_pairs_oracle(_W2, PREFIX_THRESHOLD),
+    "dedup_char_jaccard": _jaccard_pairs_oracle(_C4,
+                                                CHAR_JACCARD_THRESHOLD),
 }

@@ -79,6 +79,42 @@ def test_dedup_hot_path_has_no_python_udf(spark, sf_dir):
         assert "ArrowEvalPython" not in plan
 
 
+def test_jaccard_verify_broadcasts_set_index(spark, sf_dir):
+    """The exact-jaccard verify must attach shingle arrays via a
+    broadcast of the per-doc set index — a shuffle join here moves one
+    array per candidate row (measured 16 GB at derived sf1)."""
+    from greenplum_dwh_spark.operators.dedup import (dedup_char_jaccard,
+                                                     dedup_jaccard_prefix,
+                                                     dedup_minhash_lsh)
+    for q in (dedup_jaccard_prefix, dedup_char_jaccard, dedup_minhash_lsh):
+        df = q(spark, sf_dir)
+        assert checks.has_broadcast_join(df), q.__name__
+        plan = checks.physical_plan(df)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+
+
+def test_embedding_lsh_is_banded_not_crossjoin(spark, sf_dir):
+    """dedup_embedding_lsh is the bucketed 100 TB plan: its physical
+    plan must contain NO cartesian/nested-loop product (the exact
+    variant's shape) — candidates come from the band equi-join.  The
+    SRP plane attach is a broadcast nested loop on a 32-row side, which
+    is fine; a CartesianProduct is not."""
+    from greenplum_dwh_spark.operators.similarity import dedup_embedding_lsh
+    plan = checks.physical_plan(dedup_embedding_lsh(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_bm25_topk_plans_as_take_ordered(spark, sf_dir):
+    """Both top-k BM25 variants must plan the limit as a distributed
+    TakeOrderedAndProject, not a single-partition global sort."""
+    from greenplum_dwh_spark.operators.text_analysis import (
+        text_bm25_topk, text_bm25_topk_ranks)
+    for q in (text_bm25_topk, text_bm25_topk_ranks):
+        assert "TakeOrderedAndProject" in checks.physical_plan(
+            q(spark, sf_dir)), q.__name__
+
+
 def test_ann_cosine_stays_jvm_side(spark, sf_dir):
     from greenplum_dwh_spark.operators.similarity import ann_cosine_topk
     plan = checks.physical_plan(ann_cosine_topk(spark, sf_dir))

@@ -47,7 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _RUN_FIRST = [
     # new in round 3
     "dedup_embedding_lsh", "multimodal_features", "text_bm25_topk_ranks",
-    "dedup_char_jaccard",
+    "dedup_char_jaccard", "skew_salted_user_totals", "rollup_merge_hourly",
     # perf-touched this round (must re-green fresh)
     "dedup_simhash",
     # last green in r01 (rotated out of r02's budget)

@@ -533,6 +533,36 @@ def chain_fraud_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "user_id", "ts"))
 
 
+# skew-mitigation surface as a checked query: the two-phase salted
+# aggregation is a pure plan rewrite (partial agg on (key, salt) then
+# final merge on key), so its result equals the plain GROUP BY the
+# oracle runs — the hot-key 100 TB path gets a hash-green row, not
+# just a unit test.
+def skew_salted_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from greenplum_dwh_spark.functions.skew import salted_count_sum
+    t = Tables(spark, sf_dir)
+    return salted_count_sum(t.events, "user_id", "value")
+
+
+# continuous-aggregate algebra as a checked query: three disjoint
+# "batches" produce per-batch partial aggregates (what HourlyRollup
+# appends), the merge groupBy finishes them — result must equal the
+# direct hourly GROUP BY the oracle runs.  Exactness holds because the
+# partials are scaled-int sums (merge order never matters).
+def rollup_merge_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from greenplum_dwh_spark.operators.rollup_store import HourlyRollup
+    ev = Tables(spark, sf_dir).events
+    parts = None
+    for i in range(3):
+        p = HourlyRollup._partials(
+            ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i))
+        parts = p if parts is None else parts.unionByName(p)
+    return (parts.groupBy("bucket_start", "event_type")
+            .agg(F.sum("n").alias("n"),
+                 (F.sum("sum_value_c").cast("double") / 100.0)
+                 .alias("total")))
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_segment_revenue": q3_segment_revenue,
@@ -569,6 +599,8 @@ QUERIES = {
     "tumbling_hourly": tumbling_hourly,
     "asof_last_click": asof_last_click,
     "chain_fraud_window": chain_fraud_window,
+    "skew_salted_user_totals": skew_salted_user_totals,
+    "rollup_merge_hourly": rollup_merge_hourly,
 }
 
 _DSUM = "(cast(sum(round(({0}) * 100)::BIGINT) as double) / 100.0)"
@@ -823,4 +855,15 @@ ORACLES = {
         WHERE event_type = 'purchase'
           AND t1 = 'error' AND t2 = 'error'
           AND v2 > v1 AND dsec < 86400""",
+    # salting / partial-merge are plan rewrites: both oracles are the
+    # plain one-shot GROUP BY the rewritten plans must reproduce
+    "skew_salted_user_totals": f"""
+        SELECT user_id, count(*)::BIGINT AS n,
+               {_DSUM.format('value')} AS total
+        FROM events GROUP BY user_id""",
+    "rollup_merge_hourly": f"""
+        SELECT date_trunc('hour', ts)::TIMESTAMP AS bucket_start,
+               event_type, count(*)::BIGINT AS n,
+               {_DSUM.format('value')} AS total
+        FROM events GROUP BY 1, 2""",
 }

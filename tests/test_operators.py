@@ -121,6 +121,58 @@ def test_multimodal_features_deterministic(spark, sf_dir):
     assert all(r["n_bytes"] > 0 and len(r["head_hex"]) == 8 for r in a)
 
 
+def test_resize_bmp_pixel_exact():
+    """Nearest-neighbor downsample is pixel-exact against direct index
+    arithmetic: resized pixel (r, c) == source pixel (r·k, c·k),
+    top-left anchored, across odd/even dims and factor 3."""
+    import struct
+
+    from greenplum_dwh_spark.multimodal.codec import (decode_image,
+                                                      encode_bmp,
+                                                      resize_bmp)
+
+    def pixel(bmp, w, h, r, c):
+        off = struct.unpack_from("<I", bmp, 10)[0]
+        stride = (w * 3 + 3) & ~3
+        p = off + (h - 1 - r) * stride + c * 3
+        return bmp[p:p + 3]
+
+    for width, k in [(16, 2), (15, 3), (7, 2)]:
+        data = bytes((i * 37 + 11) % 256 for i in range(width * 3 * 9))
+        bmp = encode_bmp(data, width=width)
+        h = decode_image(bmp)["height"]
+        out = resize_bmp(bmp, k)
+        m = decode_image(out)
+        assert m["width"] == max(1, width // k)
+        assert m["height"] == max(1, h // k)
+        for r in range(m["height"]):
+            for c in range(m["width"]):
+                assert pixel(out, m["width"], m["height"], r, c) \
+                    == pixel(bmp, width, h, r * k, c * k), (width, k, r, c)
+    # non-BMP payload -> None
+    assert resize_bmp(b"\x89PNG\r\n\x1a\nxxxx") is None
+
+
+def test_sample_frames_counts_and_digest(spark, sf_dir):
+    from greenplum_dwh_spark.multimodal.codec import (pack_payloads,
+                                                      sample_frames)
+    from greenplum_dwh_spark.sources.tpch import Tables
+    import hashlib
+    docs = Tables(spark, sf_dir).documents.limit(10)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = sample_frames(pack_payloads(docs), frame_bytes=64,
+                        every_k=4).collect()
+    assert len(got) == 10
+    for r in got:
+        b = texts[r["doc_id"]].encode()
+        nf = len(b) // 64
+        sampled = [b[i * 64:(i + 1) * 64] for i in range(0, nf, 4)]
+        assert r["n_frames"] == nf
+        assert r["n_sampled"] == len(sampled)
+        assert r["sampled_md5"] == hashlib.md5(
+            "".join(s.hex() for s in sampled).encode()).hexdigest()
+
+
 def test_bm25_topk_matches_reference_model(spark, sf_dir):
     """ln-idf BM25 ranking vs an independently-coded pandas model:
     identical top-k ranking, scores within 1e-9."""

@@ -52,7 +52,7 @@ _RUN_FIRST = [
     # new in round 3
     "dedup_embedding_lsh", "multimodal_features", "text_bm25_topk_ranks",
     "dedup_char_jaccard", "skew_salted_user_totals", "rollup_merge_hourly",
-    "multimodal_resize", "multimodal_frames",
+    "multimodal_resize", "multimodal_frames", "multimodal_audio",
     # perf-touched this round (must re-green fresh)
     "dedup_simhash",
     # last green in r01 (rotated out of r02's budget)

@@ -292,6 +292,45 @@ def sample_frames(packed: DataFrame, frame_bytes: int = 64,
         run, FRAME_SCHEMA)
 
 
+AUDIO_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("sum_sq", T.LongType()),
+    T.StructField("peak", T.IntegerType()),
+])
+
+
+def audio_pcm16_stats(packed: DataFrame) -> DataFrame:
+    """Audio-kernel plumbing: the payload is interpreted as raw PCM
+    signed-16-bit little-endian samples (a WAV/FLAC parser — or the
+    audio lib a cluster would ship — slots into this seam; none exists
+    in this environment, per the multimodal stub policy).  Sample
+    count, energy (Σ sample², exact int64) and |peak| are pure integer
+    arithmetic over the bytes — reproduced exactly by the SQL oracle.
+    A trailing odd byte is ignored (incomplete sample)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, ss, pk = [], [], []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                b = b[:len(b) - (len(b) % 2)]
+                samples = struct.unpack(f"<{len(b) // 2}h", b)
+                ns.append(len(samples))
+                ss.append(sum(int(s) * int(s) for s in samples))
+                pk.append(max((abs(int(s)) for s in samples), default=0))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_samples": pd.Series(ns, dtype="int32"),
+                "sum_sq": pd.Series(ss, dtype="int64"),
+                "peak": pd.Series(pk, dtype="int32"),
+            })
+
+    from greenplum_dwh_spark.shipping import ensure_shipped
+    ensure_shipped(packed.sparkSession)
+    return packed.select("doc_id", "payload").mapInPandas(
+        run, AUDIO_SCHEMA)
+
+
 def decode_images(packed: DataFrame) -> DataFrame:
     """Arrow-batched container-header decode over mapInPandas:
     (doc_id, payload) → (doc_id, format, width, height, channels);

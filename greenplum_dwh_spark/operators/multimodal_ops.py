@@ -5,7 +5,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from greenplum_dwh_spark.multimodal.codec import (decode_images,
+from greenplum_dwh_spark.multimodal.codec import (audio_pcm16_stats,
+                                                  decode_images,
                                                   extract_features,
                                                   pack_image_payloads,
                                                   pack_payloads,
@@ -61,12 +62,20 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(packed, frame_bytes=64, every_k=4)
 
 
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM16 audio-kernel plumbing: sample count, exact integer energy
+    and |peak| over the payload interpreted as s16le samples."""
+    packed = pack_payloads(Tables(spark, sf_dir).documents)
+    return audio_pcm16_stats(packed)
+
+
 QUERIES = {
     "multimodal_meta": multimodal_meta,
     "multimodal_features": multimodal_features,
     "multimodal_decode": multimodal_decode,
     "multimodal_resize": multimodal_resize,
     "multimodal_frames": multimodal_frames,
+    "multimodal_audio": multimodal_audio,
 }
 
 #: byte-level twin of the mapInPandas feature kernel: the payload is
@@ -126,4 +135,26 @@ ORACLES = {
                                   j -> substr(hx, j * 512 + 1, 128)),
                    ''), '')) AS sampled_md5
         FROM s""",
+    # s16le samples from byte pairs: u = lo + 256*hi; signed = u - 2^16
+    # when u >= 2^15; energy and peak are exact integer folds
+    "multimodal_audio": """
+        WITH b AS (SELECT doc_id, hex(encode(text)) AS hx,
+                          (strlen(text) // 2)::INT AS n
+                   FROM documents),
+        s AS (SELECT doc_id, n,
+                     list_transform(range(0, n), i ->
+                         (('0x' || substr(hx, i*4 + 1, 2))::BIGINT
+                          + 256 * ('0x' || substr(hx, i*4 + 3, 2))::BIGINT)
+                     ) AS us
+              FROM b),
+        v AS (SELECT doc_id, n,
+                     list_transform(us, u ->
+                         u - 65536 * (u >= 32768)::BIGINT) AS xs
+              FROM s)
+        SELECT doc_id, n AS n_samples,
+               coalesce(list_sum(list_transform(xs, x -> x * x)), 0)::BIGINT
+                   AS sum_sq,
+               coalesce(list_max(list_transform(xs, x -> abs(x))), 0)::INT
+                   AS peak
+        FROM v""",
 }

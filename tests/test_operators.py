@@ -173,6 +173,25 @@ def test_sample_frames_counts_and_digest(spark, sf_dir):
             "".join(s.hex() for s in sampled).encode()).hexdigest()
 
 
+def test_audio_pcm16_stats_match_struct_model(spark, sf_dir):
+    import struct
+
+    from greenplum_dwh_spark.multimodal.codec import (audio_pcm16_stats,
+                                                      pack_payloads)
+    from greenplum_dwh_spark.sources.tpch import Tables
+    docs = Tables(spark, sf_dir).documents.limit(10)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    got = audio_pcm16_stats(pack_payloads(docs)).collect()
+    assert len(got) == 10
+    for r in got:
+        b = texts[r["doc_id"]].encode()
+        b = b[:len(b) - (len(b) % 2)]
+        xs = struct.unpack(f"<{len(b)//2}h", b)
+        assert r["n_samples"] == len(xs)
+        assert r["sum_sq"] == sum(x * x for x in xs)
+        assert r["peak"] == max((abs(x) for x in xs), default=0)
+
+
 def test_bm25_topk_matches_reference_model(spark, sf_dir):
     """ln-idf BM25 ranking vs an independently-coded pandas model:
     identical top-k ranking, scores within 1e-9."""

@@ -1,0 +1,61 @@
+"""Scaling probe: run bench.py at two scale factors and print the
+per-query ratio table (the BASELINE.md round-3 format).
+
+Usage:
+    python scripts/make_sf_big.py            # once, builds .bigdata/sf1
+    python scripts/scale_probe.py [small_dir] [big_dir]
+
+Defaults: /root/testdata/sf0.1 vs /root/repo/.bigdata/sf1.  Each bench
+runs in its own subprocess (fresh JVM — cross-run cache/GC state would
+otherwise contaminate the comparison).  Queries whose ratio exceeds
+~3× per 10× data get flagged as data-bound: at this scale most
+queries are fixed-cost dominated, so anything above that is growing
+with data and worth explaining — compare the ratio against the data
+factor itself to call it superlinear (round 3 caught a 16 GB array
+shuffle whose ratio was 30× for 10× data this way).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def bench(sf_dir: str) -> dict:
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env, cwd=REPO, capture_output=True, text=True, check=True)
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    big = sys.argv[2] if len(sys.argv) > 2 else \
+        os.path.join(REPO, ".bigdata/sf1")
+    a = bench(small)
+    b = bench(big)
+    print(f"{'query':32s} {'small':>7s} {'big':>8s} {'ratio':>6s}")
+    flagged = []
+    for k, va in a["queries"].items():
+        vb = b["queries"].get(k)
+        if vb is None:
+            continue
+        ratio = vb / va if va else float("inf")
+        mark = "  <-- data-bound (check vs data factor)" if ratio > 3.0 \
+            else ""
+        if mark:
+            flagged.append(k)
+        print(f"{k:32s} {va:7.2f} {vb:8.2f} {ratio:6.1f}{mark}")
+    print(f"{'TOTAL':32s} {a['value']:7.2f} {b['value']:8.2f} "
+          f"{b['value'] / a['value']:6.1f}")
+    if flagged:
+        print("flagged:", ", ".join(flagged))
+
+
+if __name__ == "__main__":
+    main()

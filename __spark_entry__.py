@@ -53,6 +53,7 @@ _RUN_FIRST = [
     "dedup_embedding_lsh", "multimodal_features", "text_bm25_topk_ranks",
     "dedup_char_jaccard", "skew_salted_user_totals", "rollup_merge_hourly",
     "multimodal_resize", "multimodal_frames", "multimodal_audio",
+    "window_rank_family",
     # perf-touched this round (must re-green fresh)
     "dedup_simhash",
     # last green in r01 (rotated out of r02's budget)

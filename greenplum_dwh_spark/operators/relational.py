@@ -533,6 +533,23 @@ def chain_fraud_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_id", "user_id", "ts"))
 
 
+# ranking-function family over one window: integer ranks plus the
+# ratio forms (percent_rank = (rank−1)/(n−1), cume_dist = peers/n) —
+# both single divisions of exact integers, so bit-identical across
+# engines.
+def window_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return t.orders.select(
+        "o_orderkey", "o_orderpriority",
+        F.row_number().over(w).alias("rn"),
+        F.dense_rank().over(w).alias("drank"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"))
+
+
 # skew-mitigation surface as a checked query: the two-phase salted
 # aggregation is a pure plan rewrite (partial agg on (key, salt) then
 # final merge on key), so its result equals the plain GROUP BY the
@@ -601,6 +618,7 @@ QUERIES = {
     "chain_fraud_window": chain_fraud_window,
     "skew_salted_user_totals": skew_salted_user_totals,
     "rollup_merge_hourly": rollup_merge_hourly,
+    "window_rank_family": window_rank_family,
 }
 
 _DSUM = "(cast(sum(round(({0}) * 100)::BIGINT) as double) / 100.0)"
@@ -866,4 +884,14 @@ ORACLES = {
                event_type, count(*)::BIGINT AS n,
                {_DSUM.format('value')} AS total
         FROM events GROUP BY 1, 2""",
+    "window_rank_family": """
+        SELECT o_orderkey, o_orderpriority,
+               row_number() OVER w::INT AS rn,
+               dense_rank() OVER w::INT AS drank,
+               ntile(4) OVER w::INT AS quartile,
+               percent_rank() OVER w AS prank,
+               cume_dist() OVER w AS cdist
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice DESC, o_orderkey)""",
 }

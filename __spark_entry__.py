@@ -29,9 +29,10 @@ def _modules():
     from greenplum_dwh_spark.operators import (dedup, multimodal_ops,
                                                packing, quality,
                                                relational, sessions,
-                                               similarity, text_analysis)
+                                               similarity, text_analysis,
+                                               timeseries, training_data)
     return [relational, dedup, text_analysis, similarity, sessions,
-            multimodal_ops, quality, packing]
+            multimodal_ops, quality, packing, timeseries, training_data]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -49,6 +50,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: 8 queries whose last green row is r01, then the rest; the 8 queries
 #: already green in r02 run last.
 _RUN_FIRST = [
+    # newest in round 3 (timeseries + training-data families)
+    "gapfill_forward_fill", "stats_moments_events",
+    "covar_components_events", "histogram_orders",
+    "sample_hash_stratified", "scrub_pii", "canon_text_dedup",
+    "topk_docs_per_lang", "embedding_hof_norms", "tokens_posexplode",
+    "grouping_sets_priority_status",
     # new in round 3
     "dedup_embedding_lsh", "multimodal_features", "text_bm25_topk_ranks",
     "dedup_char_jaccard", "skew_salted_user_totals", "rollup_merge_hourly",

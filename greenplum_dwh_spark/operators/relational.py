@@ -580,6 +580,25 @@ def rollup_merge_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("total")))
 
 
+# GROUPING SETS — the third grouping-extension shape beside rollup and
+# cube: explicitly enumerated grouping keys (priority-only, status-only,
+# grand total).  Expressed through the SQL surface — Spark plans all
+# three as one Expand + single hash aggregate, so the fact table is
+# scanned once no matter how many sets are named (the 100 TB win over
+# running the groupings separately).
+def grouping_sets_priority_status(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("gs_orders")
+    return spark.sql("""
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status
+        FROM gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""")
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_segment_revenue": q3_segment_revenue,
@@ -619,6 +638,7 @@ QUERIES = {
     "skew_salted_user_totals": skew_salted_user_totals,
     "rollup_merge_hourly": rollup_merge_hourly,
     "window_rank_family": window_rank_family,
+    "grouping_sets_priority_status": grouping_sets_priority_status,
 }
 
 _DSUM = "(cast(sum(round(({0}) * 100)::BIGINT) as double) / 100.0)"
@@ -894,4 +914,11 @@ ORACLES = {
         FROM orders
         WINDOW w AS (PARTITION BY o_orderpriority
                      ORDER BY o_totalprice DESC, o_orderkey)""",
+    "grouping_sets_priority_status": """
+        SELECT o_orderpriority, o_orderstatus,
+               count(*) AS n,
+               grouping(o_orderpriority)::INT AS g_priority,
+               grouping(o_orderstatus)::INT AS g_status
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""",
 }

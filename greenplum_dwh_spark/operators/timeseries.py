@@ -1,0 +1,184 @@
+"""Time-series operator family over the ``events`` stream: calendar
+spine generation + gap detection, forward-fill interpolation, exact
+statistical moments, covariance components, and value histograms.
+
+Reference analog: the fraud mart's temporal rules (Data_mart.sql
+rules 3-4) reason over per-client event timelines with gaps; a
+warehouse at 100 TB needs the same timeline algebra as reusable
+operators.  All queries here are oracle-checked bit-exact against
+DuckDB using the repo's parity rules (scaled-int sums, explicit casts,
+unique window tiebreaks — see ``relational.py`` module docstring).
+
+Scale notes per operator are inline; the common design point: every
+query is one shuffle (a groupBy on the natural key) plus windowed or
+generated work that stays partition-local, so the plans are linear in
+input size and skew-bounded by the per-user event cardinality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from greenplum_dwh_spark.sources.tpch import Tables
+
+
+# ---------------------------------------------------------------------------
+# Calendar-spine gap fill with forward-fill interpolation.
+#
+# Per user: hourly activity sums on a dense hour spine spanning the
+# user's own [first, last] hour, gaps flagged and forward-filled with
+# the most recent observed hour's sum.  The spine is generated
+# per-user with sequence()+explode — generation is partition-local
+# (no shuffle beyond the one hourly groupBy), and the row count is
+# bounded by Σ_user span_hours, not users × global_span.  At 100 TB
+# the same plan holds: the explode output feeds a window partitioned
+# by the same key, so AQE coalesces and no second exchange appears.
+def gapfill_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("hour"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    hourly = ev.groupBy("user_id", "hour").agg(
+        F.sum("cents").alias("observed_cents"))
+    span = ev.groupBy("user_id").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+    spine = span.select(
+        "user_id",
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour"))
+    w = Window.partitionBy("user_id").orderBy("hour")
+    return (spine.join(hourly, ["user_id", "hour"], "left")
+            .select("user_id", "hour", "observed_cents",
+                    F.last("observed_cents", ignorenulls=True).over(w)
+                    .alias("filled_cents"),
+                    F.col("observed_cents").isNull().alias("is_gap")))
+
+
+# ---------------------------------------------------------------------------
+# Exact statistical moments per group: count / sum / sum-of-squares /
+# min / max as scaled int64 (order-independent, mergeable — the same
+# partial-aggregate shape a 1000-executor map-side combine produces),
+# plus the mean as one double division of exact ingredients.
+# sum(cents²) ≤ n·(maxcents)² ≈ 2.4e9·n — int64-safe through sf100;
+# production note: promote to decimal(38,0) beyond ~1e9 rows/group.
+def stats_moments_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (t.events.select("event_type", cents.alias("cents"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("cents").alias("sum_cents"),
+                 F.sum(F.col("cents") * F.col("cents")).alias("sum_sq_cents"),
+                 F.min("cents").alias("min_cents"),
+                 F.max("cents").alias("max_cents"))
+            .withColumn("mean_value",
+                        (F.col("sum_cents").cast("double") / 100.0)
+                        / F.col("n")))
+
+
+# ---------------------------------------------------------------------------
+# Covariance / regression components per group, exact.  x = seconds
+# since 2024-01-01 (re-based so Σxy fits int64 at sf1 and beyond:
+# x ≤ 2.6e6, y ≤ 4.9e4 ⇒ xy ≤ 1.3e11, int64-safe to ~7e7 rows/group),
+# y = value cents.  Slope/intercept/correlation are one further
+# arithmetic step from these five sums — emitting the exact sums keeps
+# the oracle bit-exact and the aggregate mergeable across executors.
+def covar_components_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    x = (F.unix_timestamp("ts")
+         - F.unix_timestamp(F.lit("2024-01-01 00:00:00"))).cast("long")
+    y = F.round(F.col("value") * 100).cast("long")
+    return (t.events.select("event_type", x.alias("x"), y.alias("y"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("x").alias("sum_x"),
+                 F.sum("y").alias("sum_y"),
+                 F.sum(F.col("x") * F.col("y")).alias("sum_xy"),
+                 F.sum(F.col("x") * F.col("x")).alias("sum_xx")))
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram via integer binning (width_bucket shape without
+# engine-specific bucket edge semantics): one groupBy on the derived
+# bin key — a single shuffle whose key count is the bin count, so the
+# reduce side is tiny no matter the input scale.
+def histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (t.orders
+            .select(F.floor(F.col("o_totalprice") / 25000).cast("long")
+                    .alias("bin"),
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                    .alias("cents"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 (F.sum("cents").cast("double") / 100.0)
+                 .alias("sum_totalprice"))
+            .withColumn("bin_lo", (F.col("bin") * 25000).cast("double"))
+            .withColumn("bin_hi", ((F.col("bin") + 1) * 25000)
+                        .cast("double")))
+
+
+QUERIES = {
+    "gapfill_forward_fill": gapfill_forward_fill,
+    "stats_moments_events": stats_moments_events,
+    "covar_components_events": covar_components_events,
+    "histogram_orders": histogram_orders,
+}
+
+ORACLES = {
+    "gapfill_forward_fill": """
+        WITH ev AS (
+          SELECT user_id, date_trunc('hour', ts) AS hour,
+                 round(value * 100)::BIGINT AS cents
+          FROM events),
+        hourly AS (
+          SELECT user_id, hour, sum(cents)::BIGINT AS observed_cents
+          FROM ev GROUP BY user_id, hour),
+        span AS (
+          SELECT user_id, min(hour) AS h0, max(hour) AS h1
+          FROM ev GROUP BY user_id),
+        spine AS (
+          SELECT user_id,
+                 unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+          FROM span)
+        SELECT s.user_id, s.hour, h.observed_cents,
+               last_value(h.observed_cents IGNORE NULLS)
+                   OVER (PARTITION BY s.user_id ORDER BY s.hour)
+                   AS filled_cents,
+               (h.observed_cents IS NULL) AS is_gap
+        FROM spine s
+        LEFT JOIN hourly h ON s.user_id = h.user_id AND s.hour = h.hour""",
+    "stats_moments_events": """
+        WITH ev AS (SELECT event_type, round(value * 100)::BIGINT AS cents
+                    FROM events)
+        SELECT event_type,
+               count(*) AS n,
+               sum(cents)::BIGINT AS sum_cents,
+               sum(cents * cents)::BIGINT AS sum_sq_cents,
+               min(cents) AS min_cents,
+               max(cents) AS max_cents,
+               (sum(cents)::BIGINT::DOUBLE / 100.0) / count(*) AS mean_value
+        FROM ev GROUP BY event_type""",
+    "covar_components_events": """
+        WITH ev AS (
+          SELECT event_type,
+                 (floor(epoch(ts))::BIGINT
+                  - floor(epoch(TIMESTAMP '2024-01-01 00:00:00'))::BIGINT)
+                     AS x,
+                 round(value * 100)::BIGINT AS y
+          FROM events)
+        SELECT event_type, count(*) AS n,
+               sum(x)::BIGINT AS sum_x, sum(y)::BIGINT AS sum_y,
+               sum(x * y)::BIGINT AS sum_xy, sum(x * x)::BIGINT AS sum_xx
+        FROM ev GROUP BY event_type""",
+    "histogram_orders": """
+        WITH o AS (SELECT floor(o_totalprice / 25000)::BIGINT AS bin,
+                          round(o_totalprice * 100)::BIGINT AS cents
+                   FROM orders)
+        SELECT bin, count(*) AS n_orders,
+               sum(cents)::BIGINT::DOUBLE / 100.0 AS sum_totalprice,
+               (bin * 25000)::DOUBLE AS bin_lo,
+               ((bin + 1) * 25000)::DOUBLE AS bin_hi
+        FROM o GROUP BY bin""",
+}

@@ -1,0 +1,103 @@
+"""Semantic tests for the timeseries and training-data operator
+families — the oracle parity suite (test_oracle_parity.py) already
+pins bit-exactness; these assert the *behavioral* claims: gaps are
+really detected and filled, PII is really substituted, sampling hits
+the configured rates, per-group top-k is really per-group."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from greenplum_dwh_spark.operators.timeseries import (
+    gapfill_forward_fill, stats_moments_events)
+from greenplum_dwh_spark.operators.training_data import (
+    _SAMPLE_BPS, sample_hash_stratified, scrub_pii, topk_docs_per_lang)
+
+
+def test_gapfill_detects_and_fills_gaps(spark, sf_dir):
+    df = gapfill_forward_fill(spark, sf_dir).cache()
+    try:
+        gaps = df.filter("is_gap")
+        assert gaps.count() > 0, "spine should contain hour gaps"
+        # every gap row after a user's first observation carries the
+        # forward-filled value; the first spine hour is always observed
+        # (span starts at min(hour)), so no gap can have NULL fill
+        assert gaps.filter(F.col("filled_cents").isNull()).count() == 0
+        # fill value equals the most recent observed hour's sum
+        assert df.filter("NOT is_gap")
+        assert (df.filter("NOT is_gap")
+                .filter(F.col("filled_cents") != F.col("observed_cents"))
+                .count()) == 0
+    finally:
+        df.unpersist()
+
+
+def test_gapfill_spine_is_dense_per_user(spark, sf_dir):
+    df = gapfill_forward_fill(spark, sf_dir)
+    per_user = df.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        ((F.unix_timestamp(F.max("hour")) - F.unix_timestamp(F.min("hour")))
+         / 3600 + 1).cast("long").alias("expect"))
+    assert per_user.filter(F.col("n") != F.col("expect")).count() == 0
+
+
+def test_stats_moments_variance_nonnegative(spark, sf_dir):
+    rows = stats_moments_events(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # Var = E[x²] − E[x]² ≥ 0 exactly, because the sums are exact
+        assert r.n * r.sum_sq_cents - r.sum_cents ** 2 >= 0
+        assert r.min_cents <= r.max_cents
+
+
+def test_scrub_pii_substitutes_everything(spark, sf_dir):
+    df = scrub_pii(spark, sf_dir).cache()
+    try:
+        assert df.filter(F.col("n_emails") < 1).count() == 0
+        assert df.filter(F.col("n_ips") < 1).count() == 0
+        leaked = df.filter(
+            F.col("scrubbed").contains("@example.com")
+            | F.col("scrubbed").rlike(r"\d+\.\d+\.\d+\.\d+")
+            | F.col("scrubbed").contains("+1-555-"))
+        assert leaked.count() == 0
+        assert df.filter(F.col("scrubbed").contains("<EMAIL>")
+                         & F.col("scrubbed").contains("<IP>")
+                         & F.col("scrubbed").contains("<PHONE>")
+                         ).count() == df.count()
+    finally:
+        df.unpersist()
+
+
+def test_sample_rates_track_configuration(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    totals = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {r["lang"]: r["n"] for r in
+            sample_hash_stratified(spark, sf_dir)
+            .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, bps in _SAMPLE_BPS.items():
+        frac = kept.get(lang, 0) / totals[lang]
+        # md5 buckets are uniform; with n>=60 docs per lang a ±0.2
+        # absolute tolerance is ~4 sigma
+        assert abs(frac - bps / 10000) < 0.2, (lang, frac, bps)
+
+
+def test_sampling_is_deterministic(spark, sf_dir):
+    a = sorted(r.doc_id for r in
+               sample_hash_stratified(spark, sf_dir).collect())
+    b = sorted(r.doc_id for r in
+               sample_hash_stratified(spark, sf_dir)
+               .repartition(7).collect())
+    assert a == b
+
+
+def test_topk_per_lang_is_per_group(spark, sf_dir):
+    rows = topk_docs_per_lang(spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert len(by_lang) == 5
+    for lang, rs in by_lang.items():
+        assert sorted(r.rk for r in rs) == [1, 2, 3]
+        sizes = [r.n_chars for r in sorted(rs, key=lambda r: r.rk)]
+        assert sizes == sorted(sizes, reverse=True)

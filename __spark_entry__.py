@@ -51,6 +51,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: already green in r02 run last.
 _RUN_FIRST = [
     # newest in round 3 (timeseries + training-data families)
+    "dedup_embedding_clusters", "outlier_iqr_events",
+    "unpivot_status_counts", "text_repetition", "fuzzy_doc_pairs",
     "gapfill_forward_fill", "stats_moments_events",
     "covar_components_events", "histogram_orders",
     "sample_hash_stratified", "scrub_pii", "canon_text_dedup",

@@ -418,11 +418,10 @@ def _small_star(edges: DataFrame) -> DataFrame:
             .distinct())
 
 
-def neardup_clusters(docs: DataFrame,
-                     threshold: float = JACCARD_THRESHOLD) -> DataFrame:
-    """Connected components over the near-dup pair graph — the dedup
-    *clustering* step that turns pairs into groups (pick one
-    representative per cluster to keep).
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """Connected components over an undirected edge list (columns
+    ``u``, ``v``) — the generic clustering step every dedup family
+    shares (MinHash pairs, embedding-LSH pairs, fuzzy-match pairs).
 
     Alternating large-star / small-star contraction: O(log² n) rounds
     on ANY graph (vs O(diameter) for plain label propagation — a
@@ -433,13 +432,9 @@ def neardup_clusters(docs: DataFrame,
     convergence is detected with a single-row aggregate (count +
     order-independent hash) — no data is collected to the driver.
 
-    Returns (doc_id, cluster_id) for every doc that has ≥1 near-dup,
-    cluster_id = min doc_id of the component (matches the recursive-CTE
-    oracle)."""
-    pairs = (minhash_pairs(docs, threshold)
-             .select(F.col("doc_a").alias("u"),
-                     F.col("doc_b").alias("v"))
-             .localCheckpoint())  # materialize the LSH pipeline ONCE
+    Returns (u, cluster) for every node with ≥1 edge, cluster = min
+    node id of the component."""
+    pairs = pairs.localCheckpoint()  # materialize the pair pipeline ONCE
     nodes = (pairs.select("u")
              .unionByName(pairs.select(F.col("v").alias("u")))
              .distinct())
@@ -460,9 +455,21 @@ def neardup_clusters(docs: DataFrame,
     # converged: every edge is (component_min, member)
     roots = edges.select(F.col("u").alias("lbl"), F.col("v").alias("u"))
     return (nodes.join(roots, "u", "left")
+            .select("u",
+                    F.coalesce(F.col("lbl"), F.col("u")).alias("cluster")))
+
+
+def neardup_clusters(docs: DataFrame,
+                     threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """MinHash near-dup pairs → :func:`connected_components` →
+    (doc_id, cluster_id), cluster_id = min doc_id of the component
+    (matches the recursive-CTE oracle)."""
+    pairs = (minhash_pairs(docs, threshold)
+             .select(F.col("doc_a").alias("u"),
+                     F.col("doc_b").alias("v")))
+    return (connected_components(pairs)
             .select(F.col("u").alias("doc_id"),
-                    F.coalesce(F.col("lbl"), F.col("u"))
-                    .alias("cluster_id")))
+                    F.col("cluster").alias("cluster_id")))
 
 
 def _docs(spark, sf_dir):

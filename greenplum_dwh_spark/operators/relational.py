@@ -599,6 +599,18 @@ def grouping_sets_priority_status(spark: SparkSession,
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""")
 
 
+# UNPIVOT (wide→long) — the inverse of the pivot sink: melt the
+# per-status count columns back to (priority, status, n) rows with
+# ``stack``.  Generator-expression fan-out, no shuffle beyond the
+# pivot's own aggregate; zero-count cells survive as explicit rows
+# (unlike re-grouping, which would drop them).
+def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = pivot_status_counts(spark, sf_dir)
+    return wide.select(
+        "o_orderpriority",
+        F.expr("stack(3, 'O', n_o, 'F', n_f, 'P', n_p) AS (status, n)"))
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_segment_revenue": q3_segment_revenue,
@@ -639,6 +651,7 @@ QUERIES = {
     "rollup_merge_hourly": rollup_merge_hourly,
     "window_rank_family": window_rank_family,
     "grouping_sets_priority_status": grouping_sets_priority_status,
+    "unpivot_status_counts": unpivot_status_counts,
 }
 
 _DSUM = "(cast(sum(round(({0}) * 100)::BIGINT) as double) / 100.0)"
@@ -921,4 +934,18 @@ ORACLES = {
                grouping(o_orderstatus)::INT AS g_status
         FROM orders
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""",
+    "unpivot_status_counts": """
+        WITH pv AS (
+          SELECT o_orderpriority,
+                 sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0
+                     END)::BIGINT AS n_o,
+                 sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0
+                     END)::BIGINT AS n_f,
+                 sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0
+                     END)::BIGINT AS n_p
+          FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, s.status,
+               CASE s.status WHEN 'O' THEN n_o WHEN 'F' THEN n_f
+                    ELSE n_p END AS n
+        FROM pv CROSS JOIN (VALUES ('O'), ('F'), ('P')) s(status)""",
 }

@@ -281,6 +281,35 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, threshold=LSH_NEARDUP_THRESHOLD, method="lsh")
 
 
+#: second plant layer for the clustering query: vec_id < PLANT2_COPIES
+#: get a THIRD identical copy at vec_id + 2·PLANT_OFFSET, so the pair
+#: graph has both 2-node and 3-node (triangle) components — the
+#: contraction must actually merge transitively, not just echo pairs.
+PLANT2_COPIES = 100
+
+
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup *clustering*: SRP-banded pairs at the 0.85
+    near-dup threshold over the planted corpus, contracted to
+    connected components (star-contraction, see
+    ``dedup.connected_components``) — the semantic-dedup group step:
+    keep min vec_id per cluster, drop the rest.  Oracle = brute-force
+    pairs + recursive-CTE components."""
+    from greenplum_dwh_spark.operators.dedup import connected_components
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding")
+    plant = lambda n, off: (emb.filter(F.col("vec_id") < n)
+                            .select((F.col("vec_id") + off).alias("vec_id"),
+                                    "embedding"))
+    corpus = (emb.unionByName(plant(PLANT_COPIES, PLANT_OFFSET))
+              .unionByName(plant(PLANT2_COPIES, 2 * PLANT_OFFSET)))
+    pairs = (embedding_neardup_pairs(
+                 corpus, threshold=LSH_NEARDUP_THRESHOLD, method="lsh")
+             .select(F.col("a_id").alias("u"), F.col("b_id").alias("v")))
+    return (connected_components(pairs)
+            .select(F.col("u").alias("vec_id"),
+                    F.col("cluster").alias("cluster_id")))
+
+
 _SQDIFF = ("aggregate(zip_with({a}, {b}, (x, y) -> "
            "(cast(x as double) - cast(y as double)) "
            "* (cast(x as double) - cast(y as double))), "
@@ -314,6 +343,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,       # rows-only (approximate)
     "dedup_embedding": dedup_embedding,
     "dedup_embedding_lsh": dedup_embedding_lsh,
+    "dedup_embedding_clusters": dedup_embedding_clusters,
 }
 
 _DOT_SQL = ("list_reduce(list_transform(range(1, 65), i -> "
@@ -376,4 +406,29 @@ ORACLES = {
               FROM n a JOIN n b ON a.vec_id < b.vec_id)
         SELECT a_id, b_id, cosine FROM p
         WHERE cosine >= {LSH_NEARDUP_THRESHOLD}""",
+    "dedup_embedding_clusters": f"""
+        WITH RECURSIVE
+        u0 AS (SELECT vec_id, embedding FROM embeddings
+               UNION ALL
+               SELECT vec_id + {PLANT_OFFSET}, embedding
+               FROM embeddings WHERE vec_id < {PLANT_COPIES}
+               UNION ALL
+               SELECT vec_id + {2 * PLANT_OFFSET}, embedding
+               FROM embeddings WHERE vec_id < {PLANT2_COPIES}),
+        n AS (SELECT vec_id, embedding,
+              sqrt({_DOT_SQL.format(a='embedding', b='embedding')}) AS nrm
+              FROM u0),
+        edges AS (SELECT a.vec_id AS da, b.vec_id AS db
+                  FROM n a JOIN n b ON a.vec_id < b.vec_id
+                  WHERE {_DOT_SQL.format(a='a.embedding', b='b.embedding')}
+                        / (a.nrm * b.nrm) >= {LSH_NEARDUP_THRESHOLD}),
+        bidir AS (SELECT da u, db v FROM edges
+                  UNION ALL SELECT db, da FROM edges),
+        nodes AS (SELECT DISTINCT u FROM bidir),
+        walk(u, lbl) AS (
+          SELECT u, u FROM nodes
+          UNION
+          SELECT b.v, walk.lbl FROM walk JOIN bidir b ON b.u = walk.u
+          WHERE walk.lbl < b.v)
+        SELECT u AS vec_id, min(lbl) AS cluster_id FROM walk GROUP BY u""",
 }

@@ -264,6 +264,26 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "rank", "score"))
 
 
+# Intra-document repetition (Gopher/RefinedWeb-style quality signal):
+# the fraction of word 2-grams that are repeats of an earlier 2-gram
+# in the same document.  High values flag boilerplate/spam before any
+# cross-document dedup runs.  Pure array expressions inside codegen —
+# no explode, no shuffle: the whole query is a map-only scan.
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    grams = ("transform(sequence(0, greatest(size(toks) - 2, 0)), "
+             "i -> array_join(slice(toks, i + 1, 2), ' '))")
+    return (t.documents
+            .select("doc_id", F.split("text", " ").alias("toks"))
+            .select("doc_id",
+                    F.expr(f"size({grams})").alias("total_2grams"),
+                    F.expr(f"size(array_distinct({grams}))")
+                    .alias("distinct_2grams"))
+            .withColumn("rep_frac",
+                        1.0 - (F.col("distinct_2grams").cast("double")
+                               / F.col("total_2grams"))))
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
@@ -273,6 +293,7 @@ QUERIES = {
     "text_bm25_scaled": text_bm25_scaled,
     "text_bm25_topk_ranks": text_bm25_topk_ranks,
     "text_bm25_topk": text_bm25_topk,   # rows-only (float logs)
+    "text_repetition": text_repetition,
 }
 
 
@@ -402,4 +423,19 @@ ORACLES = {
                FROM agg)
         SELECT doc_id, rank::INT AS rank, score_scaled
         FROM rk WHERE rank <= {BM25_TOP_K}""",
+    "text_repetition": """
+        WITH g AS (
+          SELECT doc_id,
+                 (SELECT CASE WHEN len(w) >= 2
+                         THEN [w[i] || ' ' || w[i+1]
+                               for i in range(1, len(w))]
+                         ELSE [text] END
+                  FROM (SELECT string_split(text, ' ') w)) AS grams
+          FROM documents)
+        SELECT doc_id,
+               len(grams)::INT AS total_2grams,
+               len(list_distinct(grams))::INT AS distinct_2grams,
+               1.0 - (len(list_distinct(grams))::DOUBLE / len(grams))
+                   AS rep_frac
+        FROM g""",
 }

@@ -119,11 +119,33 @@ def histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                         .cast("double")))
 
 
+# ---------------------------------------------------------------------------
+# Quantile-fence (IQR) outlier detection per group — the classic
+# robust-statistics filter a curation pipeline runs on numeric
+# telemetry.  Per-group quantiles reduce to a handful of rows, so the
+# join back to the fact side is a broadcast at any input scale; the
+# fence comparison is identical double arithmetic in both engines
+# (quantile_cont ≡ Spark percentile, proven bit-exact by
+# percentile_prices).
+def outlier_iqr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    fences = (t.events.groupBy("event_type")
+              .agg(F.expr("percentile(value, 0.25)").alias("q1"),
+                   F.expr("percentile(value, 0.75)").alias("q3"))
+              .withColumn("hi_fence",
+                          F.col("q3")
+                          + 1.5 * (F.col("q3") - F.col("q1"))))
+    return (t.events.join(F.broadcast(fences), "event_type")
+            .filter(F.col("value") > F.col("hi_fence"))
+            .select("event_type", "event_id", "value", "hi_fence"))
+
+
 QUERIES = {
     "gapfill_forward_fill": gapfill_forward_fill,
     "stats_moments_events": stats_moments_events,
     "covar_components_events": covar_components_events,
     "histogram_orders": histogram_orders,
+    "outlier_iqr_events": outlier_iqr_events,
 }
 
 ORACLES = {
@@ -181,4 +203,15 @@ ORACLES = {
                (bin * 25000)::DOUBLE AS bin_lo,
                ((bin + 1) * 25000)::DOUBLE AS bin_hi
         FROM o GROUP BY bin""",
+    "outlier_iqr_events": """
+        WITH f AS (
+          SELECT event_type,
+                 quantile_cont(value, 0.25) AS q1,
+                 quantile_cont(value, 0.75) AS q3
+          FROM events GROUP BY event_type),
+        g AS (SELECT event_type,
+                     q3 + 1.5 * (q3 - q1) AS hi_fence FROM f)
+        SELECT e.event_type, e.event_id, e.value, g.hi_fence
+        FROM events e JOIN g ON e.event_type = g.event_type
+        WHERE e.value > g.hi_fence""",
 }

@@ -151,6 +151,35 @@ def tokens_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", (F.col("pos0") + 1).alias("pos"), "token"))
 
 
+# ---------------------------------------------------------------------------
+# Blocked fuzzy matching: candidate pairs share a cheap blocking key
+# (lang + length bucket), then an edit-distance verify on a fixed-size
+# prefix.  The blocked equi-join is the scale story — Σ block² work
+# instead of n², with the block key chosen so blocks stay small (skew
+# in a block is visible as its size; re-block or salt if one explodes).
+# Levenshtein is O(m·n) per pair, so it runs only on the blocked
+# candidates, never all pairs.
+FUZZY_PREFIX = 40
+FUZZY_MAX_DIST = 12
+
+
+def fuzzy_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    d = t.documents.select(
+        "doc_id", "lang",
+        (F.col("n_chars") / 8).cast("long").alias("blk"),
+        F.substring("text", 1, FUZZY_PREFIX).alias("pre"))
+    a = d.select(*[F.col(c).alias(f"a_{c}") for c in d.columns])
+    b = d.select(*[F.col(c).alias(f"b_{c}") for c in d.columns])
+    return (a.join(b, (F.col("a_lang") == F.col("b_lang"))
+                   & (F.col("a_blk") == F.col("b_blk"))
+                   & (F.col("a_doc_id") < F.col("b_doc_id")))
+            .select(F.col("a_doc_id").alias("doc_a"),
+                    F.col("b_doc_id").alias("doc_b"),
+                    F.levenshtein("a_pre", "b_pre").alias("edit_dist"))
+            .filter(F.col("edit_dist") <= FUZZY_MAX_DIST))
+
+
 QUERIES = {
     "sample_hash_stratified": sample_hash_stratified,
     "scrub_pii": scrub_pii,
@@ -158,6 +187,7 @@ QUERIES = {
     "topk_docs_per_lang": topk_docs_per_lang,
     "embedding_hof_norms": embedding_hof_norms,
     "tokens_posexplode": tokens_posexplode,
+    "fuzzy_doc_pairs": fuzzy_doc_pairs,
 }
 
 _CASE_BPS = ("CASE lang WHEN 'en' THEN 2000 WHEN 'zh' THEN 8000 "
@@ -221,4 +251,14 @@ ORACLES = {
                unnest(range(1, len(parts) + 1))::BIGINT AS pos,
                unnest(parts) AS token
         FROM toks""",
+    "fuzzy_doc_pairs": f"""
+        WITH d AS (
+          SELECT doc_id, lang, n_chars // 8 AS blk,
+                 substr(text, 1, {FUZZY_PREFIX}) AS pre
+          FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               levenshtein(a.pre, b.pre)::INT AS edit_dist
+        FROM d a JOIN d b
+          ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.pre, b.pre) <= {FUZZY_MAX_DIST}""",
 }

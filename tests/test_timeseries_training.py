@@ -101,3 +101,45 @@ def test_topk_per_lang_is_per_group(spark, sf_dir):
         assert sorted(r.rk for r in rs) == [1, 2, 3]
         sizes = [r.n_chars for r in sorted(rs, key=lambda r: r.rk)]
         assert sizes == sorted(sizes, reverse=True)
+
+
+def test_embedding_clusters_merge_transitively(spark, sf_dir):
+    from greenplum_dwh_spark.operators.similarity import (
+        PLANT2_COPIES, PLANT_COPIES, dedup_embedding_clusters)
+    rows = dedup_embedding_clusters(spark, sf_dir).collect()
+    sizes: dict[int, int] = {}
+    for r in rows:
+        sizes[r.cluster_id] = sizes.get(r.cluster_id, 0) + 1
+    # vec_id < PLANT2_COPIES have two planted copies -> 3-node
+    # components; the rest of the planted range -> 2-node components
+    assert sorted(sizes.values()).count(3) == PLANT2_COPIES
+    assert sorted(sizes.values()).count(2) == PLANT_COPIES - PLANT2_COPIES
+    # cluster id is the component minimum = the original vec_id
+    for r in rows:
+        assert r.cluster_id == r.vec_id % 1_000_000
+
+
+def test_outlier_fence_excludes_inliers(spark, sf_dir):
+    from greenplum_dwh_spark.operators.timeseries import outlier_iqr_events
+    df = outlier_iqr_events(spark, sf_dir)
+    assert df.count() > 0
+    assert df.filter(F.col("value") <= F.col("hi_fence")).count() == 0
+
+
+def test_unpivot_preserves_counts(spark, sf_dir):
+    from greenplum_dwh_spark.operators.relational import (
+        unpivot_status_counts)
+    long = unpivot_status_counts(spark, sf_dir)
+    total = long.agg(F.sum("n")).first()[0]
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    assert total == orders.count()
+    assert long.count() == long.select("o_orderpriority").distinct().count() * 3
+
+
+def test_repetition_bounds(spark, sf_dir):
+    from greenplum_dwh_spark.operators.text_analysis import text_repetition
+    df = text_repetition(spark, sf_dir)
+    assert df.filter((F.col("rep_frac") < 0) | (F.col("rep_frac") >= 1)
+                     ).count() == 0
+    # a natural-ish corpus repeats SOME 2-grams
+    assert df.filter(F.col("rep_frac") > 0).count() > 0

@@ -51,6 +51,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: already green in r02 run last.
 _RUN_FIRST = [
     # newest in round 3 (timeseries + training-data families)
+    "big_spenders_having", "argmax_order_per_customer", "order_keys_csv",
     "dedup_embedding_clusters", "outlier_iqr_events",
     "unpivot_status_counts", "text_repetition", "fuzzy_doc_pairs",
     "gapfill_forward_fill", "stats_moments_events",

@@ -611,6 +611,46 @@ def unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("stack(3, 'O', n_o, 'F', n_f, 'P', n_p) AS (status, n)"))
 
 
+# HAVING — filter on the aggregate's output (TPC-H Q18 shape): big
+# spenders by exact summed cents.  Catalyst plans the HAVING as a
+# post-aggregate filter in the same stage, so it costs nothing beyond
+# the groupBy it already needed.
+def big_spenders_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (t.orders
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 _dsum(F.col("o_totalprice")).alias("total_spend"))
+            .filter(F.col("total_spend") > 1_500_000))
+
+
+# argmax per group via max_by — one aggregate, no window, no self-join
+# (the classic "row of the max" idiom at its cheapest: single shuffle,
+# partial max_by on the map side).  The struct comparator makes the
+# tie-break (higher orderkey) explicit and portable; the oracle proves
+# the same semantics through a row_number formulation.
+def argmax_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (t.orders
+            .groupBy("o_custkey")
+            .agg(F.expr("max_by(o_orderkey, struct(o_totalprice, o_orderkey))")
+                 .alias("top_orderkey"),
+                 F.max("o_totalprice").alias("top_totalprice")))
+
+
+# ordered list aggregation — collect per-customer order keys as a
+# deterministic CSV (array_sort makes the result order-independent,
+# array_join makes it engine-portable; raw array hashing differs by
+# client representation).
+def order_keys_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    return (t.orders
+            .groupBy("o_custkey")
+            .agg(F.array_join(
+                F.array_sort(F.collect_list("o_orderkey")), ",")
+                .alias("orderkeys_csv")))
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_segment_revenue": q3_segment_revenue,
@@ -652,6 +692,9 @@ QUERIES = {
     "window_rank_family": window_rank_family,
     "grouping_sets_priority_status": grouping_sets_priority_status,
     "unpivot_status_counts": unpivot_status_counts,
+    "big_spenders_having": big_spenders_having,
+    "argmax_order_per_customer": argmax_order_per_customer,
+    "order_keys_csv": order_keys_csv,
 }
 
 _DSUM = "(cast(sum(round(({0}) * 100)::BIGINT) as double) / 100.0)"
@@ -948,4 +991,21 @@ ORACLES = {
                CASE s.status WHEN 'O' THEN n_o WHEN 'F' THEN n_f
                     ELSE n_p END AS n
         FROM pv CROSS JOIN (VALUES ('O'), ('F'), ('P')) s(status)""",
+    "big_spenders_having": f"""
+        SELECT o_custkey, count(*) AS n_orders,
+               {_DSUM.format('o_totalprice')} AS total_spend
+        FROM orders GROUP BY o_custkey
+        HAVING {_DSUM.format('o_totalprice')} > 1500000""",
+    "argmax_order_per_customer": """
+        SELECT o_custkey, o_orderkey AS top_orderkey,
+               o_totalprice AS top_totalprice
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                         ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+              FROM orders) WHERE rn = 1""",
+    "order_keys_csv": """
+        SELECT o_custkey,
+               list_aggr(list_sort(list(o_orderkey)), 'string_agg', ',')
+                   AS orderkeys_csv
+        FROM orders GROUP BY o_custkey""",
 }

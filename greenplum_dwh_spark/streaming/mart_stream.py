@@ -141,6 +141,36 @@ def stream_tumbling_counts(events_stream: DataFrame,
                     "event_type", "n"))
 
 
+def stream_interval_join(views: DataFrame, clicks: DataFrame,
+                         horizon: str = "10 minutes",
+                         watermark: str = "30 minutes") -> DataFrame:
+    """Stream-stream inner join with an event-time interval bound:
+    attribute each click to the views by the same user in the
+    preceding ``horizon`` (the attribution shape of the reference's
+    city-hop rule, Data_mart.sql:289-293, but with BOTH sides live
+    streams instead of stream-static).
+
+    Both inputs carry watermarks and the join predicate time-bounds
+    ``click_ts`` within ``[view_ts, view_ts + horizon]`` — that range
+    condition is what lets Spark evict buffered rows once the
+    watermark passes their interval, keeping join state O(horizon ×
+    rate) instead of unbounded (a pure equi-join on user_id would
+    buffer both streams forever)."""
+    v = (views.withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("v_user"),
+                 F.col("event_id").alias("view_id"),
+                 F.col("ts").alias("view_ts")))
+    c = (clicks.withWatermark("ts", watermark)
+         .select(F.col("user_id").alias("c_user"),
+                 F.col("event_id").alias("click_id"),
+                 F.col("ts").alias("click_ts")))
+    return (v.join(c, F.expr(
+                f"v_user = c_user AND click_ts >= view_ts "
+                f"AND click_ts <= view_ts + interval {horizon}"))
+            .select(F.col("v_user").alias("user_id"),
+                    "view_id", "click_id", "view_ts", "click_ts"))
+
+
 def stream_dedup(docs_stream: DataFrame,
                  watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup: drop payloads whose content digest was

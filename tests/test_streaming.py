@@ -301,3 +301,62 @@ def test_stream_sessionize_closed_sessions(spark, tmp_path):
             for r in got.collect()}
     # closed sessions only — the trailing open session stays in state
     assert rows == {(1, 1): 2, (1, 2): 2, (2, 1): 1}
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join (view→click attribution within 10
+    minutes) over two file streams drained across two batches equals
+    the batch join on the union of the data; a click outside the
+    horizon never joins."""
+    import pandas as pd
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m, 0)
+    views = pd.DataFrame({
+        "event_id": [10, 11, 12],
+        "ts": pd.to_datetime([t(9, 0), t(9, 30), t(10, 0)]),
+        "user_id": [1, 1, 2]})
+    clicks_b1 = pd.DataFrame({
+        "event_id": [20, 21],
+        "ts": pd.to_datetime([t(9, 5), t(9, 31)]),   # joins v10, v11
+        "user_id": [1, 1]})
+    clicks_b2 = pd.DataFrame({
+        "event_id": [22, 23],
+        "ts": pd.to_datetime([t(10, 9), t(10, 30)]),  # joins v12; 23 late
+        "user_id": [2, 2]})
+    schema = "event_id bigint, ts timestamp, user_id bigint"
+    vdir, cdir = tmp_path / "views", tmp_path / "clicks"
+    vdir.mkdir(), cdir.mkdir()
+    out, ckpt = str(tmp_path / "ij_out"), str(tmp_path / "ij_ckpt")
+
+    def drain():
+        vs = spark.readStream.schema(schema).parquet(
+            str(vdir) + "/*.parquet")
+        cs = spark.readStream.schema(schema).parquet(
+            str(cdir) + "/*.parquet")
+        q = (MS.stream_interval_join(vs, cs)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    spark.createDataFrame(views, schema).coalesce(1) \
+        .write.parquet(str(vdir / "b1.parquet"))
+    spark.createDataFrame(clicks_b1, schema).coalesce(1) \
+        .write.parquet(str(cdir / "b1.parquet"))
+    drain()
+    spark.createDataFrame(clicks_b2, schema).coalesce(1) \
+        .write.parquet(str(cdir / "b2.parquet"))
+    drain()
+
+    got = sorted((r.view_id, r.click_id)
+                 for r in spark.read.parquet(out).collect())
+    # batch equivalent over the full data
+    vb = spark.createDataFrame(views, schema)
+    cb = spark.createDataFrame(pd.concat([clicks_b1, clicks_b2]), schema)
+    want = sorted(
+        (v.event_id, c.event_id)
+        for v in vb.collect() for c in cb.collect()
+        if v.user_id == c.user_id
+        and v.ts <= c.ts <= v.ts + dt.timedelta(minutes=10))
+    assert got == want
+    assert (10, 20) in got and (12, 22) in got
+    assert all(c != 23 for _, c in got), "click outside horizon joined"

@@ -34,7 +34,8 @@ def main() -> None:
     from greenplum_dwh_spark.session import get_spark
     from greenplum_dwh_spark.operators import (dedup, packing, relational,
                                                sessions, similarity,
-                                               text_analysis)
+                                               text_analysis, timeseries,
+                                               training_data)
 
     spark = get_spark("bench", extra_conf={"spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")
@@ -67,6 +68,12 @@ def main() -> None:
         "range_join_tumbling_rewrite": relational.range_join_tumbling_rewrite,
         "dedup_clusters": dedup.dedup_clusters,
         "pack_documents": packing.pack_documents,
+        # round-3 families: timeline algebra + curation verbs
+        "gapfill_forward_fill": timeseries.gapfill_forward_fill,
+        "outlier_iqr_events": timeseries.outlier_iqr_events,
+        "sample_hash_stratified": training_data.sample_hash_stratified,
+        "fuzzy_doc_pairs": training_data.fuzzy_doc_pairs,
+        "text_repetition": text_analysis.text_repetition,
     }
 
     # untimed warm-up: touch every input table once so per-query numbers

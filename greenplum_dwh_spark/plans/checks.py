@@ -50,3 +50,19 @@ def codegen_stage_count(df: DataFrame) -> int:
     plan = physical_plan(df)
     ids = set(re.findall(r"\*\((\d+)\)", plan))
     return len(ids) or plan.count("WholeStageCodegen")
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators in the physical plan
+    (broadcast exchanges excluded — those move dimension-sized data).
+    The scale discipline in one number: every unneeded exchange is a
+    full re-shuffle of the data at 100 TB."""
+    return sum(1 for line in physical_plan(df).splitlines()
+               if "Exchange hashpartitioning" in line
+               or "Exchange rangepartitioning" in line
+               or "Exchange RoundRobinPartitioning" in line)
+
+
+def has_python_udf(df: DataFrame) -> bool:
+    plan = physical_plan(df)
+    return "BatchEvalPython" in plan or "ArrowEvalPython" in plan

@@ -129,3 +129,65 @@ def test_corrupt_xlsx_raises(spark, tmp_path):
     fake.write_bytes(b"PK\x03\x04 not a real workbook")
     with pytest.raises(Exception):
         read_extract(spark, str(fake))
+
+
+def test_sample_is_map_only_no_shuffle(spark, sf_dir):
+    """Deterministic hash sampling must be a pure scan+filter: zero
+    shuffle exchanges, no Python."""
+    from greenplum_dwh_spark.operators.training_data import (
+        sample_hash_stratified)
+    df = sample_hash_stratified(spark, sf_dir)
+    assert checks.exchange_count(df) == 0
+    assert not checks.has_python_udf(df)
+
+
+def test_scrub_and_repetition_are_map_only(spark, sf_dir):
+    from greenplum_dwh_spark.operators.text_analysis import text_repetition
+    from greenplum_dwh_spark.operators.training_data import scrub_pii
+    for df in (scrub_pii(spark, sf_dir), text_repetition(spark, sf_dir)):
+        assert checks.exchange_count(df) == 0
+        assert not checks.has_python_udf(df)
+
+
+def test_argmax_is_single_shuffle_aggregate(spark, sf_dir):
+    """max_by argmax: one exchange (partial agg map-side), no window,
+    no join."""
+    from greenplum_dwh_spark.operators.relational import (
+        argmax_order_per_customer)
+    df = argmax_order_per_customer(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    assert checks.exchange_count(df) == 1
+    assert "Window" not in plan and "Join" not in plan
+
+
+def test_outlier_fences_broadcast_back(spark, sf_dir):
+    """The per-group quantile fences are dimension-sized — the join
+    back to events must broadcast, never shuffle the fact side."""
+    from greenplum_dwh_spark.operators.timeseries import outlier_iqr_events
+    df = outlier_iqr_events(spark, sf_dir)
+    assert checks.has_broadcast_join(df)
+    assert not checks.has_sort_merge_join(df)
+
+
+def test_gapfill_no_cartesian_no_python(spark, sf_dir):
+    """Spine generation must come from sequence+explode, not a
+    calendar cross join; fill is a window, not a self-join chain."""
+    from greenplum_dwh_spark.operators.timeseries import (
+        gapfill_forward_fill)
+    df = gapfill_forward_fill(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan
+    assert not checks.has_python_udf(df)
+
+
+def test_fuzzy_pairs_join_is_blocked_equi(spark, sf_dir):
+    """The fuzzy matcher must plan as an equi-join on the blocking key
+    (lang, length bucket) with levenshtein only in the post-join
+    filter — never a nested-loop all-pairs comparison."""
+    from greenplum_dwh_spark.operators.training_data import fuzzy_doc_pairs
+    df = fuzzy_doc_pairs(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan

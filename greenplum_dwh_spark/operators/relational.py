@@ -651,6 +651,42 @@ def order_keys_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("orderkeys_csv")))
 
 
+# FULL OUTER join — the one join type the mart pipeline never needed
+# but a reconciliation query does: align per-user hourly click vs
+# purchase activity, keeping hours where either side is missing.  Both
+# sides pre-aggregate to (user, hour) grain before the join, so the
+# exchange moves group-count rows, not raw events.
+def full_outer_user_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    hour = F.date_trunc("hour", "ts").alias("hour")
+    side = lambda typ, out: (t.events.filter(F.col("event_type") == typ)
+                             .select("user_id", hour)
+                             .groupBy("user_id", "hour")
+                             .agg(F.count(F.lit(1)).alias(out)))
+    clicks = side("click", "n_clicks")
+    purchases = side("purchase", "n_purchases")
+    return (clicks.join(purchases, ["user_id", "hour"], "full")
+            .select("user_id", "hour",
+                    F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+                    F.coalesce("n_purchases", F.lit(0))
+                    .alias("n_purchases")))
+
+
+# nth_value / first_value over an explicit full frame — the remaining
+# window-function family members (W5 frame coverage: full-partition
+# ROWS frame beside the running and sliding frames already checked).
+def window_nth_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w = (Window.partitionBy("o_orderpriority")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return t.orders.select(
+        "o_orderkey", "o_orderpriority",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
+        F.last("o_orderkey").over(w).alias("last_key"))
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_segment_revenue": q3_segment_revenue,
@@ -695,6 +731,8 @@ QUERIES = {
     "big_spenders_having": big_spenders_having,
     "argmax_order_per_customer": argmax_order_per_customer,
     "order_keys_csv": order_keys_csv,
+    "full_outer_user_hours": full_outer_user_hours,
+    "window_nth_family": window_nth_family,
 }
 
 _DSUM = "(cast(sum(round(({0}) * 100)::BIGINT) as double) / 100.0)"
@@ -1008,4 +1046,29 @@ ORACLES = {
                list_aggr(list_sort(list(o_orderkey)), 'string_agg', ',')
                    AS orderkeys_csv
         FROM orders GROUP BY o_custkey""",
+    "full_outer_user_hours": """
+        WITH c AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+                          count(*) AS n_clicks
+                   FROM events WHERE event_type = 'click'
+                   GROUP BY user_id, hour),
+        p AS (SELECT user_id, date_trunc('hour', ts) AS hour,
+                     count(*) AS n_purchases
+              FROM events WHERE event_type = 'purchase'
+              GROUP BY user_id, hour)
+        SELECT coalesce(c.user_id, p.user_id) AS user_id,
+               coalesce(c.hour, p.hour) AS hour,
+               coalesce(n_clicks, 0)::BIGINT AS n_clicks,
+               coalesce(n_purchases, 0)::BIGINT AS n_purchases
+        FROM c FULL OUTER JOIN p
+          ON c.user_id = p.user_id AND c.hour = p.hour""",
+    "window_nth_family": """
+        SELECT o_orderkey, o_orderpriority,
+               first_value(o_orderkey) OVER w AS first_key,
+               nth_value(o_orderkey, 3) OVER w AS third_key,
+               last_value(o_orderkey) OVER w AS last_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING)""",
 }

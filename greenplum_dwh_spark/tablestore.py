@@ -91,6 +91,44 @@ class TableStore:
         self.drop(name)
         self.init_append(name, schema)
 
+    def compact_append(self, name: str, target_files: int = 1,
+                       partition_cols: list[str] | None = None) -> dict:
+        """Small-file compaction for an append table — the maintenance
+        op every micro-batch sink needs: N appends of M tasks each
+        leave N·M files, and at 100 TB the scan's task count (and the
+        namenode's metadata) follows the file count, not the byte
+        count.
+
+        Rewrites the table to ``target_files`` files (per partition
+        value when ``partition_cols`` is set: routing each value to
+        one task makes each directory collapse to a single file) into
+        a staging dir, then swaps directories.  The swap is two
+        renames on one filesystem — crash-safe up to the instant
+        between them; a real deployment swaps this for Delta/Iceberg
+        ``rewriteFiles``, which commits the same rewrite atomically in
+        the table log (same slot-in point as overwrite_versioned).
+
+        Returns {"files_before": n, "files_after": m}."""
+        path = self._path(name)
+        count = lambda: sum(1 for r, _, fs in os.walk(path)
+                            for f in fs if f.endswith(".parquet"))
+        before = count()
+        df = self.spark.read.parquet(path)
+        if partition_cols:
+            staged = df.repartition(*[F.col(c) for c in partition_cols])
+        else:
+            staged = df.repartition(target_files)
+        tmp = path + ".compacting"
+        w = staged.write.mode("overwrite")
+        if partition_cols:
+            w = w.partitionBy(*partition_cols)
+        w.parquet(tmp)
+        trash = path + ".old"
+        os.rename(path, trash)
+        os.rename(tmp, path)
+        shutil.rmtree(trash)
+        return {"files_before": before, "files_after": count()}
+
     # ---- versioned (bucketed copy-on-write) tables ------------------------
     def _current_version(self, name: str) -> int:
         ptr = self._path(name, _POINTER)

@@ -143,3 +143,39 @@ def test_repetition_bounds(spark, sf_dir):
                      ).count() == 0
     # a natural-ish corpus repeats SOME 2-grams
     assert df.filter(F.col("rep_frac") > 0).count() > 0
+
+
+def test_compact_append_collapses_files(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from greenplum_dwh_spark.tablestore import TableStore
+    ts = TableStore(spark, str(tmp_path / "store"))
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    ts.init_append("t", schema)
+    for i in range(5):
+        ts.append("t", spark.createDataFrame(
+            [(i * 10 + j, f"x{i}_{j}") for j in range(4)], schema)
+            .repartition(4))
+    before = sorted((r.k, r.v) for r in ts.read("t").collect())
+    stats = ts.compact_append("t", target_files=1)
+    assert stats["files_before"] > stats["files_after"] == 1
+    assert sorted((r.k, r.v) for r in ts.read("t").collect()) == before
+
+
+def test_compact_append_partitioned_one_file_per_day(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from greenplum_dwh_spark.tablestore import TableStore
+    ts = TableStore(spark, str(tmp_path / "store"))
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("day", T.StringType())])
+    ts.init_append("t", schema, partition_cols=["day"])
+    for i in range(3):
+        ts.append("t", spark.createDataFrame(
+            [(i * 10 + j, f"d{j % 2}") for j in range(4)], schema)
+            .repartition(4), partition_cols=["day"])
+    before = sorted((r.k, r.day) for r in ts.read("t").collect())
+    stats = ts.compact_append("t", partition_cols=["day"])
+    assert stats["files_after"] <= 2 < stats["files_before"]
+    assert sorted((r.k, r.day) for r in ts.read("t").collect()) == before

@@ -42,6 +42,16 @@ def read_extract(spark: SparkSession, path: str) -> DataFrame:
               .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
               .csv(path))
         return _positional(spark, df, cast=True)
+    if ext in (".jsonl", ".json"):
+        # newline-delimited JSON with the landing schema declared up
+        # front: no schema inference pass over the data (at 100 TB the
+        # inference scan would double the read), malformed rows fail
+        # loudly instead of silently widening types
+        df = (spark.read.schema(schemas.LANDING)
+              .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+              .option("mode", "FAILFAST")
+              .json(path))
+        return df.select(*[f.name for f in schemas.LANDING.fields])
     # xlsx via the dependency-free lite reader (insert_from_excel.py:22
     # equivalent; handles the extracts' subset of xlsx — one sheet,
     # shared strings, numeric/date-serial cells)

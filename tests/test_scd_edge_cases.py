@@ -201,3 +201,39 @@ def test_unchanged_batch_skips_dim_rewrites(spark, tmp_path):
     assert v_before == v_after          # no rewrite happened
     # fact still double-appends (reference semantics)
     assert wh.read("fact_transactions").count() == 130
+
+
+def test_jsonl_extract_roundtrip(spark, tmp_path):
+    """JSONL ingestion path: declared schema (no inference scan),
+    FAILFAST on malformed rows."""
+    import pytest
+
+    from greenplum_dwh_spark import schemas
+    from greenplum_dwh_spark.sources.landing import read_extract
+    from tests import bank_fixture as bf
+    import pandas as pd
+
+    from pyspark.sql import types as T
+    pdf = bf.generate_extracts()[bf.DAYS[0]].head(20).copy()
+    pdf["trans_date"] = pdf["trans_date"].dt.strftime("%Y-%m-%d %H:%M:%S")
+    # JSON carries dates as strings (pandas would otherwise serialize
+    # date cells as epoch millis, which the declared DATE type rejects)
+    for f, col in zip(schemas.LANDING.fields, pdf.columns):
+        if isinstance(f.dataType, T.DateType):
+            pdf[col] = pd.Series(
+                [None if v is None else str(v) for v in pdf[col]])
+    path = tmp_path / "extract.jsonl"
+    pdf.to_json(path, orient="records", lines=True)
+    df = read_extract(spark, str(path))
+    assert [f.name for f in df.schema.fields] == \
+        [f.name for f in schemas.LANDING.fields]
+    rows = df.orderBy("trans_id").collect()
+    assert len(rows) == 20
+    assert rows[0]["trans_date"] is not None
+    assert float(rows[0]["amount"]) == float(pdf.iloc[0]["amount"])
+
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text('{"trans_id": "t1", "amount": "not-a-number"}\n'
+                   "this is not json\n")
+    with pytest.raises(Exception):
+        read_extract(spark, str(bad)).collect()

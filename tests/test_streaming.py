@@ -360,3 +360,54 @@ def test_stream_interval_join_matches_batch(spark, tmp_path):
     assert got == want
     assert (10, 20) in got and (12, 22) in got
     assert all(c != 23 for _, c in got), "click outside horizon joined"
+
+
+def test_stream_maintains_continuous_rollup(spark, tmp_path):
+    """foreachBatch → HourlyRollup.maintain: the continuous aggregate
+    maintained from a file stream across two drains (plus a compact in
+    between) equals the direct batch aggregation of all events."""
+    import pandas as pd
+
+    from greenplum_dwh_spark.operators.rollup_store import HourlyRollup
+    from greenplum_dwh_spark.tablestore import TableStore
+    t = lambda h, m: dt.datetime(2024, 1, 1, h, m, 0)
+    b1 = pd.DataFrame({"ts": pd.to_datetime([t(9, 10), t(9, 50), t(10, 5)]),
+                       "event_type": ["click", "click", "view"],
+                       "value": [1.25, 2.50, 10.00]})
+    b2 = pd.DataFrame({"ts": pd.to_datetime([t(9, 59), t(11, 0)]),
+                       "event_type": ["click", "view"],
+                       "value": [0.25, 4.75]})
+    schema = "ts timestamp, event_type string, value double"
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    store = TableStore(spark, str(tmp_path / "store"))
+    rollup = HourlyRollup(store)
+    ckpt = str(tmp_path / "ru_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(
+            str(src) + "/*.parquet")
+        q = (stream.writeStream
+             .foreachBatch(lambda df, _id: rollup.maintain(df))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    spark.createDataFrame(b1, schema).coalesce(1) \
+        .write.parquet(str(src / "b1.parquet"))
+    drain()
+    rollup.compact()
+    spark.createDataFrame(b2, schema).coalesce(1) \
+        .write.parquet(str(src / "b2.parquet"))
+    drain()
+
+    got = {(r.bucket_start, r.event_type): (r.n, r.sum_value)
+           for r in rollup.query().collect()}
+    allpdf = pd.concat([b1, b2])
+    direct = spark.createDataFrame(allpdf, schema) \
+        .groupBy(F.date_trunc("HOUR", "ts").alias("b"), "event_type") \
+        .agg(F.count(F.lit(1)).alias("n"),
+             (F.sum(F.round(F.col("value") * 100).cast("long"))
+              .cast("double") / 100.0).alias("s"))
+    want = {(r.b, r.event_type): (r.n, r.s) for r in direct.collect()}
+    assert got == want

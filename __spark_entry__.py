@@ -53,6 +53,7 @@ _RUN_FIRST = [
     # newest in round 3 (timeseries + training-data families)
     "big_spenders_having", "argmax_order_per_customer", "order_keys_csv",
     "full_outer_user_hours", "window_nth_family",
+    "sessionize_native_window",
     "dedup_embedding_clusters", "outlier_iqr_events",
     "unpivot_status_counts", "text_repetition", "fuzzy_doc_pairs",
     "gapfill_forward_fill", "stats_moments_events",

@@ -64,7 +64,28 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(Tables(spark, sf_dir).events)
 
 
-QUERIES = {"sessionize_events": sessionize_events}
+def sessionize_native_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``session_window`` — the engine-native variant
+    of :func:`sessionize` (and the operator the *streaming* form would
+    use with a watermark, where the window-algebra plan is
+    inapplicable because lag/cumsum aren't incremental).
+
+    Boundary semantics differ from the hand-rolled operator and the
+    oracle mirrors them exactly: a session extends while the next
+    event is STRICTLY before prev_ts + gap (micro-precision timestamp
+    arithmetic — not the second-floored epoch gap of
+    :func:`sessionize`), and the emitted ``end_ts_excl`` is
+    ``last_event + gap`` (exclusive), not the last event time."""
+    ev = Tables(spark, sf_dir).events
+    return (ev.groupBy("user_id",
+                       F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("user_id", F.col("w.start").alias("start_ts"),
+                    F.col("w.end").alias("end_ts_excl"), "n_events"))
+
+
+QUERIES = {"sessionize_events": sessionize_events,
+           "sessionize_native_window": sessionize_native_window}
 
 ORACLES = {
     "sessionize_events": f"""
@@ -84,4 +105,20 @@ ORACLES = {
         SELECT user_id, session_id, count(*) AS n_events,
                min(ts)::TIMESTAMP AS start_ts, max(ts)::TIMESTAMP AS end_ts
         FROM s GROUP BY user_id, session_id""",
+    "sessionize_native_window": """
+        WITH x AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS ns
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (SELECT user_id, ts,
+                     sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS sid
+              FROM x)
+        SELECT user_id,
+               min(ts)::TIMESTAMP AS start_ts,
+               (max(ts) + INTERVAL 30 MINUTE)::TIMESTAMP AS end_ts_excl,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, sid""",
 }

@@ -5,8 +5,10 @@
 SURVEY.md §2 plus the training-data-pipeline extensions (dedup,
 similarity search, text analysis, sessionization, multimodal columns).
 
-The 6 queries without an ``oracle_sql`` entry are the deliberately
+The 7 queries without an ``oracle_sql`` entry are the deliberately
 non-SQL-exact ones, each pinned by tests instead:
+``text_heavy_hitters`` (Space-Saving sketch; containment + error-bound
+guarantees asserted vs exact counts),
 ``ann_ivf_topk`` (approximate IVF scale path; recall ≥0.95 vs the
 exact operator asserted), ``chain_fraud_state`` (general ≥3-chain
 state machine — the window variant ``chain_fraud_window`` IS
@@ -53,7 +55,7 @@ _RUN_FIRST = [
     # newest in round 3 (timeseries + training-data families)
     "big_spenders_having", "argmax_order_per_customer", "order_keys_csv",
     "full_outer_user_hours", "window_nth_family",
-    "sessionize_native_window",
+    "sessionize_native_window", "text_heavy_hitters",
     "dedup_embedding_clusters", "outlier_iqr_events",
     "unpivot_status_counts", "text_repetition", "fuzzy_doc_pairs",
     "gapfill_forward_fill", "stats_moments_events",

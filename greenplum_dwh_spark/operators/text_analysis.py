@@ -284,6 +284,21 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                                / F.col("total_2grams"))))
 
 
+# Heavy-hitter tokens via the parallel Space-Saving sketch
+# (functions/sketch.py): bounded memory per partition no matter the
+# vocabulary size — the scale alternative to an exact full-vocabulary
+# groupBy when only the top of the Zipf curve matters.  Approximate by
+# construction → rows-only driver check; the containment guarantee
+# (every token with freq > N/capacity present, counts within max_err)
+# is asserted against exact counts in tests.
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from greenplum_dwh_spark.functions.sketch import frequent_items
+    t = Tables(spark, sf_dir)
+    toks = (t.documents
+            .select(F.explode(F.split("text", " ")).alias("token")))
+    return frequent_items(toks, "token", capacity=256, top_k=20)
+
+
 QUERIES = {
     "text_langid": text_langid,
     "text_quality": text_quality,
@@ -294,6 +309,7 @@ QUERIES = {
     "text_bm25_topk_ranks": text_bm25_topk_ranks,
     "text_bm25_topk": text_bm25_topk,   # rows-only (float logs)
     "text_repetition": text_repetition,
+    "text_heavy_hitters": text_heavy_hitters,  # rows-only (sketch)
 }
 
 

@@ -81,3 +81,40 @@ def test_kmv_estimate_accuracy(spark, sf_dir):
               for r in est.join(exact, "event_type").collect()}
     for etype, (d_hat, d) in joined.items():
         assert abs(d_hat - d) / d < 0.3, (etype, d_hat, d)
+
+
+def test_space_saving_guarantee_and_error_bound(spark):
+    """Parallel Space-Saving: every item with true frequency >
+    N/capacity must appear; every reported count is an overestimate by
+    at most max_err; on a corpus whose distinct count fits the
+    capacity the counts are exact."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from greenplum_dwh_spark.functions.sketch import frequent_items
+    rng = random.Random(7)
+    # Zipf-ish: token_0 dominates, long uniform tail of 5000 rares
+    items = (["hot_a"] * 4000 + ["hot_b"] * 2500 + ["hot_c"] * 1500
+             + [f"rare_{rng.randrange(5000)}" for _ in range(4000)])
+    rng.shuffle(items)
+    df = spark.createDataFrame([(x,) for x in items], "item string") \
+        .repartition(8)
+    exact = {r["item"]: r["n"] for r in
+             df.groupBy("item").agg(F.count("*").alias("n")).collect()}
+    n = len(items)
+    cap = 64
+    got = {r["item"]: (r["count_est"], r["max_err"])
+           for r in frequent_items(df, "item", capacity=cap,
+                                   top_k=10).collect()}
+    for item, true_n in exact.items():
+        if true_n > n / cap:
+            assert item in got, f"guaranteed heavy hitter {item} missing"
+    for item, (est, err) in got.items():
+        true_n = exact.get(item, 0)
+        assert true_n <= est <= true_n + err, (item, true_n, est, err)
+    # small-cardinality input (fits capacity): exact, zero error
+    small = spark.createDataFrame(
+        [(f"t{i % 5}",) for i in range(100)], "item string").repartition(4)
+    for r in frequent_items(small, "item", capacity=64, top_k=5).collect():
+        assert r["count_est"] == 20 and r["max_err"] == 0

@@ -28,13 +28,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _modules():
-    from greenplum_dwh_spark.operators import (dedup, multimodal_ops,
+    from greenplum_dwh_spark.operators import (curation, dedup,
+                                               multimodal_ops,
                                                packing, quality,
                                                relational, sessions,
                                                similarity, text_analysis,
                                                timeseries, training_data)
     return [relational, dedup, text_analysis, similarity, sessions,
-            multimodal_ops, quality, packing, timeseries, training_data]
+            multimodal_ops, quality, packing, timeseries, training_data,
+            curation]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -52,7 +54,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: 8 queries whose last green row is r01, then the rest; the 8 queries
 #: already green in r02 run last.
 _RUN_FIRST = [
-    # newest in round 3 (timeseries + training-data families)
+    # newest in round 3 (curation family + OHLC resample)
+    "decontaminate_ngrams", "split_train_holdout", "chunk_documents",
+    "remove_boilerplate_lines", "bigram_lm_counts", "shard_and_order",
+    "resample_ohlc",
+    # earlier round 3 (timeseries + training-data families)
     "big_spenders_having", "argmax_order_per_customer", "order_keys_csv",
     "full_outer_user_hours", "window_nth_family",
     "sessionize_native_window", "text_heavy_hitters",

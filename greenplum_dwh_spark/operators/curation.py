@@ -1,0 +1,337 @@
+"""Corpus-curation operators: the verbs that sit between a raw crawl
+and a tokenized training set — benchmark decontamination, reproducible
+train/holdout splitting, context-window chunking, boilerplate-line
+removal, n-gram language-model counts, and shard assignment with
+intra-shard ordering.
+
+These extend ``training_data.py`` (sampling / scrubbing / canon dedup)
+with the remaining pipeline stages; all six queries are oracle-checked
+bit-exact against DuckDB under the repo's parity rules (md5-based
+determinism, no rand(), integer-exact aggregates, guarded sequence()
+generation — Spark's ``sequence(1, 0)`` yields ``[1, 0]`` while
+DuckDB's ``range(1, 1)`` is empty, so every generated index range is
+wrapped in a size guard).
+
+Scale design, common to the family: the per-document work (token
+splitting, n-gram construction, chunk spans, line splitting) is
+map-only and pipelined inside the parquet scan stage; the cross-corpus
+steps reduce to either a broadcast against a *small* derived set (the
+eval-suite n-grams, the boilerplate line list) or one groupBy on a
+well-distributed key.  Nothing here is all-pairs and nothing collects
+to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from greenplum_dwh_spark.sources.tpch import Tables
+
+#: Word-n-gram order for decontamination overlap.  Real pipelines use
+#: 8-13 (Brown et al. GPT-3 appx. C uses 13-grams; most open recipes
+#: 8); this corpus is synthetic word salad over a ~40-word vocabulary,
+#: where 8-gram cross-doc collisions are essentially impossible
+#: (measured: zero at sf0.01), so the demo calibrates n=3 — the same
+#: corpus-calibration argument as dedup_embedding's threshold.  The
+#: operator shape (explode → broadcast semi-join → per-doc count) is
+#: order-independent.
+DECON_N = 3
+
+#: Context-window chunking parameters (tokens): window of 64 with
+#: stride 48 ⇒ 16-token overlap between consecutive chunks.
+CHUNK_WINDOW = 64
+CHUNK_STRIDE = 48
+
+#: A line is "boilerplate" when it appears verbatim in at least this
+#: many distinct documents (C4/RefinedWeb-style cross-document line
+#: frequency rule).
+BOILER_MIN_DOCS = 10
+
+#: Output shards for shard_and_order.
+N_SHARDS = 32
+
+
+def _tok(col: str = "text"):
+    return F.split(col, " ")
+
+
+def _hash_bucket(col, mod: int):
+    """Uniform bucket in [0, mod) from md5 — portable across Spark and
+    DuckDB, deterministic under repartitioning (no rand())."""
+    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 6), 16, 10)
+            .cast("long") % mod)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: flag training documents sharing any word
+# n-gram with a held-out eval slice (doc_id % 97 == 0 stands in for
+# the benchmark suite).  Scale story: the eval side is tiny relative
+# to the corpus (benchmarks are MBs, corpora are TBs), so its distinct
+# n-gram set is broadcast and the corpus side never shuffles — the
+# explode and the semi-join both pipeline inside the scan stage; the
+# only exchange is the final per-doc count, keyed on doc_id
+# (skew-free).  At 100 TB this is the textbook plan: one map-side
+# pass over the corpus against a broadcast eval-gram set.
+def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    grams = (t.documents
+             .select("doc_id", _tok().alias("t"))
+             .select("doc_id", F.explode(F.expr(
+                 f"CASE WHEN size(t) >= {DECON_N} THEN "
+                 f"transform(sequence(1, size(t) - {DECON_N - 1}),"
+                 f" i -> concat_ws(' ', slice(t, i, {DECON_N})))"
+                 " ELSE array() END")).alias("g")))
+    ev = (grams.filter(F.col("doc_id") % 97 == 0)
+          .select("g").distinct())
+    tr = grams.filter(F.col("doc_id") % 97 != 0)
+    return (tr.join(F.broadcast(ev), "g")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("g").alias("n_hit_grams"),
+                 F.count(F.lit(1)).alias("n_hits")))
+
+
+# ---------------------------------------------------------------------------
+# Reproducible train/val/test split: 98/1/1 by md5 bucket of doc_id,
+# reported as per-(lang, split) document and character counts.  The
+# assignment is a pure row function (map-only, engine-portable,
+# partitioning-independent — re-running on a different cluster or
+# after a repartition yields byte-identical splits, which rand(seed)
+# does NOT guarantee); the single shuffle is the tiny summary groupBy.
+def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    b = _hash_bucket(F.col("doc_id"), 10000)
+    split = (F.when(b < 9800, "train")
+             .when(b < 9900, "val")
+             .otherwise("test"))
+    return (t.documents
+            .select("lang", split.alias("split"), "n_chars")
+            .groupBy("lang", "split")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").alias("sum_chars")))
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking: split each document's token sequence into
+# overlapping fixed-size windows (the pre-tokenization pass that turns
+# documents into training sequences).  Entirely map-side: the chunk
+# index range is generated per row and exploded in place — no shuffle
+# at any scale, output rows ≈ Σ tokens / stride.  The md5 of each
+# chunk's text pins content, not just spans, in the oracle comparison.
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    w, s = CHUNK_WINDOW, CHUNK_STRIDE
+    toks = t.documents.select(
+        "doc_id", _tok().alias("t"), F.size(_tok()).alias("n_tok"))
+    spans = toks.select(
+        "doc_id", "t", "n_tok",
+        F.explode(F.expr(
+            f"sequence(0, greatest((n_tok - {w} + {s - 1}) div {s}, 0))"))
+        .alias("chunk_id"))
+    tok_start = F.col("chunk_id") * s + 1
+    tok_end = F.least(F.col("chunk_id") * s + w, F.col("n_tok"))
+    return spans.select(
+        "doc_id", "chunk_id",
+        tok_start.cast("long").alias("tok_start"),
+        tok_end.cast("long").alias("tok_end"),
+        F.md5(F.concat_ws(
+            " ", F.slice(F.col("t"), tok_start, tok_end - tok_start + 1)))
+        .alias("chunk_md5"))
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate-line removal (the C4 rule: drop lines
+# occurring verbatim in many documents).  The synthetic corpus has no
+# newlines, so the query first *plants* them deterministically — a
+# unique per-doc line plus one of two boilerplate lines by doc_id % 3
+# — then removes lines appearing in ≥ BOILER_MIN_DOCS distinct docs
+# and reassembles each document in original line order (same
+# plant-then-operate discipline as scrub_pii).  Scale story: the line
+# frequency table aggregates to (distinct lines), and the *frequent*
+# subset that survives the ≥ threshold filter is tiny by construction
+# (a line in ≥10 docs of a deduplicated corpus is rare), so the
+# removal join is a broadcast LEFT ANTI — the corpus shuffles once,
+# for the per-doc reassembly groupBy.  Reassembly sorts each doc's
+# kept lines by position inside the aggregate (array_sort on a
+# (pos, line) struct — partition-local, no extra exchange).
+def remove_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"), F.lit("\nref code "),
+        F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 3 == 0,
+               "\nsubscribe to our newsletter today")
+        .when(F.col("doc_id") % 3 == 1, "\nall rights reserved worldwide")
+        .otherwise(""))
+    lines = (t.documents
+             .select("doc_id",
+                     F.posexplode(F.split(planted, "\n"))
+                     .alias("pos0", "line"))
+             .select("doc_id", (F.col("pos0") + 1).alias("pos"), "line"))
+    boiler = (lines.groupBy("line")
+              .agg(F.countDistinct("doc_id").alias("nd"))
+              .filter(F.col("nd") >= BOILER_MIN_DOCS)
+              .select("line"))
+    kept = lines.join(F.broadcast(boiler), "line", "left_anti")
+    return (kept.groupBy("doc_id")
+            .agg(F.concat_ws(
+                     "\n",
+                     F.expr("transform(array_sort(collect_list("
+                            "struct(pos, line))), x -> x.line)"))
+                 .alias("clean_text"),
+                 F.count(F.lit(1)).alias("n_lines_kept")))
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model counts with exact conditional-probability
+# ingredients: count(w1,w2) and the left-context total count(w1 ·) —
+# p(w2|w1) is one division away, kept as exact integers so the oracle
+# matches bit-exactly (the classic distributed LM-counts job, Brants
+# et al. 2007).  Plan: map-side bigram explode → one groupBy on
+# (w1, w2) with partial aggregation → a window re-keyed on w1 for the
+# totals.  Both shuffles move only the *aggregated* bigram table (≤
+# vocab², independent of corpus size) — at 100 TB the corpus itself
+# is read once and reduced in the map stage.
+def bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    bi = (t.documents
+          .select(_tok().alias("t"))
+          .select(F.explode(F.expr(
+              "CASE WHEN size(t) >= 2 THEN "
+              "transform(sequence(1, size(t) - 1),"
+              " i -> struct(element_at(t, i) AS w1,"
+              "             element_at(t, i + 1) AS w2))"
+              " ELSE array() END")).alias("b"))
+          .select("b.w1", "b.w2"))
+    counts = (bi.groupBy("w1", "w2")
+              .agg(F.count(F.lit(1)).alias("n_pair")))
+    return counts.withColumn(
+        "n_w1", F.sum("n_pair").over(Window.partitionBy("w1")))
+
+
+# ---------------------------------------------------------------------------
+# Shard assignment + intra-shard ordering: the deterministic "global
+# shuffle" a distributed dataloader needs, WITHOUT a global sort — a
+# total order over 100 TB would funnel through one range-partitioned
+# sort, whereas (shard, pos-within-shard) gives every loader a stable
+# read order with the window partitioned by shard (parallel across
+# shards, one exchange).  Shard and order both derive from md5, so
+# the "shuffle" is reproducible across runs, engines, and cluster
+# sizes — rerunning with different partitioning yields the same
+# (shard, pos) for every document.
+def shard_and_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    h = F.md5(F.col("doc_id").cast("string"))
+    d = t.documents.select(
+        "doc_id", h.alias("h"),
+        _hash_bucket(F.col("doc_id"), N_SHARDS).alias("shard"))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return d.select("shard", "doc_id",
+                    F.row_number().over(w).alias("pos"))
+
+
+QUERIES = {
+    "decontaminate_ngrams": decontaminate_ngrams,
+    "split_train_holdout": split_train_holdout,
+    "chunk_documents": chunk_documents,
+    "remove_boilerplate_lines": remove_boilerplate_lines,
+    "bigram_lm_counts": bigram_lm_counts,
+    "shard_and_order": shard_and_order,
+}
+
+ORACLES = {
+    "decontaminate_ngrams": f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+        grams AS (
+          SELECT doc_id,
+                 array_to_string(list_slice(t, i, i + {DECON_N - 1}), ' ')
+                     AS g
+          FROM toks, unnest(range(1, len(t) - {DECON_N - 2})) AS u(i)),
+        ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+        tr AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+        SELECT tr.doc_id,
+               count(DISTINCT tr.g)::BIGINT AS n_hit_grams,
+               count(*)::BIGINT AS n_hits
+        FROM tr JOIN ev USING (g)
+        GROUP BY tr.doc_id""",
+    "split_train_holdout": """
+        WITH d AS (
+          SELECT lang, n_chars,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT
+                     % 10000 AS b
+          FROM documents)
+        SELECT lang,
+               CASE WHEN b < 9800 THEN 'train'
+                    WHEN b < 9900 THEN 'val'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               sum(n_chars)::BIGINT AS sum_chars
+        FROM d GROUP BY lang, split""",
+    "chunk_documents": f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+        spans AS (
+          SELECT doc_id, t, len(t) AS n_tok,
+                 unnest(range(0, greatest(
+                     (len(t) - {CHUNK_WINDOW} + {CHUNK_STRIDE - 1})
+                         // {CHUNK_STRIDE}, 0) + 1)) AS chunk_id
+          FROM toks)
+        SELECT doc_id, chunk_id,
+               (chunk_id * {CHUNK_STRIDE} + 1)::BIGINT AS tok_start,
+               least(chunk_id * {CHUNK_STRIDE} + {CHUNK_WINDOW},
+                     n_tok)::BIGINT AS tok_end,
+               md5(array_to_string(list_slice(t,
+                   chunk_id * {CHUNK_STRIDE} + 1,
+                   least(chunk_id * {CHUNK_STRIDE} + {CHUNK_WINDOW},
+                         n_tok)), ' ')) AS chunk_md5
+        FROM spans""",
+    "remove_boilerplate_lines": f"""
+        WITH p AS (
+          SELECT doc_id,
+                 text || chr(10) || 'ref code ' || doc_id ||
+                 CASE WHEN doc_id % 3 = 0
+                      THEN chr(10) || 'subscribe to our newsletter today'
+                      WHEN doc_id % 3 = 1
+                      THEN chr(10) || 'all rights reserved worldwide'
+                      ELSE '' END AS planted
+          FROM documents),
+        ls AS (SELECT doc_id, string_split(planted, chr(10)) AS arr
+               FROM p),
+        lines AS (
+          SELECT doc_id, i AS pos, arr[i] AS line
+          FROM ls, unnest(range(1, len(arr) + 1)) AS u(i)),
+        freq AS (SELECT line, count(DISTINCT doc_id) AS nd
+                 FROM lines GROUP BY line),
+        boiler AS (SELECT line FROM freq
+                   WHERE nd >= {BOILER_MIN_DOCS}),
+        kept AS (
+          SELECT l.doc_id, l.pos, l.line
+          FROM lines l ANTI JOIN boiler b ON l.line = b.line)
+        SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+               count(*)::BIGINT AS n_lines_kept
+        FROM kept GROUP BY doc_id""",
+    "bigram_lm_counts": """
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+        bi AS (
+          SELECT t[i] AS w1, t[i + 1] AS w2
+          FROM toks, unnest(range(1, len(t))) AS u(i)),
+        c AS (SELECT w1, w2, count(*)::BIGINT AS n_pair
+              FROM bi GROUP BY w1, w2)
+        SELECT w1, w2, n_pair,
+               sum(n_pair) OVER (PARTITION BY w1)::BIGINT AS n_w1
+        FROM c""",
+    "shard_and_order": f"""
+        WITH d AS (
+          SELECT doc_id, md5(doc_id::VARCHAR) AS h FROM documents),
+        s AS (SELECT doc_id, h,
+                     ('0x' || substr(h, 1, 6))::BIGINT % {N_SHARDS}
+                         AS shard
+              FROM d)
+        SELECT shard, doc_id,
+               row_number() OVER (PARTITION BY shard
+                                  ORDER BY h, doc_id) AS pos
+        FROM s""",
+}

@@ -140,8 +140,44 @@ def outlier_iqr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("event_type", "event_id", "value", "hi_fence"))
 
 
+# ---------------------------------------------------------------------------
+# OHLC resampling (downsample a value stream to per-user hourly
+# open/high/low/close/volume bars) — the canonical time-series
+# compaction.  open/close are selected by row_number over (ts,
+# event_id) — a *unique* ordering, so the result is deterministic
+# under any partitioning (min_by/max_by on ts alone would tie-break
+# arbitrarily).  Both windows share one hash partition on (user_id,
+# hour); the groupBy that follows re-uses the same key, so the whole
+# query is a single exchange plus two partition-local sorts.  Bars
+# per group are bounded by events-per-user-hour — skew-bounded the
+# same way the gapfill spine is.
+def resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.select(
+        "user_id", F.date_trunc("hour", "ts").alias("hour"),
+        "ts", "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"))
+    wf = Window.partitionBy("user_id", "hour").orderBy("ts", "event_id")
+    wl = Window.partitionBy("user_id", "hour").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    rk = ev.select(
+        "*",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"))
+    return (rk.groupBy("user_id", "hour")
+            .agg(F.max(F.when(F.col("rf") == 1, F.col("cents")))
+                 .alias("open_cents"),
+                 F.max(F.when(F.col("rl") == 1, F.col("cents")))
+                 .alias("close_cents"),
+                 F.min("cents").alias("low_cents"),
+                 F.max("cents").alias("high_cents"),
+                 F.sum("cents").alias("vol_cents"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
 QUERIES = {
     "gapfill_forward_fill": gapfill_forward_fill,
+    "resample_ohlc": resample_ohlc,
     "stats_moments_events": stats_moments_events,
     "covar_components_events": covar_components_events,
     "histogram_orders": histogram_orders,
@@ -149,6 +185,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "resample_ohlc": """
+        WITH ev AS (
+          SELECT user_id, date_trunc('hour', ts) AS hour, ts, event_id,
+                 round(value * 100)::BIGINT AS cents
+          FROM events),
+        rk AS (
+          SELECT *,
+                 row_number() OVER (PARTITION BY user_id, hour
+                     ORDER BY ts, event_id) AS rf,
+                 row_number() OVER (PARTITION BY user_id, hour
+                     ORDER BY ts DESC, event_id DESC) AS rl
+          FROM ev)
+        SELECT user_id, hour,
+               max(CASE WHEN rf = 1 THEN cents END)::BIGINT AS open_cents,
+               max(CASE WHEN rl = 1 THEN cents END)::BIGINT AS close_cents,
+               min(cents) AS low_cents, max(cents) AS high_cents,
+               sum(cents)::BIGINT AS vol_cents, count(*) AS n_events
+        FROM rk GROUP BY user_id, hour""",
     "gapfill_forward_fill": """
         WITH ev AS (
           SELECT user_id, date_trunc('hour', ts) AS hour,

@@ -1,0 +1,134 @@
+"""Semantic invariants + plan shapes for the curation operator family
+(decontamination, splits, chunking, boilerplate removal, LM counts,
+sharding) and the OHLC resample.  Oracle parity is covered separately
+by test_oracle_parity.py's auto-parametrization; these tests pin the
+properties the oracle comparison alone can't express (determinism
+under repartitioning, coverage/overlap guarantees, plan shapes)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from greenplum_dwh_spark.operators import curation, timeseries
+from greenplum_dwh_spark.plans import checks
+
+
+def test_decontaminate_excludes_eval_docs_and_bounds(spark, sf_dir):
+    out = curation.decontaminate_ngrams(spark, sf_dir).collect()
+    assert len(out) > 0  # the calibrated n actually fires on this corpus
+    for r in out:
+        assert r.doc_id % 97 != 0  # eval slice never flags itself
+        assert 1 <= r.n_hit_grams <= r.n_hits
+
+
+def test_decontaminate_eval_side_is_broadcast(spark, sf_dir):
+    plan = checks.physical_plan(
+        curation.decontaminate_ngrams(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_split_partitions_whole_corpus(spark, sf_dir):
+    out = curation.split_train_holdout(spark, sf_dir)
+    total = out.agg(F.sum("n_docs")).collect()[0][0]
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert total == n_docs
+    splits = {r.split for r in out.collect()}
+    assert splits <= {"train", "val", "test"}
+    train = (out.filter(F.col("split") == "train")
+             .agg(F.sum("n_docs")).collect()[0][0] or 0)
+    assert train / n_docs > 0.9  # 98% nominal, small-sample slack
+
+
+def test_chunks_cover_every_token_with_overlap(spark, sf_dir):
+    w, s = curation.CHUNK_WINDOW, curation.CHUNK_STRIDE
+    rows = curation.chunk_documents(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    docs = {r.doc_id: r.n_tok for r in spark.read.parquet(
+        f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+        .collect()}
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        assert chunks[0].tok_start == 1
+        assert chunks[-1].tok_end == docs[doc_id]
+        for a, b in zip(chunks, chunks[1:]):
+            assert b.tok_start == a.tok_start + s  # fixed stride
+            assert b.tok_start <= a.tok_end + 1  # no token gap
+        for c in chunks:
+            assert c.tok_end - c.tok_start + 1 <= w
+
+
+def test_chunking_is_map_only(spark, sf_dir):
+    df = curation.chunk_documents(spark, sf_dir)
+    assert checks.exchange_count(df) == 0
+
+
+def test_boilerplate_lines_removed_unique_lines_kept(spark, sf_dir):
+    out = curation.remove_boilerplate_lines(spark, sf_dir).collect()
+    for r in out:
+        assert "subscribe to our newsletter today" not in r.clean_text
+        assert "all rights reserved worldwide" not in r.clean_text
+        assert f"ref code {r.doc_id}" in r.clean_text  # unique line kept
+        assert r.n_lines_kept == len(r.clean_text.split("\n"))
+
+
+def test_boilerplate_removal_joins_are_not_cartesian(spark, sf_dir):
+    plan = checks.physical_plan(
+        curation.remove_boilerplate_lines(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bigram_totals_are_consistent(spark, sf_dir):
+    out = curation.bigram_lm_counts(spark, sf_dir)
+    # n_w1 must equal the sum of n_pair within each w1 — the exact
+    # denominator of p(w2|w1)
+    bad = (out.groupBy("w1", "n_w1")
+           .agg(F.sum("n_pair").alias("s"))
+           .filter(F.col("s") != F.col("n_w1")))
+    assert bad.count() == 0
+    # conditional probabilities per w1 sum to exactly 1 as rationals
+    probs = (out.groupBy("w1")
+             .agg(F.sum(F.col("n_pair") / F.col("n_w1")).alias("p")))
+    for r in probs.collect():
+        assert abs(r.p - 1.0) < 1e-9
+
+
+def test_shard_positions_are_dense_and_deterministic(spark, sf_dir):
+    a = curation.shard_and_order(spark, sf_dir)
+    # dense 1..n positions inside every shard
+    per = (a.groupBy("shard")
+           .agg(F.count(F.lit(1)).alias("n"), F.max("pos").alias("mx"),
+                F.min("pos").alias("mn"),
+                F.countDistinct("pos").alias("nd")))
+    for r in per.collect():
+        assert (r.mn, r.mx, r.nd) == (1, r.n, r.n)
+    # byte-identical under a different input partitioning
+    b = curation.shard_and_order(spark, sf_dir)
+    b = b.repartition(13)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_ohlc_bar_invariants(spark, sf_dir):
+    out = timeseries.resample_ohlc(spark, sf_dir)
+    bad = out.filter(
+        (F.col("open_cents") < F.col("low_cents"))
+        | (F.col("open_cents") > F.col("high_cents"))
+        | (F.col("close_cents") < F.col("low_cents"))
+        | (F.col("close_cents") > F.col("high_cents"))
+        | (F.col("n_events") < 1))
+    assert bad.count() == 0
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert total == n_events
+
+
+def test_ohlc_single_exchange(spark, sf_dir):
+    # two windows + the groupBy all share one (user_id, hour) hash
+    # partitioning: exactly one shuffle exchange in the whole plan
+    df = timeseries.resample_ohlc(spark, sf_dir)
+    assert checks.exchange_count(df) == 1

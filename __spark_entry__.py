@@ -54,7 +54,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: 8 queries whose last green row is r01, then the rest; the 8 queries
 #: already green in r02 run last.
 _RUN_FIRST = [
-    # newest in round 3 (curation family + OHLC resample)
+    # newest in round 3 (curation family + OHLC resample + composites)
+    "dedup_keep_best", "embedding_quantize",
     "decontaminate_ngrams", "split_train_holdout", "chunk_documents",
     "remove_boilerplate_lines", "bigram_lm_counts", "shard_and_order",
     "resample_ohlc",

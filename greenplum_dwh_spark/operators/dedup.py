@@ -472,6 +472,39 @@ def neardup_clusters(docs: DataFrame,
                     F.col("cluster").alias("cluster_id")))
 
 
+def keep_best_per_cluster(docs: DataFrame,
+                          threshold: float = JACCARD_THRESHOLD
+                          ) -> DataFrame:
+    """End-to-end dedup selection: near-dup clusters → one surviving
+    representative per cluster, keeping the LONGEST document (ties →
+    min doc_id) — the policy most curation pipelines apply after
+    clustering (drop shorter variants of the same content).
+
+    Composes :func:`neardup_clusters` (edge-bearing docs only) with a
+    left join so singleton documents form their own cluster, then a
+    per-cluster argmax window.  Scale shape: the cluster table is one
+    row per edge-bearing doc (≪ corpus after exact dedup), the join
+    back is on doc_id (broadcast when clusters are few, shuffle
+    otherwise — AQE decides), and the argmax window partitions by
+    cluster_id whose cardinality ≈ docs, so no skew beyond the
+    largest cluster (bounded by the hot-band guard upstream)."""
+    cl = neardup_clusters(docs, threshold)
+    full = (docs.select("doc_id", "n_chars")
+            .join(cl.withColumnRenamed("cluster_id", "cl"),
+                  "doc_id", "left")
+            .select("doc_id", "n_chars",
+                    F.coalesce("cl", "doc_id").alias("cluster_id")))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), "doc_id")
+    best = (full.select("*", F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") == 1))
+    sizes = full.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"))
+    return (best.join(sizes, "cluster_id")
+            .select("cluster_id", F.col("doc_id").alias("keep_doc_id"),
+                    "n_chars", "n_members"))
+
+
 def _docs(spark, sf_dir):
     return Tables(spark, sf_dir).documents
 
@@ -501,7 +534,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(_docs(spark, sf_dir))
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return keep_best_per_cluster(_docs(spark, sf_dir))
+
+
 QUERIES = {
+    "dedup_keep_best": dedup_keep_best,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_simhash": dedup_simhash,
@@ -589,4 +627,40 @@ ORACLES = {
     "dedup_jaccard_prefix": _jaccard_pairs_oracle(_W2, PREFIX_THRESHOLD),
     "dedup_char_jaccard": _jaccard_pairs_oracle(_C4,
                                                 CHAR_JACCARD_THRESHOLD),
+    "dedup_keep_best": f"""
+        WITH RECURSIVE
+        sh AS (SELECT doc_id, {_W3} AS s FROM documents),
+        ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS t FROM sh),
+        cand AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                        any_value(a.n) AS na, any_value(b.n) AS nb,
+                        count(*) AS inter
+                 FROM ex a JOIN ex b ON a.t = b.t AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id),
+        edges AS (SELECT da, db FROM cand
+                  WHERE inter::DOUBLE / (na + nb - inter)
+                        >= {JACCARD_THRESHOLD}),
+        bidir AS (SELECT da u, db v FROM edges
+                  UNION ALL SELECT db, da FROM edges),
+        nodes AS (SELECT DISTINCT u FROM bidir),
+        walk(u, lbl) AS (
+          SELECT u, u FROM nodes
+          UNION
+          SELECT b.v, walk.lbl FROM walk JOIN bidir b ON b.u = walk.u
+          WHERE walk.lbl < b.v),
+        cl AS (SELECT u AS doc_id, min(lbl) AS cluster_id
+               FROM walk GROUP BY u),
+        alldocs AS (
+          SELECT d.doc_id, d.n_chars,
+                 coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id),
+        best AS (
+          SELECT *, row_number() OVER (PARTITION BY cluster_id
+                        ORDER BY n_chars DESC, doc_id) AS rk
+          FROM alldocs),
+        sizes AS (SELECT cluster_id, count(*)::BIGINT AS n_members
+                  FROM alldocs GROUP BY cluster_id)
+        SELECT b.cluster_id, b.doc_id AS keep_doc_id, b.n_chars,
+               s.n_members
+        FROM best b JOIN sizes s ON b.cluster_id = s.cluster_id
+        WHERE b.rk = 1""",
 }

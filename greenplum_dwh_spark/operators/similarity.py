@@ -337,7 +337,36 @@ def ann_euclidean_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("rank").cast("int").alias("rank"), "dist"))
 
 
+# ---------------------------------------------------------------------------
+# Symmetric int8 quantization per vector (the storage/serving compression
+# step of an embedding index): scale = max |component|, each component →
+# floor(v / scale * 127).  Map-only — one narrow projection, no shuffle
+# at any corpus size; the fold for the scale and the per-component
+# transform are both index-order double arithmetic, so the DuckDB twin
+# is bit-exact (same discipline as the cosine fold).  The quantized
+# array is pinned by md5 of its comma-join plus exact integer summary
+# stats (emitting the raw array would make the comparison depend on
+# engine array-rendering).
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    scaled = emb.select(
+        "vec_id", "embedding",
+        F.expr("aggregate(embedding, cast(0.0 as double), "
+               "(a, v) -> greatest(a, abs(cast(v as double))))")
+        .alias("scale"))
+    q = ("transform(embedding, v -> "
+         "cast(floor(cast(v as double) / scale * 127.0) as bigint))")
+    return scaled.select(
+        "vec_id", "scale",
+        F.md5(F.expr(f"concat_ws(',', {q})")).alias("q_md5"),
+        F.expr(f"aggregate({q}, cast(0 as bigint), (a, v) -> a + v)")
+        .alias("q_sum"),
+        F.expr(f"array_min({q})").alias("q_min"),
+        F.expr(f"array_max({q})").alias("q_max"))
+
+
 QUERIES = {
+    "embedding_quantize": embedding_quantize,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_euclidean_topk": ann_euclidean_topk,
     "ann_ivf_topk": ann_ivf_topk,       # rows-only (approximate)
@@ -349,7 +378,24 @@ QUERIES = {
 _DOT_SQL = ("list_reduce(list_transform(range(1, 65), i -> "
             "{a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)")
 
+_QL = ("list_transform(embedding, v -> "
+       "floor(v::DOUBLE / scale * 127.0)::BIGINT)")
+
 ORACLES = {
+    "embedding_quantize": f"""
+        WITH s AS (
+          SELECT vec_id, embedding,
+                 list_reduce(list_prepend(0.0::DOUBLE,
+                     list_transform(embedding, v -> abs(v::DOUBLE))),
+                     (a, v) -> greatest(a, v)) AS scale
+          FROM embeddings)
+        SELECT vec_id, scale,
+               md5(array_to_string({_QL}, ',')) AS q_md5,
+               list_reduce(list_prepend(0::BIGINT, {_QL}),
+                           (a, v) -> a + v)::BIGINT AS q_sum,
+               list_min({_QL}) AS q_min,
+               list_max({_QL}) AS q_max
+        FROM s""",
     "ann_cosine_topk": f"""
         WITH n AS (SELECT vec_id, embedding,
                    sqrt({_DOT_SQL.format(a='embedding', b='embedding')})

@@ -15,6 +15,8 @@ Training-data operators (DataFrame-level)::
 
     api.exact_dedup(docs)                # hash dedup
     api.minhash_pairs(docs)              # near-dup pairs, LSH + verify
+    api.keep_best_per_cluster(docs)      # cluster + survivor policy
+    api.connected_components(pairs)      # generic edge-list clustering
     api.simhash_pairs(docs)              # hamming near-dups
     api.jaccard_prefix_pairs(docs)       # exact set-similarity join
     api.cosine_topk(queries, corpus)     # exact ANN
@@ -41,11 +43,10 @@ from greenplum_dwh_spark.multimodal.codec import (decode_image,  # noqa: F401
                                                   pack_payloads)
 from greenplum_dwh_spark.functions.sketch import (kmv_estimate,  # noqa: F401
                                                   kmv_merge, kmv_sketch)
-from greenplum_dwh_spark.operators.dedup import (exact_dedup,  # noqa: F401
-                                                 jaccard_prefix_pairs,
-                                                 minhash_pairs,
-                                                 neardup_clusters,
-                                                 simhash_pairs)
+from greenplum_dwh_spark.operators.dedup import (  # noqa: F401
+    connected_components, exact_dedup, jaccard_prefix_pairs,
+    keep_best_per_cluster, minhash_pairs, neardup_clusters,
+    simhash_pairs)
 from greenplum_dwh_spark.operators.packing import pack_batches  # noqa: F401
 from greenplum_dwh_spark.operators.patterns import match_pattern  # noqa: F401
 from greenplum_dwh_spark.operators.rollup_store import HourlyRollup  # noqa: F401

@@ -30,7 +30,8 @@ def add_report_data(wh, scd_type: str,
                     run_ts: dt.datetime | None = None) -> int:
     """Append all detected fraud events to the report; returns #rows."""
     if run_ts is None:
-        run_ts = dt.datetime.utcnow()
+        # naive-UTC wall clock (utcnow() is deprecated in 3.12)
+        run_ts = dt.datetime.now(dt.UTC).replace(tzinfo=None)
     stg = mart_staging(wh, scd_type)
     if stg is None:
         return 0

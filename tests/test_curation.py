@@ -127,6 +127,35 @@ def test_ohlc_bar_invariants(spark, sf_dir):
     assert total == n_events
 
 
+def test_keep_best_keeper_dominates_cluster(spark, sf_dir):
+    from greenplum_dwh_spark.operators.dedup import (dedup_clusters,
+                                                     dedup_keep_best)
+    kept = dedup_keep_best(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # survivors partition the corpus: Σ n_members == n_docs
+    assert kept.agg(F.sum("n_members")).collect()[0][0] == docs.count()
+    # keeper length is the max within its cluster
+    cl = dedup_clusters(spark, sf_dir)
+    members = (docs.select("doc_id", "n_chars")
+               .join(cl, "doc_id", "left")
+               .select("n_chars",
+                       F.coalesce("cluster_id", "doc_id")
+                       .alias("cluster_id")))
+    mx = members.groupBy("cluster_id").agg(F.max("n_chars").alias("mx"))
+    bad = kept.join(mx, "cluster_id").filter(F.col("n_chars") != F.col("mx"))
+    assert bad.count() == 0
+
+
+def test_quantize_bounds_and_scale(spark, sf_dir):
+    from greenplum_dwh_spark.operators.similarity import embedding_quantize
+    out = embedding_quantize(spark, sf_dir)
+    bad = out.filter((F.col("q_max") > 127) | (F.col("q_min") < -127)
+                     | (F.col("scale") <= 0))
+    assert bad.count() == 0
+    # map-only: no shuffle at any corpus size
+    assert checks.exchange_count(out) == 0
+
+
 def test_ohlc_single_exchange(spark, sf_dir):
     # two windows + the groupBy all share one (user_id, hour) hash
     # partitioning: exactly one shuffle exchange in the whole plan

@@ -191,3 +191,36 @@ def test_fuzzy_pairs_join_is_blocked_equi(spark, sf_dir):
     plan = checks.physical_plan(df)
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_prunes_unbroadcastable_join(spark, sf_dir):
+    """When the dim side of a selective join is too big to broadcast
+    (at 100 TB even filtered dims can be), Spark can still prune the
+    fact side BEFORE the shuffle via a runtime bloom filter: a
+    bloom_filter_agg on the build side, might_contain pushed onto the
+    probe scan.  This test pins that the engine config allows the
+    injection (it is the designed fallback for the broadcast-join
+    discipline asserted elsewhere)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+             .filter(F.col("o_orderpriority") == "1-URGENT"))
+        j = (li.join(o, li.l_orderkey == o.o_orderkey)
+             .select("l_orderkey", "l_quantity", "o_orderpriority"))
+        plan = checks.physical_plan(j)
+        assert "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -38,6 +38,20 @@ SIMHASH_BITS = 60          # 15 hex chars -> fits signed int64
 SIMHASH_BAND_BITS = 6      # 10 bands; pigeonhole-complete for dist <= 9
 
 
+def md5_bucket(col: Column, mod: int) -> Column:
+    """Uniform bucket in [0, mod) from the md5 of a key — identical in
+    Spark (conv hex→dec) and DuckDB (``('0x'||hex)::BIGINT``).
+    Deterministic under repartitioning, unlike ``sample()`` /
+    ``rand(seed)`` whose streams are partitioning-dependent.  The ONE
+    definition of the recipe: sampling, splits, and sharding must all
+    derive from here so they can never silently diverge."""
+    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 6), 16, 10)
+            .cast("long") % mod)
+
+
+MD5_BUCKET_SQL = "('0x' || substr(md5({0}::VARCHAR), 1, 6))::BIGINT % {1}"
+
+
 def word_shingles(tokens_col: str = "toks", n: int = 3) -> Column:
     """Distinct word n-gram shingles over a PRE-SPLIT token array
     column. Callers must project the tokens once

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from greenplum_dwh_spark.functions.hashing import md5_bucket
 from greenplum_dwh_spark.sources.tpch import Tables
 
 #: Word-n-gram order for decontamination overlap.  Real pipelines use
@@ -56,13 +57,6 @@ def _tok(col: str = "text"):
     return F.split(col, " ")
 
 
-def _hash_bucket(col, mod: int):
-    """Uniform bucket in [0, mod) from md5 — portable across Spark and
-    DuckDB, deterministic under repartitioning (no rand())."""
-    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 6), 16, 10)
-            .cast("long") % mod)
-
-
 # ---------------------------------------------------------------------------
 # Benchmark decontamination: flag training documents sharing any word
 # n-gram with a held-out eval slice (doc_id % 97 == 0 stands in for
@@ -75,13 +69,18 @@ def _hash_bucket(col, mod: int):
 # pass over the corpus against a broadcast eval-gram set.
 def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
+    # branch-free guard (see hashing.word_shingles): a CASE WHEN around
+    # a higher-order function drops the map stage out of codegen; for
+    # size < n, sequence(1, greatest(size-n+1, 1)) = [1] and slice
+    # truncates, so a degenerate doc contributes its whole text as the
+    # single gram — same fallback the shingle builders use
     grams = (t.documents
              .select("doc_id", _tok().alias("t"))
              .select("doc_id", F.explode(F.expr(
-                 f"CASE WHEN size(t) >= {DECON_N} THEN "
-                 f"transform(sequence(1, size(t) - {DECON_N - 1}),"
-                 f" i -> concat_ws(' ', slice(t, i, {DECON_N})))"
-                 " ELSE array() END")).alias("g")))
+                 f"transform("
+                 f"sequence(1, greatest(size(t) - {DECON_N - 1}, 1)),"
+                 f" i -> concat_ws(' ', slice(t, i, {DECON_N})))"))
+                 .alias("g")))
     ev = (grams.filter(F.col("doc_id") % 97 == 0)
           .select("g").distinct())
     tr = grams.filter(F.col("doc_id") % 97 != 0)
@@ -100,7 +99,7 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 # does NOT guarantee); the single shuffle is the tiny summary groupBy.
 def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    b = _hash_bucket(F.col("doc_id"), 10000)
+    b = md5_bucket(F.col("doc_id"), 10000)
     split = (F.when(b < 9800, "train")
              .when(b < 9900, "val")
              .otherwise("test"))
@@ -194,15 +193,19 @@ def remove_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is read once and reduced in the map stage.
 def bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
+    # branch-free (codegen-friendly) guard: sequence is clamped to [1]
+    # for 1-token docs, whose lone pair gets a NULL w2 (try_element_at
+    # past the end) and is dropped by the cheap post-explode filter —
+    # a no-op Filter on every real bigram
     bi = (t.documents
           .select(_tok().alias("t"))
           .select(F.explode(F.expr(
-              "CASE WHEN size(t) >= 2 THEN "
-              "transform(sequence(1, size(t) - 1),"
-              " i -> struct(element_at(t, i) AS w1,"
-              "             element_at(t, i + 1) AS w2))"
-              " ELSE array() END")).alias("b"))
-          .select("b.w1", "b.w2"))
+              "transform(sequence(1, greatest(size(t) - 1, 1)),"
+              " i -> struct(try_element_at(t, i) AS w1,"
+              "             try_element_at(t, i + 1) AS w2))"))
+              .alias("b"))
+          .select("b.w1", "b.w2")
+          .filter(F.col("w2").isNotNull()))
     counts = (bi.groupBy("w1", "w2")
               .agg(F.count(F.lit(1)).alias("n_pair")))
     return counts.withColumn(
@@ -219,15 +222,22 @@ def bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the "shuffle" is reproducible across runs, engines, and cluster
 # sizes — rerunning with different partitioning yields the same
 # (shard, pos) for every document.
-def shard_and_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tables(spark, sf_dir)
+def shard_order(docs: DataFrame) -> DataFrame:
+    """DataFrame-level core of :func:`shard_and_order` — takes any
+    (doc_id, ...) DataFrame so the determinism property (same
+    (shard, pos) under ANY input partitioning) is testable by
+    repartitioning the input before the window."""
     h = F.md5(F.col("doc_id").cast("string"))
-    d = t.documents.select(
+    d = docs.select(
         "doc_id", h.alias("h"),
-        _hash_bucket(F.col("doc_id"), N_SHARDS).alias("shard"))
+        md5_bucket(F.col("doc_id"), N_SHARDS).alias("shard"))
     w = Window.partitionBy("shard").orderBy("h", "doc_id")
     return d.select("shard", "doc_id",
                     F.row_number().over(w).alias("pos"))
+
+
+def shard_and_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return shard_order(Tables(spark, sf_dir).documents)
 
 
 QUERIES = {
@@ -244,10 +254,15 @@ ORACLES = {
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                       FROM documents),
         grams AS (
+          -- greatest(..., 2) mirrors the Spark side's branch-free
+          -- short-doc fallback: a doc with < n tokens contributes its
+          -- whole text as the single gram (range end is exclusive)
           SELECT doc_id,
                  array_to_string(list_slice(t, i, i + {DECON_N - 1}), ' ')
                      AS g
-          FROM toks, unnest(range(1, len(t) - {DECON_N - 2})) AS u(i)),
+          FROM toks,
+               unnest(range(1, greatest(len(t) - {DECON_N - 2}, 2)))
+                   AS u(i)),
         ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
         tr AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
         SELECT tr.doc_id,

@@ -480,6 +480,9 @@ def keep_best_per_cluster(docs: DataFrame,
     min doc_id) — the policy most curation pipelines apply after
     clustering (drop shorter variants of the same content).
 
+    ``docs`` needs (doc_id, text, n_chars): text feeds the shingle
+    pipeline, n_chars drives the keep policy.
+
     Composes :func:`neardup_clusters` (edge-bearing docs only) with a
     left join so singleton documents form their own cluster, then a
     per-cluster argmax window.  Scale shape: the cluster table is one
@@ -487,7 +490,10 @@ def keep_best_per_cluster(docs: DataFrame,
     back is on doc_id (broadcast when clusters are few, shuffle
     otherwise — AQE decides), and the argmax window partitions by
     cluster_id whose cardinality ≈ docs, so no skew beyond the
-    largest cluster (bounded by the hot-band guard upstream)."""
+    largest cluster (bounded by the hot-band guard upstream).  The
+    cluster size rides the SAME per-cluster partition pass as the
+    argmax (a count window) — no second aggregation or join over the
+    corpus."""
     cl = neardup_clusters(docs, threshold)
     full = (docs.select("doc_id", "n_chars")
             .join(cl.withColumnRenamed("cluster_id", "cl"),
@@ -496,11 +502,12 @@ def keep_best_per_cluster(docs: DataFrame,
                     F.coalesce("cl", "doc_id").alias("cluster_id")))
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("n_chars").desc(), "doc_id")
-    best = (full.select("*", F.row_number().over(w).alias("rk"))
-            .filter(F.col("rk") == 1))
-    sizes = full.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n_members"))
-    return (best.join(sizes, "cluster_id")
+    wall = Window.partitionBy("cluster_id")
+    return (full.select(
+                "cluster_id", "doc_id", "n_chars",
+                F.row_number().over(w).alias("rk"),
+                F.count(F.lit(1)).over(wall).alias("n_members"))
+            .filter(F.col("rk") == 1)
             .select("cluster_id", F.col("doc_id").alias("keep_doc_id"),
                     "n_chars", "n_members"))
 

@@ -354,8 +354,13 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("aggregate(embedding, cast(0.0 as double), "
                "(a, v) -> greatest(a, abs(cast(v as double))))")
         .alias("scale"))
-    q = ("transform(embedding, v -> "
-         "cast(floor(cast(v as double) / scale * 127.0) as bigint))")
+    # greatest(scale, 1e-300) guards the all-zero vector: scale would
+    # be 0 and v/0 = NaN, which Spark's non-ANSI cast silently turns
+    # into 0 while DuckDB's ::BIGINT raises — with the guard a zero
+    # vector quantizes to all-zero components in both engines, and any
+    # genuinely nonzero scale is unchanged (|v| ≫ 1e-300)
+    q = ("transform(embedding, v -> cast(floor(cast(v as double) "
+         "/ greatest(scale, 1e-300d) * 127.0) as bigint))")
     return scaled.select(
         "vec_id", "scale",
         F.md5(F.expr(f"concat_ws(',', {q})")).alias("q_md5"),
@@ -379,7 +384,7 @@ _DOT_SQL = ("list_reduce(list_transform(range(1, 65), i -> "
             "{a}[i]::DOUBLE * {b}[i]::DOUBLE), (x, y) -> x + y)")
 
 _QL = ("list_transform(embedding, v -> "
-       "floor(v::DOUBLE / scale * 127.0)::BIGINT)")
+       "floor(v::DOUBLE / greatest(scale, 1e-300) * 127.0)::BIGINT)")
 
 ORACLES = {
     "embedding_quantize": f"""

@@ -37,11 +37,11 @@ _PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
 
 
 def _hash_bucket(col):
-    """Uniform bucket in [0, 10000) from the md5 of a key — identical
-    in Spark (conv hex→dec) and DuckDB ('0x'||hex cast).  Deterministic
-    under repartitioning, unlike sample()/rand(seed)."""
-    return (F.conv(F.substring(F.md5(col.cast("string")), 1, 6), 16, 10)
-            .cast("long") % 10000)
+    """Uniform bucket in [0, 10000); the shared recipe lives in
+    :func:`greenplum_dwh_spark.functions.hashing.md5_bucket` so the
+    sampling/split/shard derivations can never silently diverge."""
+    from greenplum_dwh_spark.functions.hashing import md5_bucket
+    return md5_bucket(col, 10000)
 
 
 # ---------------------------------------------------------------------------

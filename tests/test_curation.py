@@ -107,9 +107,12 @@ def test_shard_positions_are_dense_and_deterministic(spark, sf_dir):
                 F.countDistinct("pos").alias("nd")))
     for r in per.collect():
         assert (r.mn, r.mx, r.nd) == (1, r.n, r.n)
-    # byte-identical under a different input partitioning
-    b = curation.shard_and_order(spark, sf_dir)
-    b = b.repartition(13)
+    # byte-identical under a different INPUT partitioning: repartition
+    # the documents BEFORE the shard/order derivation — a
+    # partitioning-dependent ordering (e.g. rand() or monotonically_
+    # increasing_id) would produce different (shard, pos) pairs here
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b = curation.shard_order(docs.repartition(13))
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
 

@@ -31,12 +31,13 @@ def _modules():
     from greenplum_dwh_spark.operators import (curation, dedup,
                                                multimodal_ops,
                                                packing, quality,
-                                               relational, sessions,
-                                               similarity, text_analysis,
+                                               reconcile, relational,
+                                               sessions, similarity,
+                                               text_analysis,
                                                timeseries, training_data)
     return [relational, dedup, text_analysis, similarity, sessions,
             multimodal_ops, quality, packing, timeseries, training_data,
-            curation]
+            curation, reconcile]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -55,6 +56,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: already green in r02 run last.
 _RUN_FIRST = [
     # newest in round 3 (curation family + OHLC resample + composites)
+    "table_diff_orders", "cumulative_distinct_users",
     "dedup_keep_best", "embedding_quantize",
     "decontaminate_ngrams", "split_train_holdout", "chunk_documents",
     "remove_boilerplate_lines", "bigram_lm_counts", "shard_and_order",

@@ -175,9 +175,41 @@ def resample_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n_events")))
 
 
+# ---------------------------------------------------------------------------
+# Cumulative distinct users per day ("running uniques") — the window
+# idiom COUNT(DISTINCT) OVER cannot express in either engine.  The
+# scalable formulation: a user contributes exactly once, on their
+# FIRST active day, so the cumulative distinct count at day d is the
+# running sum of first-day counts.  Two small aggregations (per-user
+# min day ≤ users rows; per-day firsts ≤ days rows) and one running
+# window over the day spine — versus the naive per-day re-count whose
+# work is Σ_d |users through d| (quadratic in the time span).  The
+# left join keeps every ACTIVE day on the spine, including days that
+# added no new users.
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", F.to_date("ts").alias("day"))
+    first_day = (ev.groupBy("user_id")
+                 .agg(F.min("day").alias("day"))
+                 .groupBy("day")
+                 .agg(F.count(F.lit(1)).alias("new_users")))
+    days = ev.select("day").distinct()
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (days.join(first_day, "day", "left")
+            # day is emitted as its ISO string: a raw DATE column
+            # round-trips differently through the two engines' pandas
+            # bridges (date vs midnight timestamp)
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    F.coalesce("new_users", F.lit(0)).alias("new_users"),
+                    F.sum(F.coalesce("new_users", F.lit(0))).over(w)
+                    .alias("cum_users")))
+
+
 QUERIES = {
     "gapfill_forward_fill": gapfill_forward_fill,
     "resample_ohlc": resample_ohlc,
+    "cumulative_distinct_users": cumulative_distinct_users,
     "stats_moments_events": stats_moments_events,
     "covar_components_events": covar_components_events,
     "histogram_orders": histogram_orders,
@@ -185,6 +217,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    # independent formulation: per-day count of users whose first
+    # active day is <= d (correlated semantics, not the same plan)
+    "cumulative_distinct_users": """
+        WITH ev AS (SELECT user_id, ts::DATE AS day FROM events),
+        fd AS (SELECT user_id, min(day) AS first_day
+               FROM ev GROUP BY user_id),
+        days AS (SELECT DISTINCT day FROM ev),
+        newu AS (SELECT first_day AS day, count(*)::BIGINT AS new_users
+                 FROM fd GROUP BY first_day)
+        SELECT strftime(d.day, '%Y-%m-%d') AS day,
+               coalesce(n.new_users, 0)::BIGINT AS new_users,
+               (SELECT count(*) FROM fd
+                WHERE fd.first_day <= d.day)::BIGINT AS cum_users
+        FROM days d LEFT JOIN newu n ON d.day = n.day""",
     "resample_ohlc": """
         WITH ev AS (
           SELECT user_id, date_trunc('hour', ts) AS hour, ts, event_id,

@@ -164,3 +164,48 @@ def test_ohlc_single_exchange(spark, sf_dir):
     # partitioning: exactly one shuffle exchange in the whole plan
     df = timeseries.resample_ohlc(spark, sf_dir)
     assert checks.exchange_count(df) == 1
+
+
+def test_table_diff_classifies_exactly_the_planted_changes(spark, sf_dir):
+    from greenplum_dwh_spark.operators.reconcile import (ADD_SHIFT,
+                                                         table_diff_orders)
+    out = table_diff_orders(spark, sf_dir).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.change, set()).add(r.o_orderkey)
+    keys = [r.o_orderkey for r in spark.read.parquet(
+        f"{sf_dir}/orders.parquet").select("o_orderkey").collect()]
+    assert by.get("removed", set()) == {k for k in keys if k % 101 == 0}
+    assert by.get("added", set()) == {k + ADD_SHIFT for k in keys
+                                      if k % 17 == 0}
+    # repriced rows that were NOT simultaneously removed
+    assert by.get("changed", set()) == {k for k in keys
+                                        if k % 13 == 0 and k % 101 != 0}
+
+
+def test_table_diff_join_is_narrow_equi(spark, sf_dir):
+    from greenplum_dwh_spark.operators.reconcile import table_diff_orders
+    plan = checks.physical_plan(table_diff_orders(spark, sf_dir))
+    assert "FullOuter" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the digest must be computed in a pre-join Project (the md5 shows
+    # up below the join), so the shuffle moves (key, digest) only —
+    # the join output schema itself carries just the two digests
+    assert "md5" in plan
+    join_line = next(line for line in plan.splitlines()
+                     if "FullOuter" in line)
+    assert "o_orderpriority" not in join_line
+    assert "cents" not in join_line
+
+
+def test_cumulative_distinct_users_invariants(spark, sf_dir):
+    from greenplum_dwh_spark.operators.timeseries import (
+        cumulative_distinct_users)
+    rows = sorted(cumulative_distinct_users(spark, sf_dir).collect(),
+                  key=lambda r: r.day)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert rows[-1].cum_users == ev.select("user_id").distinct().count()
+    assert rows[0].cum_users == rows[0].new_users
+    for a, b in zip(rows, rows[1:]):
+        assert b.cum_users == a.cum_users + b.new_users  # exact recurrence

@@ -33,9 +33,10 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from greenplum_dwh_spark.session import get_spark
     from greenplum_dwh_spark.operators import (curation, dedup, packing,
-                                               relational, sessions,
-                                               similarity, text_analysis,
-                                               timeseries, training_data)
+                                               reconcile, relational,
+                                               sessions, similarity,
+                                               text_analysis, timeseries,
+                                               training_data)
 
     spark = get_spark("bench", extra_conf={"spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")
@@ -78,6 +79,8 @@ def main() -> None:
         "chunk_documents": curation.chunk_documents,
         "bigram_lm_counts": curation.bigram_lm_counts,
         "resample_ohlc": timeseries.resample_ohlc,
+        "decontaminate_ngrams": curation.decontaminate_ngrams,
+        "table_diff_orders": reconcile.table_diff_orders,
     }
 
     # untimed warm-up: touch every input table once so per-query numbers

@@ -117,10 +117,12 @@ def split_train_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
 # index range is generated per row and exploded in place — no shuffle
 # at any scale, output rows ≈ Σ tokens / stride.  The md5 of each
 # chunk's text pins content, not just spans, in the oracle comparison.
-def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tables(spark, sf_dir)
+def chunk_docs(docs: DataFrame) -> DataFrame:
+    """DataFrame-level core of :func:`chunk_documents` — takes any
+    (doc_id, text) DataFrame (property-tested against a pure-Python
+    reference over arbitrary token counts)."""
     w, s = CHUNK_WINDOW, CHUNK_STRIDE
-    toks = t.documents.select(
+    toks = docs.select(
         "doc_id", _tok().alias("t"), F.size(_tok()).alias("n_tok"))
     spans = toks.select(
         "doc_id", "t", "n_tok",
@@ -136,6 +138,10 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(
             " ", F.slice(F.col("t"), tok_start, tok_end - tok_start + 1)))
         .alias("chunk_md5"))
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_docs(Tables(spark, sf_dir).documents)
 
 
 # ---------------------------------------------------------------------------

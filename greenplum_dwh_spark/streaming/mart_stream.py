@@ -183,6 +183,30 @@ def stream_dedup(docs_stream: DataFrame,
             .dropDuplicatesWithinWatermark(["digest"]))
 
 
+def stream_decontaminate(docs_stream: DataFrame,
+                         eval_grams: DataFrame) -> DataFrame:
+    """Streaming benchmark decontamination: flag arriving documents
+    sharing any word n-gram with a STATIC eval-suite gram set — the
+    stream-static form of ``operators.curation.decontaminate_ngrams``.
+    The eval set is dimension-sized (benchmarks are MBs), so Spark
+    broadcasts it into every micro-batch; the stream side stays
+    map-only (split → explode → broadcast semi-join) and the per-doc
+    aggregation is batch-scoped, so no streaming state accumulates at
+    all.  ``eval_grams`` needs one ``g`` column (e.g. produced by the
+    batch operator's gram builder over the eval corpus)."""
+    from greenplum_dwh_spark.operators.curation import DECON_N
+    grams = (docs_stream
+             .select("doc_id", "ts", F.split("text", " ").alias("t"))
+             .select("doc_id", "ts", F.explode(F.expr(
+                 f"transform("
+                 f"sequence(1, greatest(size(t) - {DECON_N - 1}, 1)),"
+                 f" i -> concat_ws(' ', slice(t, i, {DECON_N})))"))
+                 .alias("g")))
+    return (grams.join(F.broadcast(eval_grams), "g")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+
+
 _SESSION_STATE_SCHEMA = T.StructType([
     T.StructField("last_sec", T.LongType()),
     T.StructField("session_id", T.IntegerType()),

@@ -411,3 +411,45 @@ def test_stream_maintains_continuous_rollup(spark, tmp_path):
               .cast("double") / 100.0).alias("s"))
     want = {(r.b, r.event_type): (r.n, r.s) for r in direct.collect()}
     assert got == want
+
+
+def test_stream_decontaminate_matches_batch(spark, tmp_path, sf_dir):
+    """Stream-static decontamination over the documents corpus fed as
+    one file-source batch must equal the batch operator's result on
+    the same corpus (stream ≡ batch discipline).  The eval-gram side
+    is static and broadcast; the stream side holds no state."""
+    from greenplum_dwh_spark.operators.curation import (
+        decontaminate_ngrams)
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text",
+                    F.lit(dt.datetime(2024, 1, 1)).alias("ts")))
+    src = tmp_path / "dc_src"
+    src.mkdir()
+    docs.coalesce(1).write.parquet(str(src / "b1.parquet"))
+
+    # static eval-gram set: reuse the batch operator's own derivation
+    # by extracting the distinct grams of the eval slice via SQL over
+    # the same expression the stream uses
+    from greenplum_dwh_spark.operators.curation import DECON_N
+    ev = (docs.filter(F.col("doc_id") % 97 == 0)
+          .select(F.split("text", " ").alias("t"))
+          .select(F.explode(F.expr(
+              f"transform(sequence(1, greatest(size(t) - {DECON_N - 1},"
+              f" 1)), i -> concat_ws(' ', slice(t, i, {DECON_N})))"))
+              .alias("g"))
+          .distinct())
+
+    stream = (spark.readStream
+              .schema("doc_id bigint, text string, ts timestamp")
+              .parquet(str(src) + "/*.parquet")
+              .filter(F.col("doc_id") % 97 != 0))
+    q = (MS.stream_decontaminate(stream, ev)
+         .writeStream.format("memory").queryName("dc_out")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r.doc_id, r.n_hits)
+           for r in spark.table("dc_out").collect()}
+    want = {(r.doc_id, r.n_hits)
+            for r in decontaminate_ngrams(spark, sf_dir)
+            .select("doc_id", "n_hits").collect()}
+    assert got == want

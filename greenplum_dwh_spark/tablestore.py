@@ -92,7 +92,8 @@ class TableStore:
         self.init_append(name, schema)
 
     def compact_append(self, name: str, target_files: int = 1,
-                       partition_cols: list[str] | None = None) -> dict:
+                       partition_cols: list[str] | None = None,
+                       cluster_cols: list[str] | None = None) -> dict:
         """Small-file compaction for an append table — the maintenance
         op every micro-batch sink needs: N appends of M tasks each
         leave N·M files, and at 100 TB the scan's task count (and the
@@ -108,6 +109,16 @@ class TableStore:
         ``rewriteFiles``, which commits the same rewrite atomically in
         the table log (same slot-in point as overwrite_versioned).
 
+        ``cluster_cols`` additionally sorts rows on those columns
+        within each output task before writing (Delta/Iceberg
+        ``cluster by`` / linear Z-order analogue): parquet stores
+        per-row-group min/max stats, and a clustered layout makes
+        those ranges narrow and disjoint, so a selective filter on the
+        cluster column skips whole row groups at scan time — the
+        second half of the data-skipping story after partition
+        pruning.  Compaction is exactly when to pay the sort: the data
+        is being rewritten anyway.
+
         Returns {"files_before": n, "files_after": m}."""
         path = self._path(name)
         count = lambda: sum(1 for r, _, fs in os.walk(path)
@@ -116,8 +127,16 @@ class TableStore:
         df = self.spark.read.parquet(path)
         if partition_cols:
             staged = df.repartition(*[F.col(c) for c in partition_cols])
+        elif cluster_cols:
+            # RANGE partition on the cluster key (hash would scatter
+            # every key range across all tasks): files get disjoint
+            # key ranges, and the sort below makes row groups within
+            # each file disjoint too
+            staged = df.repartitionByRange(target_files, *cluster_cols)
         else:
             staged = df.repartition(target_files)
+        if cluster_cols:
+            staged = staged.sortWithinPartitions(*cluster_cols)
         tmp = path + ".compacting"
         w = staged.write.mode("overwrite")
         if partition_cols:

@@ -179,3 +179,54 @@ def test_compact_append_partitioned_one_file_per_day(spark, tmp_path):
     stats = ts.compact_append("t", partition_cols=["day"])
     assert stats["files_after"] <= 2 < stats["files_before"]
     assert sorted((r.k, r.day) for r in ts.read("t").collect()) == before
+
+
+def test_compact_cluster_by_narrows_rowgroup_stats(spark, tmp_path):
+    """cluster_cols sorts within each rewritten file, so parquet
+    row-group min/max stats become narrow, disjoint key ranges — the
+    footer evidence that a selective scan can skip row groups.  The
+    unclustered layout (interleaved appends) must show overlapping
+    near-full-range stats; the clustered rewrite must not."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from greenplum_dwh_spark.tablestore import TableStore
+    ts = TableStore(spark, str(tmp_path / "store"))
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    ts.init_append("t", schema)
+    # interleaved appends: every file spans ~the full key range
+    n, files = 4000, 4
+    for i in range(files):
+        ts.append("t", spark.createDataFrame(
+            [(j, f"x{j}") for j in range(i, n, files)], schema)
+            .coalesce(1))
+
+    def ranges():
+        out = []
+        for f in glob.glob(str(tmp_path / "store" / "t" / "*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            for g in range(md.num_row_groups):
+                col = md.row_group(g).column(0)
+                if col.statistics is not None:
+                    out.append((col.statistics.min, col.statistics.max))
+        return out
+
+    before = ranges()
+    assert before, "expected parquet column statistics"
+    # interleaved: every range spans ≳ the whole key space
+    assert all(hi - lo > 0.9 * n for lo, hi in before)
+
+    before_rows = sorted(r.k for r in ts.read("t").collect())
+    ts.compact_append("t", target_files=4, cluster_cols=["k"])
+    after = ranges()
+    assert sorted(r.k for r in ts.read("t").collect()) == before_rows
+    # clustered: ranges are narrow (range sampling is approximate, so
+    # allow ~1/3 of the key space instead of the ideal 1/4) ...
+    assert all(hi - lo <= n / 3 for lo, hi in after)
+    # ... and pairwise disjoint — the property row-group skipping needs
+    spans = sorted(after)
+    for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2

@@ -29,7 +29,14 @@ Streaming::
 
     api.stream_landing / api.stream_expired_rules /
     api.stream_sessionize / api.stream_chain_detector /
-    api.stream_tumbling_counts / api.run_streaming_mart
+    api.stream_tumbling_counts / api.run_streaming_mart /
+    api.stream_dedup / api.stream_decontaminate
+
+Curation / reconciliation::
+
+    api.chunk_docs(docs)                 # context-window chunking
+    api.shard_order(docs)                # deterministic shard + order
+    api.table_diff(a, b, key, cols)      # snapshot reconciliation
 """
 
 from greenplum_dwh_spark.etl.normalize import normalize_transactions  # noqa: F401
@@ -47,7 +54,10 @@ from greenplum_dwh_spark.operators.dedup import (  # noqa: F401
     connected_components, exact_dedup, jaccard_prefix_pairs,
     keep_best_per_cluster, minhash_pairs, neardup_clusters,
     simhash_pairs)
+from greenplum_dwh_spark.operators.curation import (chunk_docs,  # noqa: F401
+                                                     shard_order)
 from greenplum_dwh_spark.operators.packing import pack_batches  # noqa: F401
+from greenplum_dwh_spark.operators.reconcile import table_diff  # noqa: F401
 from greenplum_dwh_spark.operators.patterns import match_pattern  # noqa: F401
 from greenplum_dwh_spark.operators.rollup_store import HourlyRollup  # noqa: F401
 from greenplum_dwh_spark.operators.sessions import (sessionize,  # noqa: F401
@@ -60,8 +70,9 @@ from greenplum_dwh_spark.sources.landing import (load_landing_file,  # noqa: F40
 from greenplum_dwh_spark.sql import (register_testdata,  # noqa: F401
                                      register_warehouse)
 from greenplum_dwh_spark.streaming.mart_stream import (  # noqa: F401
-    stream_chain_detector, stream_dedup, stream_expired_rules,
-    stream_landing, stream_sessionize, stream_tumbling_counts)
+    stream_chain_detector, stream_decontaminate, stream_dedup,
+    stream_expired_rules, stream_landing, stream_sessionize,
+    stream_tumbling_counts)
 from greenplum_dwh_spark.streaming.pipeline import (  # noqa: F401
     run_streaming_mart)
 from greenplum_dwh_spark.warehouse import Warehouse  # noqa: F401

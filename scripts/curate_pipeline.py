@@ -1,0 +1,89 @@
+"""End-to-end corpus-curation pipeline demo: the full chain a
+training-data team runs between a raw crawl and tokenizer-ready
+shards, composed from the operator library —
+
+    exact dedup → near-dup cluster + keep-best → benchmark
+    decontamination → train/holdout split → context-window chunking →
+    shard assignment
+
+Each stage prints its row count so the funnel is visible; the stages
+are the same tested operators the driver contract exposes (every one
+oracle-checked individually), demonstrated here composing on shared
+DataFrames within one Spark plan space.
+
+Usage: python scripts/curate_pipeline.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def run(spark, sf_dir: str) -> dict:
+    from greenplum_dwh_spark.operators.curation import (chunk_docs,
+                                                        shard_order)
+    from greenplum_dwh_spark.operators.dedup import (exact_dedup,
+                                                     keep_best_per_cluster)
+    from greenplum_dwh_spark.sources.tpch import Tables
+
+    docs = Tables(spark, sf_dir).documents
+    stats = {"raw_docs": docs.count()}
+
+    # 1. exact dedup: keep one doc per distinct text
+    reps = exact_dedup(docs).select(
+        F.col("rep_doc_id").alias("doc_id"))
+    docs = docs.join(reps, "doc_id")
+    stats["after_exact_dedup"] = docs.count()
+
+    # 2. near-dup clustering + longest-representative survivor policy
+    kept = keep_best_per_cluster(docs).select(
+        F.col("keep_doc_id").alias("doc_id"))
+    docs = docs.join(kept, "doc_id")
+    stats["after_neardup_keep_best"] = docs.count()
+
+    # 3. benchmark decontamination: drop docs overlapping the eval
+    # slice (doc_id % 97 == 0 stands in for the benchmark suite)
+    from greenplum_dwh_spark.operators.curation import DECON_N
+    grams = (docs.select("doc_id", F.split("text", " ").alias("t"))
+             .select("doc_id", F.explode(F.expr(
+                 f"transform(sequence(1, greatest(size(t) - "
+                 f"{DECON_N - 1}, 1)), i -> concat_ws(' ', "
+                 f"slice(t, i, {DECON_N})))")).alias("g")))
+    ev = (grams.filter(F.col("doc_id") % 97 == 0)
+          .select("g").distinct())
+    contaminated = (grams.filter(F.col("doc_id") % 97 != 0)
+                    .join(F.broadcast(ev), "g")
+                    .select("doc_id").distinct())
+    docs = (docs.filter(F.col("doc_id") % 97 != 0)
+            .join(contaminated, "doc_id", "left_anti"))
+    stats["after_decontamination"] = docs.count()
+
+    # 4. reproducible split: chunk/shard only the train partition
+    from greenplum_dwh_spark.functions.hashing import md5_bucket
+    train = docs.filter(md5_bucket(F.col("doc_id"), 10000) < 9800)
+    stats["train_docs"] = train.count()
+
+    # 5. context-window chunking → 6. shard assignment
+    chunks = chunk_docs(train)
+    stats["chunks"] = chunks.count()
+    shards = shard_order(train)
+    stats["shards"] = shards.select("shard").distinct().count()
+    return stats
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from greenplum_dwh_spark.session import get_spark
+    spark = get_spark("curate", extra_conf={"spark.ui.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    for k, v in run(spark, sf_dir).items():
+        print(f"{k:28s} {v}")
+
+
+if __name__ == "__main__":
+    main()

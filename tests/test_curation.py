@@ -209,3 +209,18 @@ def test_cumulative_distinct_users_invariants(spark, sf_dir):
     assert rows[0].cum_users == rows[0].new_users
     for a, b in zip(rows, rows[1:]):
         assert b.cum_users == a.cum_users + b.new_users  # exact recurrence
+
+
+def test_curate_pipeline_funnel(spark, sf_dir):
+    """The composed end-to-end curation pipeline (exact dedup →
+    keep-best → decontaminate → split → chunk → shard) must form a
+    monotone funnel with every stage nonempty."""
+    import importlib
+    mod = importlib.import_module("scripts.curate_pipeline")
+    s = mod.run(spark, sf_dir)
+    assert (s["raw_docs"] >= s["after_exact_dedup"]
+            >= s["after_neardup_keep_best"]
+            > s["after_decontamination"]
+            >= s["train_docs"] > 0)
+    assert s["chunks"] >= s["train_docs"]  # ≥1 chunk per doc
+    assert 0 < s["shards"] <= 32

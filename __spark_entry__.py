@@ -56,6 +56,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: already green in r02 run last.
 _RUN_FIRST = [
     # newest in round 3 (curation family + OHLC resample + composites)
+    "decontaminate_ngrams8_planted",
     "table_diff_orders", "cumulative_distinct_users",
     "dedup_keep_best", "embedding_quantize",
     "decontaminate_ngrams", "split_train_holdout", "chunk_documents",

@@ -91,6 +91,47 @@ def decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# The same operator at the REAL parameter (n=8): the synthetic corpus
+# has no organic 8-gram overlap (measured zero at sf0.01), so this
+# variant PLANTS contamination — every doc with doc_id % 41 == 1 gets
+# the eval anchor document's (doc_id 0) first 8 tokens appended — and
+# must flag exactly the planted docs.  Same plant-then-operate
+# discipline as scrub_pii; the snippet attaches via a broadcast of the
+# 1-row anchor (a scalar at any corpus size), so the plan is the n=3
+# variant's plus one broadcast.
+DECON_REAL_N = 8
+PLANT_MOD = 41
+
+
+def decontaminate_ngrams8_planted(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    n = DECON_REAL_N
+    snippet = (t.documents.filter(F.col("doc_id") == 0)
+               .select(F.concat_ws(
+                   " ", F.slice(_tok(), 1, n)).alias("snippet")))
+    planted = (t.documents.crossJoin(F.broadcast(snippet))
+               .select("doc_id",
+                       F.when(F.col("doc_id") % PLANT_MOD == 1,
+                              F.concat_ws(" ", "text", "snippet"))
+                       .otherwise(F.col("text")).alias("text")))
+    grams = (planted
+             .select("doc_id", _tok().alias("t"))
+             .select("doc_id", F.explode(F.expr(
+                 f"transform("
+                 f"sequence(1, greatest(size(t) - {n - 1}, 1)),"
+                 f" i -> concat_ws(' ', slice(t, i, {n})))"))
+                 .alias("g")))
+    ev = (grams.filter(F.col("doc_id") % 97 == 0)
+          .select("g").distinct())
+    tr = grams.filter(F.col("doc_id") % 97 != 0)
+    return (tr.join(F.broadcast(ev), "g")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("g").alias("n_hit_grams"),
+                 F.count(F.lit(1)).alias("n_hits")))
+
+
+# ---------------------------------------------------------------------------
 # Reproducible train/val/test split: 98/1/1 by md5 bucket of doc_id,
 # reported as per-(lang, split) document and character counts.  The
 # assignment is a pure row function (map-only, engine-portable,
@@ -248,6 +289,7 @@ def shard_and_order(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "decontaminate_ngrams": decontaminate_ngrams,
+    "decontaminate_ngrams8_planted": decontaminate_ngrams8_planted,
     "split_train_holdout": split_train_holdout,
     "chunk_documents": chunk_documents,
     "remove_boilerplate_lines": remove_boilerplate_lines,
@@ -268,6 +310,33 @@ ORACLES = {
                      AS g
           FROM toks,
                unnest(range(1, greatest(len(t) - {DECON_N - 2}, 2)))
+                   AS u(i)),
+        ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+        tr AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+        SELECT tr.doc_id,
+               count(DISTINCT tr.g)::BIGINT AS n_hit_grams,
+               count(*)::BIGINT AS n_hits
+        FROM tr JOIN ev USING (g)
+        GROUP BY tr.doc_id""",
+    "decontaminate_ngrams8_planted": f"""
+        WITH snip AS (
+          SELECT array_to_string(
+                     list_slice(string_split(text, ' '), 1,
+                                {DECON_REAL_N}), ' ') AS snippet
+          FROM documents WHERE doc_id = 0),
+        p AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % {PLANT_MOD} = 1
+                      THEN text || ' ' || (SELECT snippet FROM snip)
+                      ELSE text END AS text
+          FROM documents),
+        toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM p),
+        grams AS (
+          SELECT doc_id,
+                 array_to_string(
+                     list_slice(t, i, i + {DECON_REAL_N - 1}), ' ') AS g
+          FROM toks,
+               unnest(range(1, greatest(len(t) - {DECON_REAL_N - 2}, 2)))
                    AS u(i)),
         ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
         tr AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0)

@@ -224,3 +224,18 @@ def test_curate_pipeline_funnel(spark, sf_dir):
             >= s["train_docs"] > 0)
     assert s["chunks"] >= s["train_docs"]  # ≥1 chunk per doc
     assert 0 < s["shards"] <= 32
+
+
+def test_decontaminate_n8_flags_planted_docs(spark, sf_dir):
+    """At the realistic n=8: every planted doc (doc_id % 41 == 1,
+    non-eval) is flagged, no eval doc is flagged, and any OTHER
+    flagged doc is one of the corpus's planted near-duplicate copies
+    of an eval doc — i.e. genuinely contaminated (they share ≥8-gram
+    runs with the eval slice by construction of the testdata)."""
+    out = curation.decontaminate_ngrams8_planted(spark, sf_dir)
+    flagged = {r.doc_id for r in out.collect()}
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    planted = {d for d in range(n_docs)
+               if d % curation.PLANT_MOD == 1 and d % 97 != 0}
+    assert planted <= flagged  # no planted doc escapes
+    assert all(d % 97 != 0 for d in flagged)  # eval never flags itself

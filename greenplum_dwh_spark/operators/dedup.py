@@ -181,11 +181,11 @@ def _banded_candidates(bands: DataFrame,
     return out.distinct() if distinct else out
 
 
-def minhash_pairs(docs: DataFrame,
-                  threshold: float = JACCARD_THRESHOLD,
-                  band_cap: int = BAND_CAP) -> DataFrame:
-    """Near-duplicate pairs (doc_a, doc_b, jac) of a (doc_id, text)
-    DataFrame via minhash-LSH + exact verification."""
+def _minhash_bands(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(doc_id, band) LSH band keys for every doc, plus the cached
+    per-doc shingle-set index the exact verify step needs.  Shared by
+    the self-join (:func:`minhash_pairs`) and the asymmetric
+    new-vs-corpus (:func:`incremental_minhash_pairs`) plans."""
     sets_df = H.with_word_shingles(docs).cache()
     ex = sets_df.select("doc_id", F.explode("s").alias("sh"))
     sig = ex.groupBy("doc_id").agg(*H.minhash_aggs())
@@ -197,9 +197,54 @@ def minhash_pairs(docs: DataFrame,
                         *[F.col(f"m{b * H.MINHASH_BAND_R + r}")
                           for r in range(H.MINHASH_BAND_R)])
             for b in range(n_bands)])).alias("band"))
+    return bands, sets_df
+
+
+def minhash_pairs(docs: DataFrame,
+                  threshold: float = JACCARD_THRESHOLD,
+                  band_cap: int = BAND_CAP) -> DataFrame:
+    """Near-duplicate pairs (doc_a, doc_b, jac) of a (doc_id, text)
+    DataFrame via minhash-LSH + exact verification."""
+    bands, sets_df = _minhash_bands(docs)
     cand = _banded_candidates(bands, band_cap)
     return (_pairs_with_jaccard(docs, cand, sets_df)
             .filter(F.col("jac") >= threshold))
+
+
+def incremental_minhash_pairs(docs: DataFrame, is_new,
+                              threshold: float = JACCARD_THRESHOLD,
+                              band_cap: int = BAND_CAP) -> DataFrame:
+    """Asymmetric near-dup join: NEW documents against the EXISTING
+    corpus — the shape continuous-ingestion dedup actually runs.  A
+    production pipeline does not re-self-join 100 TB per increment; it
+    keeps the corpus' band index materialized and probes it with the
+    (much smaller) new batch, so per-run cost is
+    O(new·bands + collisions), independent of corpus size.  Here both
+    sides come from one table for the oracle's sake (``is_new`` is a
+    boolean Column over ``doc_id``), but the plan is the asymmetric
+    one: band build → windowed hot-band guard (same recipe and cap as
+    the self-join — one exchange, shared with the join) → new×base
+    join on band → exact jaccard verify, so banding recall loss can't
+    leak into the output.  New-new pairs are deliberately NOT emitted
+    (that is the separate self-dedup pass on the increment).
+
+    Returns (new_doc, base_doc, jac) with jac ≥ ``threshold``."""
+    bands, sets_df = _minhash_bands(docs)
+    tagged = bands.withColumn("is_new", is_new)
+    w = Window.partitionBy("band")
+    counted = tagged.withColumn("_bn", F.count(F.lit(1)).over(w))
+    keep = F.col("_bn") <= band_cap
+    new_side = counted.filter(keep & F.col("is_new"))
+    base_side = counted.filter(keep & ~F.col("is_new"))
+    cand = (new_side.alias("a")
+            .join(base_side.alias("b"), "band")
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    return (_pairs_with_jaccard(docs, cand, sets_df)
+            .filter(F.col("jac") >= threshold)
+            .select(F.col("doc_a").alias("new_doc"),
+                    F.col("doc_b").alias("base_doc"), "jac"))
 
 
 #: SWAR packing for the simhash bit-count aggregate: 60 per-bit
@@ -512,6 +557,38 @@ def keep_best_per_cluster(docs: DataFrame,
                     "n_chars", "n_members"))
 
 
+def leakage_safe_split(docs: DataFrame,
+                       threshold: float = JACCARD_THRESHOLD) -> DataFrame:
+    """Train/val/test assignment that can never split a near-duplicate
+    cluster across splits — the leakage-safe version of
+    ``split_train_holdout``.  A per-document hash split leaks: two
+    near-identical documents can land one in train, one in test, and
+    the held-out metric silently measures memorization.  The fix is to
+    hash the CLUSTER, not the document: near-dup components (same
+    verified-minhash graph as ``dedup_clusters``, singletons closed
+    with their own id) are assigned wholesale via the repo's single
+    md5-bucket recipe, so membership is deterministic, partitioning-
+    independent, and identical to the oracle's.
+
+    Scale shape: clustering touches only edge-bearing docs (≪ corpus
+    after exact dedup); the join back is on doc_id; the split decision
+    itself is a map-side expression.  98/1/1 buckets as in
+    ``split_train_holdout``.
+
+    Returns (doc_id, cluster_id, split)."""
+    cl = neardup_clusters(docs, threshold)
+    full = (docs.select("doc_id")
+            .join(cl.withColumnRenamed("cluster_id", "cl"),
+                  "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("cl", "doc_id").alias("cluster_id")))
+    b = H.md5_bucket(F.col("cluster_id"), 10000)
+    split = (F.when(b < 9800, "train")
+             .when(b < 9900, "val")
+             .otherwise("test"))
+    return full.select("doc_id", "cluster_id", split.alias("split"))
+
+
 def _docs(spark, sf_dir):
     return Tables(spark, sf_dir).documents
 
@@ -545,7 +622,23 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_best_per_cluster(_docs(spark, sf_dir))
 
 
+#: the "new" slice for the incremental demo: ~1/7 of the corpus plays
+#: the freshly-ingested batch, the rest the existing indexed corpus.
+INCR_MOD = 7
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return incremental_minhash_pairs(
+        _docs(spark, sf_dir), F.col("doc_id") % INCR_MOD == 0)
+
+
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return leakage_safe_split(_docs(spark, sf_dir))
+
+
 QUERIES = {
+    "dedup_incremental": dedup_incremental,
+    "split_leakage_safe": split_leakage_safe,
     "dedup_keep_best": dedup_keep_best,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -590,7 +683,60 @@ def _jaccard_pairs_oracle(shingle_sql: str, threshold: float) -> str:
         WHERE inter::DOUBLE / (na + nb - inter) >= {threshold}"""
 
 
+#: the recursive-CTE connected-components ground truth over the
+#: verified word-3-gram jaccard graph (shared by the clusters /
+#: keep-best / leakage-split oracles).
+_COMPONENTS_CTE = f"""
+        sh AS (SELECT doc_id, {_W3} AS s FROM documents),
+        ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS t FROM sh),
+        cand AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                        any_value(a.n) AS na, any_value(b.n) AS nb,
+                        count(*) AS inter
+                 FROM ex a JOIN ex b ON a.t = b.t AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id),
+        edges AS (SELECT da, db FROM cand
+                  WHERE inter::DOUBLE / (na + nb - inter)
+                        >= {JACCARD_THRESHOLD}),
+        bidir AS (SELECT da u, db v FROM edges
+                  UNION ALL SELECT db, da FROM edges),
+        nodes AS (SELECT DISTINCT u FROM bidir),
+        walk(u, lbl) AS (
+          SELECT u, u FROM nodes
+          UNION
+          SELECT b.v, walk.lbl FROM walk JOIN bidir b ON b.u = walk.u
+          WHERE walk.lbl < b.v),
+        cl AS (SELECT u AS doc_id, min(lbl) AS cluster_id
+               FROM walk GROUP BY u)"""
+
+_SPLIT_BUCKET = H.MD5_BUCKET_SQL.format("cluster_id", 10000)
+
 ORACLES = {
+    "dedup_incremental": f"""
+        WITH sh AS (SELECT doc_id, {_W3} AS s FROM documents),
+        ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS t FROM sh),
+        cand AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                        any_value(a.n) AS na, any_value(b.n) AS nb,
+                        count(*) AS inter
+                 FROM ex a JOIN ex b ON a.t = b.t
+                 WHERE a.doc_id % {INCR_MOD} = 0
+                   AND b.doc_id % {INCR_MOD} <> 0
+                 GROUP BY a.doc_id, b.doc_id)
+        SELECT da AS new_doc, db AS base_doc,
+               inter::DOUBLE / (na + nb - inter) AS jac
+        FROM cand
+        WHERE inter::DOUBLE / (na + nb - inter)
+              >= {JACCARD_THRESHOLD}""",
+    "split_leakage_safe": f"""
+        WITH RECURSIVE
+        {_COMPONENTS_CTE},
+        alldocs AS (
+          SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+          FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+        SELECT doc_id, cluster_id,
+               CASE WHEN {_SPLIT_BUCKET} < 9800 THEN 'train'
+                    WHEN {_SPLIT_BUCKET} < 9900 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM alldocs""",
     "dedup_exact": """
         SELECT md5(text) AS digest, count(*) AS n_copies,
                min(doc_id) AS rep_doc_id

@@ -203,3 +203,60 @@ def test_ppjoin_exact_on_uniform_vocab(spark):
     want = _brute_force_pairs(texts, dedup.PREFIX_THRESHOLD)
     assert got == want
     assert len(want) >= 5  # fixture actually seeds pairs
+
+
+# ------------------------------------------------- incremental / splits
+
+
+def _neardup_corpus(n=40, seed=11):
+    """Distinct docs plus planted near-duplicate variants (one word
+    changed out of 30 — jaccard far above threshold)."""
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(500)]
+    texts = [" ".join(rng.choice(vocab) for _ in range(30))
+             for _ in range(n)]
+    for i in range(8):
+        words = texts[i].split()
+        words[3] = "zz"
+        texts.append(" ".join(words))
+    return texts
+
+
+def test_incremental_equals_cross_slice_of_self_join(spark):
+    """The asymmetric new-vs-base join must return exactly the
+    cross-slice restriction of the full self-join — no extra pairs,
+    no banding recall loss, and never a new-new or base-base pair."""
+    texts = _neardup_corpus()
+    docs = _docs_df(spark, texts)
+    is_new = F.col("doc_id") % 3 == 0
+    got = {(r["new_doc"], r["base_doc"])
+           for r in dedup.incremental_minhash_pairs(docs, is_new)
+           .collect()}
+    full = {(r["doc_a"], r["doc_b"])
+            for r in dedup.minhash_pairs(docs).collect()}
+    want = {(a, b) for a, b in
+            (full | {(b, a) for a, b in full})
+            if a % 3 == 0 and b % 3 != 0}
+    assert got == want
+    assert len(want) >= 3  # fixture plants cross-slice near-dups
+    for a, b in got:
+        assert a % 3 == 0 and b % 3 != 0
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark):
+    """Every near-dup cluster lands wholly in one split, and every
+    document is assigned exactly once."""
+    texts = _neardup_corpus()
+    docs = _docs_df(spark, texts).withColumn(
+        "doc_id",
+        # spread ids so md5 buckets differ doc-to-doc
+        F.col("doc_id") * 977)
+    out = dedup.leakage_safe_split(docs).collect()
+    assert len(out) == len(texts)                 # total closure
+    by_cluster: dict = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    multi = [c for c, _ in by_cluster.items()
+             if sum(1 for r in out if r["cluster_id"] == c) > 1]
+    assert multi  # planted near-dups actually formed multi-doc clusters

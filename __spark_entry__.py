@@ -32,12 +32,12 @@ def _modules():
                                                multimodal_ops,
                                                packing, quality,
                                                reconcile, relational,
-                                               sessions, similarity,
-                                               text_analysis,
+                                               retrieval, sessions,
+                                               similarity, text_analysis,
                                                timeseries, training_data)
     return [relational, dedup, text_analysis, similarity, sessions,
             multimodal_ops, quality, packing, timeseries, training_data,
-            curation, reconcile]
+            curation, reconcile, retrieval]
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -55,7 +55,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: 8 queries whose last green row is r01, then the rest; the 8 queries
 #: already green in r02 run last.
 _RUN_FIRST = [
-    # newest in round 3 (curation family + OHLC resample + composites)
+    # newest in round 3 (retrieval fusion + incremental dedup +
+    # leakage-safe splits)
+    "rank_fusion_rrf", "vocab_topk_coverage",
+    "dedup_incremental", "split_leakage_safe",
+    # earlier round 3 (curation family + OHLC resample + composites)
     "decontaminate_ngrams8_planted",
     "table_diff_orders", "cumulative_distinct_users",
     "dedup_keep_best", "embedding_quantize",

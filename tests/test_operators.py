@@ -299,3 +299,49 @@ def test_dim_time_travel(spark, tmp_path):
     assert t5(cur) == 2 and t5(prev) == 1
     with pytest.raises(ValueError):
         wh.store.read_version("dim_terminals_hist", 99)
+
+
+def test_rank_fusion_rrf_invariants(spark, sf_dir):
+    """RRF fusion: a doc present in BOTH pools must outrank any doc
+    holding the same single-list rank alone; addends follow the
+    floor(SCALE/(K+r)) formula exactly."""
+    from greenplum_dwh_spark.operators import retrieval as rt
+    rows = {r["doc_id"]: r
+            for r in rt.rank_fusion_rrf(spark, sf_dir).collect()}
+    assert rows
+    for r in rows.values():
+        want = 0
+        for rank in (r["lex_rank"], r["sem_rank"]):
+            if rank is not None:
+                want += rt.RRF_SCALE // (rt.RRF_K + rank)
+        assert r["rrf_scaled"] == want
+        assert r["lex_rank"] is not None or r["sem_rank"] is not None
+    both = [r for r in rows.values()
+            if r["lex_rank"] is not None and r["sem_rank"] is not None]
+    singles = [r for r in rows.values()
+               if (r["lex_rank"] is None) != (r["sem_rank"] is None)]
+    for b in both:
+        base = min(x for x in (b["lex_rank"], b["sem_rank"]))
+        for s in singles:
+            srank = s["lex_rank"] if s["lex_rank"] is not None \
+                else s["sem_rank"]
+            if srank >= base:
+                assert b["fused_rank"] < s["fused_rank"]
+
+
+def test_vocab_coverage_monotone_and_bounded(spark, sf_dir):
+    from greenplum_dwh_spark.operators import retrieval as rt
+    rows = sorted(rt.vocab_topk_coverage(spark, sf_dir).collect(),
+                  key=lambda r: r["rank"])
+    assert rows
+    cum = 0
+    last_n = None
+    for r in rows:
+        cum += r["n"]
+        assert r["cum_n"] == cum                    # exact running sum
+        if last_n is not None:
+            assert r["n"] <= last_n                 # frequency-ordered
+        last_n = r["n"]
+        assert r["cum_n"] <= r["total_tokens"]
+    # the head vocabulary must cover a nontrivial share of occurrences
+    assert rows[-1]["cum_n"] * 2 > rows[-1]["total_tokens"]

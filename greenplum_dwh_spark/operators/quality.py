@@ -29,9 +29,53 @@ def dq_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.crossJoin(orphans)
 
 
-QUERIES = {"dq_orders_profile": dq_orders_profile}
+#: how many of the heaviest keys the skew profile reports
+SKEW_TOP = 10
+
+
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key skew diagnosis for the events fact: the top
+    :data:`SKEW_TOP` heaviest ``user_id`` keys with exact integer
+    share ingredients — the measurement you take BEFORE deciding to
+    salt a join or aggregation (``functions/skew.py``), and the one a
+    100 TB pipeline should emit continuously, because a key whose
+    share of rows grows toward 1/parallelism is the single most common
+    cause of a stuck stage.
+
+    Emits (rank, user_id, n, n_keys, total_rows): the key's share is
+    n/total_rows and the uniform baseline is total_rows/n_keys, both
+    left as exact integers.  Plan: one map-side-combined groupBy on
+    the key, then TakeOrderedAndProject(top) plus a broadcast 1-row
+    corpus aggregate — no global sort, nothing driver-side."""
+    t = Tables(spark, sf_dir)
+    from pyspark.sql import Window
+    per_key = (t.events.groupBy("user_id")
+               .agg(F.count(F.lit(1)).alias("n")))
+    totals = per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("total_rows"))
+    w = Window.orderBy(F.desc("n"), F.asc("user_id"))
+    return (per_key.orderBy(F.desc("n"), F.asc("user_id"))
+            .limit(SKEW_TOP)
+            .withColumn("rank", F.row_number().over(w).cast("int"))
+            .crossJoin(F.broadcast(totals))
+            .select("rank", "user_id", "n", "n_keys", "total_rows"))
+
+
+QUERIES = {"dq_orders_profile": dq_orders_profile,
+           "key_skew_profile": key_skew_profile}
 
 ORACLES = {
+    "key_skew_profile": f"""
+        WITH per_key AS (SELECT user_id, count(*)::BIGINT AS n
+                         FROM events GROUP BY user_id),
+        totals AS (SELECT count(*)::BIGINT AS n_keys,
+                          sum(n)::BIGINT AS total_rows FROM per_key),
+        rk AS (SELECT user_id, n, row_number() OVER (
+                   ORDER BY n DESC, user_id) AS rank FROM per_key)
+        SELECT rank::INT AS rank, user_id, n, t.n_keys, t.total_rows
+        FROM rk CROSS JOIN totals t
+        WHERE rank <= {SKEW_TOP}""",
     "dq_orders_profile": """
         SELECT
           (SELECT count(*) FROM orders) AS n_rows,

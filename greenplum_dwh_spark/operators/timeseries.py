@@ -206,7 +206,72 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("cum_users")))
 
 
+# ---------------------------------------------------------------------------
+# Point-in-time (as-of) dimension lookup — the join SCD2 exists for:
+# attach to each fact row the dimension version that was valid AT the
+# fact's event time.  The version table here is derived from orders
+# (each order is a "version" of the customer valid from its order
+# date until the next one), probed by lineitem ship dates.
+#
+# The implementation is the UNION-window formulation, the 100 TB-safe
+# as-of shape: version rows and fact rows are unioned, sorted within
+# each key by (date, version-before-fact on ties), and a running
+# `last(ignorenulls)` carries the newest version forward onto every
+# fact row.  Cost: ONE shuffle on the key and a partition-local sort —
+# versus the interval-join formulation, whose candidate set is
+# Σ_key facts·versions and which needs a dedup-by-rank afterwards.
+# (The oracle deliberately uses that interval+rank formulation, so
+# the two independent algorithms check each other.)
+def pit_lookup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    facts = (t.lineitem
+             .join(t.orders.select("o_orderkey", "o_custkey"),
+                   t.lineitem.l_orderkey == F.col("o_orderkey"))
+             .select(F.col("o_custkey").alias("custkey"),
+                     "l_orderkey", "l_linenumber",
+                     F.col("l_shipdate").alias("d")))
+    versions = t.orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("v_orderkey"),
+        F.col("o_totalprice").alias("v_totalprice"))
+    unioned = (versions
+               .withColumn("tag", F.lit(0))
+               .withColumn("l_orderkey", F.lit(None).cast("long"))
+               .withColumn("l_linenumber", F.lit(None).cast("int"))
+               .select("custkey", "d", "tag", "v_orderkey",
+                       "v_totalprice", "l_orderkey", "l_linenumber")
+               .unionByName(
+                   facts.withColumn("tag", F.lit(1))
+                   .withColumn("v_orderkey", F.lit(None).cast("long"))
+                   .withColumn("v_totalprice",
+                               F.lit(None).cast(
+                                   versions.schema["v_totalprice"]
+                                   .dataType))
+                   .select("custkey", "d", "tag", "v_orderkey",
+                           "v_totalprice", "l_orderkey",
+                           "l_linenumber")))
+    # ties: versions (tag 0) sort before facts (tag 1) on the same
+    # date — a version dated d is visible to a fact dated d; among
+    # same-date versions the max orderkey wins (matches the oracle's
+    # DESC, DESC rank)
+    w = (Window.partitionBy("custkey")
+         .orderBy("d", "tag", "v_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = unioned.select(
+        "custkey", "d", "tag", "l_orderkey", "l_linenumber",
+        F.last(F.when(F.col("tag") == 0,
+                      F.struct("v_orderkey", "v_totalprice")),
+               ignorenulls=True).over(w).alias("v"))
+    return (carried.filter(F.col("tag") == 1)
+            .select("l_orderkey", "l_linenumber", "custkey",
+                    F.col("d").alias("l_shipdate"),
+                    F.col("v.v_orderkey").alias("asof_orderkey"),
+                    F.col("v.v_totalprice").alias("asof_totalprice")))
+
+
 QUERIES = {
+    "pit_lookup_orders": pit_lookup_orders,
     "gapfill_forward_fill": gapfill_forward_fill,
     "resample_ohlc": resample_ohlc,
     "cumulative_distinct_users": cumulative_distinct_users,
@@ -217,6 +282,37 @@ QUERIES = {
 }
 
 ORACLES = {
+    # independent formulation: interval join + per-fact rank (the
+    # Spark side is the union-window carry — two different algorithms
+    # for the same as-of semantics)
+    "pit_lookup_orders": """
+        WITH fm AS (SELECT o.o_custkey AS custkey, l.l_orderkey,
+                           l.l_linenumber, l.l_shipdate
+                    FROM lineitem l
+                    JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        -- the synthetic lineitem is NOT unique on (orderkey,
+        -- linenumber): resolve the as-of per DISTINCT fact tuple,
+        -- then join back to restore the duplicate multiplicity
+        f AS (SELECT DISTINCT * FROM fm),
+        v AS (SELECT o_custkey AS custkey, o_orderdate, o_orderkey,
+                     o_totalprice
+              FROM orders),
+        j AS (SELECT f.l_orderkey, f.l_linenumber, f.custkey,
+                     f.l_shipdate, v.o_orderkey, v.o_totalprice,
+                     row_number() OVER (
+                         PARTITION BY f.custkey, f.l_orderkey,
+                                      f.l_linenumber, f.l_shipdate
+                         ORDER BY v.o_orderdate DESC,
+                                  v.o_orderkey DESC) AS rn
+              FROM f LEFT JOIN v
+                ON v.custkey = f.custkey
+               AND v.o_orderdate <= f.l_shipdate),
+        res AS (SELECT * FROM j WHERE rn = 1)
+        SELECT a.l_orderkey, a.l_linenumber, a.custkey, a.l_shipdate,
+               a.o_orderkey AS asof_orderkey,
+               a.o_totalprice AS asof_totalprice
+        FROM res a JOIN fm USING (custkey, l_orderkey, l_linenumber,
+                                   l_shipdate)""",
     # independent formulation: per-day count of users whose first
     # active day is <= d (correlated semantics, not the same plan)
     "cumulative_distinct_users": """

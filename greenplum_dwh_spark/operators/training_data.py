@@ -180,7 +180,47 @@ def fuzzy_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("edit_dist") <= FUZZY_MAX_DIST))
 
 
+# ---------------------------------------------------------------------------
+# Deterministic negative sampling for contrastive training: for each
+# anchor document, K negatives drawn uniformly (without replacement)
+# from the differently-labeled corpus slice, selected by ranking
+# candidates on md5(anchor || ':' || candidate) — a reproducible,
+# partitioning-independent stand-in for rand() sampling, and the same
+# portability recipe the split/sample operators use.
+#
+# Scale shape: the anchor set is the small slice (eval anchors are a
+# fixed fraction of the corpus), broadcast against the candidate scan;
+# the per-anchor top-K is a window over the anchor key, so the only
+# exchange is on anchor_id.  At real scale you additionally pre-slice
+# the candidate pool to a hash bucket (md5_bucket(doc_id) < p) so the
+# ranked set per anchor is corpus-fraction-sized, which composes with
+# this plan as one more pushed-down filter — the demo keeps the full
+# pool so the oracle is the complete ground truth.
+NEG_K = 4
+NEG_ANCHOR_MOD = 97
+
+
+def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    anchors = (t.documents
+               .filter(F.col("doc_id") % NEG_ANCHOR_MOD == 0)
+               .select(F.col("doc_id").alias("anchor_id"),
+                       F.col("lang").alias("anchor_lang")))
+    key = F.md5(F.concat_ws(":", F.col("anchor_id").cast("string"),
+                            F.col("doc_id").cast("string")))
+    w = Window.partitionBy("anchor_id").orderBy("sel_key", "doc_id")
+    return (t.documents.select("doc_id", "lang")
+            .crossJoin(F.broadcast(anchors))
+            .filter(F.col("lang") != F.col("anchor_lang"))
+            .withColumn("sel_key", key)
+            .withColumn("neg_rank", F.row_number().over(w).cast("int"))
+            .filter(F.col("neg_rank") <= NEG_K)
+            .select("anchor_id", F.col("doc_id").alias("neg_id"),
+                    "neg_rank", F.col("lang").alias("neg_lang")))
+
+
 QUERIES = {
+    "contrastive_negatives": contrastive_negatives,
     "sample_hash_stratified": sample_hash_stratified,
     "scrub_pii": scrub_pii,
     "canon_text_dedup": canon_text_dedup,
@@ -199,6 +239,22 @@ _PLANTED = ("text || ' contact user' || doc_id || '@example.com from 10.0.'"
             " || lpad((doc_id % 10000)::VARCHAR, 4, '0')")
 
 ORACLES = {
+    "contrastive_negatives": f"""
+        WITH anchors AS (SELECT doc_id AS anchor_id, lang AS anchor_lang
+                         FROM documents
+                         WHERE doc_id % {NEG_ANCHOR_MOD} = 0),
+        cand AS (SELECT a.anchor_id, d.doc_id AS neg_id, d.lang,
+                        md5(a.anchor_id::VARCHAR || ':'
+                            || d.doc_id::VARCHAR) AS sel_key
+                 FROM documents d CROSS JOIN anchors a
+                 WHERE d.lang <> a.anchor_lang),
+        rk AS (SELECT anchor_id, neg_id, lang,
+                      row_number() OVER (PARTITION BY anchor_id
+                          ORDER BY sel_key, neg_id) AS neg_rank
+               FROM cand)
+        SELECT anchor_id, neg_id, neg_rank::INT AS neg_rank,
+               lang AS neg_lang
+        FROM rk WHERE neg_rank <= {NEG_K}""",
     "sample_hash_stratified": f"""
         WITH d AS (
           SELECT doc_id, lang, source,

@@ -230,3 +230,76 @@ def test_compact_cluster_by_narrows_rowgroup_stats(spark, tmp_path):
     spans = sorted(after)
     for (_, hi1), (lo2, _) in zip(spans, spans[1:]):
         assert hi1 < lo2
+
+
+def test_pit_lookup_asof_semantics(spark, sf_dir):
+    """Every fact row carries the customer's LAST order version on or
+    before its ship date; NULL exactly when the customer has no order
+    that early (the synthetic data ships some lineitems before their
+    own order date, so nulls are legitimate here)."""
+    from greenplum_dwh_spark.operators.timeseries import (
+        pit_lookup_orders)
+    from greenplum_dwh_spark.sources.tpch import Tables
+    out = pit_lookup_orders(spark, sf_dir)
+    t = Tables(spark, sf_dir)
+    odate = t.orders.select("o_orderkey", "o_orderdate")
+    checked = (out
+               .join(odate.withColumnRenamed("o_orderkey", "asof_orderkey")
+                     .withColumnRenamed("o_orderdate", "asof_date"),
+                     "asof_orderkey")
+               .join(odate.withColumnRenamed("o_orderkey", "l_orderkey")
+                     .withColumnRenamed("o_orderdate", "own_date"),
+                     "l_orderkey"))
+    n = out.count()
+    assert n == t.lineitem.count()          # total closure, no dups
+    assert checked.filter(F.col("asof_date") > F.col("l_shipdate")
+                          ).count() == 0     # never a future version
+    # NULL ⇔ the customer's earliest order postdates the ship date
+    first = (t.orders.groupBy("o_custkey")
+             .agg(F.min("o_orderdate").alias("first_date"))
+             .withColumnRenamed("o_custkey", "custkey"))
+    nulls = out.filter(F.col("asof_orderkey").isNull()).join(first,
+                                                             "custkey")
+    assert nulls.filter(F.col("first_date") <= F.col("l_shipdate")
+                        ).count() == 0
+    assert checked.count() + nulls.count() == n
+
+
+def test_contrastive_negatives_shape_and_determinism(spark, sf_dir):
+    from greenplum_dwh_spark.operators.training_data import (
+        NEG_ANCHOR_MOD, NEG_K, contrastive_negatives)
+    rows = contrastive_negatives(spark, sf_dir).collect()
+    assert rows
+    per_anchor: dict = {}
+    for r in rows:
+        assert r["anchor_id"] % NEG_ANCHOR_MOD == 0
+        per_anchor.setdefault(r["anchor_id"], []).append(r)
+    for group in per_anchor.values():
+        assert len(group) <= NEG_K
+        assert len({g["neg_id"] for g in group}) == len(group)
+        assert sorted(g["neg_rank"] for g in group) == list(
+            range(1, len(group) + 1))
+    again = {(r["anchor_id"], r["neg_id"], r["neg_rank"])
+             for r in contrastive_negatives(spark, sf_dir).collect()}
+    assert again == {(r["anchor_id"], r["neg_id"], r["neg_rank"])
+                     for r in rows}
+
+
+def test_key_skew_profile_consistent_with_raw_counts(spark, sf_dir):
+    from greenplum_dwh_spark.operators.quality import (SKEW_TOP,
+                                                       key_skew_profile)
+    from greenplum_dwh_spark.sources.tpch import Tables
+    rows = sorted(key_skew_profile(spark, sf_dir).collect(),
+                  key=lambda r: r["rank"])
+    ev = Tables(spark, sf_dir).events
+    want_total = ev.count()
+    want_keys = ev.select("user_id").distinct().count()
+    assert rows and len(rows) <= SKEW_TOP
+    assert all(r["total_rows"] == want_total for r in rows)
+    assert all(r["n_keys"] == want_keys for r in rows)
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+    top1 = (ev.groupBy("user_id").count()
+            .orderBy(F.desc("count"), "user_id").first())
+    assert rows[0]["user_id"] == top1["user_id"]
+    assert rows[0]["n"] == top1["count"]

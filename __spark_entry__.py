@@ -60,6 +60,7 @@ _RUN_FIRST = [
     "rank_fusion_rrf", "vocab_topk_coverage",
     "dedup_incremental", "split_leakage_safe",
     "pit_lookup_orders", "key_skew_profile", "contrastive_negatives",
+    "merge_upsert_orders", "label_centroids_scaled",
     # earlier round 3 (curation family + OHLC resample + composites)
     "decontaminate_ngrams8_planted",
     "table_diff_orders", "cumulative_distinct_users",

@@ -88,8 +88,69 @@ def table_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "o_orderkey", _DIFF_COLS)
 
 
+def merge_upsert(target: DataFrame, changes: DataFrame,
+                 key: str) -> DataFrame:
+    """MERGE INTO semantics (upsert + delete) as the classic
+    anti-join + union rewrite — the logical plan Delta/Iceberg MERGE
+    compiles to before file-level pruning: target rows whose key
+    appears in the changeset are dropped (one left-anti join on the
+    key), then the changeset's upsert rows are appended.  An upsert
+    therefore replaces in full, a delete just disappears, and
+    untouched rows pass through without being rewritten row-by-row.
+
+    ``changes`` carries the target schema plus an ``action`` column
+    (``'upsert'`` | ``'delete'``).  Scale shape: a changeset is
+    normally ≪ target, so the anti join broadcasts (AQE decides);
+    the union is plan-level only.  Physical rewrite at file
+    granularity is TableStore's copy-on-write job — this operator is
+    the pure semantics both share."""
+    survivors = target.join(changes.select(key).distinct(), key,
+                            "left_anti")
+    upserts = (changes.filter(F.col("action") == "upsert")
+               .drop("action"))
+    return survivors.unionByName(upserts)
+
+
+#: planted changeset moduli (delete precedence on overlap) and the
+#: insert key shift (disjoint from table_diff's ADD_SHIFT plants)
+UPD_MOD, DEL_MOD, INS_MOD = 31, 37, 41
+INS_SHIFT = 2 * ADD_SHIFT
+
+
+def _planted_changes(orders: DataFrame) -> DataFrame:
+    n = _normalized(orders)
+    updates = (n.filter((F.col("o_orderkey") % UPD_MOD == 0)
+                        & (F.col("o_orderkey") % DEL_MOD != 0))
+               .withColumn("cents", F.col("cents") + 100)
+               .withColumn("action", F.lit("upsert")))
+    deletes = (n.filter(F.col("o_orderkey") % DEL_MOD == 0)
+               .withColumn("action", F.lit("delete")))
+    inserts = (n.filter(F.col("o_orderkey") % INS_MOD == 0)
+               .withColumn("o_orderkey",
+                           F.col("o_orderkey") + INS_SHIFT)
+               .withColumn("o_orderstatus", F.lit("N"))
+               .withColumn("action", F.lit("upsert")))
+    return updates.unionByName(deletes).unionByName(inserts)
+
+
+def merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a planted update/delete/insert changeset to orders via
+    :func:`merge_upsert`, then emit the merged table's per-status
+    verification profile (count, exact cents sum, key range) — small,
+    exact, and sensitive to any mis-merged row class."""
+    o = Tables(spark, sf_dir).orders
+    merged = merge_upsert(_normalized(o), _planted_changes(o),
+                          "o_orderkey")
+    return (merged.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("cents").alias("sum_cents"),
+                 F.min("o_orderkey").alias("min_key"),
+                 F.max("o_orderkey").alias("max_key")))
+
+
 QUERIES = {
     "table_diff_orders": table_diff_orders,
+    "merge_upsert_orders": merge_upsert_orders,
 }
 
 _DG = ("md5(coalesce(o_orderstatus::VARCHAR, '<NULL>') || chr(31) || "
@@ -97,6 +158,38 @@ _DG = ("md5(coalesce(o_orderstatus::VARCHAR, '<NULL>') || chr(31) || "
        "coalesce(o_orderpriority::VARCHAR, '<NULL>'))")
 
 ORACLES = {
+    "merge_upsert_orders": f"""
+        WITH base AS (
+          SELECT o_orderkey, o_orderstatus,
+                 round(o_totalprice * 100)::BIGINT AS cents
+          FROM orders),
+        updates AS (
+          SELECT o_orderkey, o_orderstatus, cents + 100 AS cents
+          FROM base
+          WHERE o_orderkey % {UPD_MOD} = 0
+            AND o_orderkey % {DEL_MOD} <> 0),
+        deletes AS (
+          SELECT o_orderkey FROM base
+          WHERE o_orderkey % {DEL_MOD} = 0),
+        inserts AS (
+          SELECT o_orderkey + {INS_SHIFT} AS o_orderkey,
+                 'N' AS o_orderstatus, cents
+          FROM base WHERE o_orderkey % {INS_MOD} = 0),
+        touched AS (
+          SELECT o_orderkey FROM updates
+          UNION SELECT o_orderkey FROM deletes
+          UNION SELECT o_orderkey FROM inserts),
+        merged AS (
+          SELECT b.o_orderkey, b.o_orderstatus, b.cents
+          FROM base b
+          WHERE NOT EXISTS (SELECT 1 FROM touched t
+                            WHERE t.o_orderkey = b.o_orderkey)
+          UNION ALL SELECT * FROM updates
+          UNION ALL SELECT * FROM inserts)
+        SELECT o_orderstatus, count(*)::BIGINT AS n_rows,
+               sum(cents)::BIGINT AS sum_cents,
+               min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+        FROM merged GROUP BY o_orderstatus""",
     "table_diff_orders": f"""
         WITH base AS (
           SELECT o_orderkey, o_orderstatus,

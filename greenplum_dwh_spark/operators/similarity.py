@@ -370,7 +370,43 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"array_max({q})").alias("q_max"))
 
 
+#: fixed-point scale for centroid component sums (2^20): floor(v·2^20)
+#: is exact identical double arithmetic in both engines, and the
+#: per-(label, pos) sum stays integer — order-independent and
+#: mergeable, unlike a float sum whose value depends on reduction
+#: order across executors
+CENTROID_SCALE = 1 << 20
+
+
+def label_centroids_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid ingredients: for every (label, dimension),
+    the exact scaled component sum and the member count — the
+    cluster-profile aggregate behind re-clustering, per-class drift
+    monitoring, and IVF seeding.  The float mean is one division away;
+    emitting floor-scaled integer sums keeps the aggregate bit-exact
+    AND mergeable (a tree of partial sums gives the same answer in
+    any order — the property a 1000-executor combine needs, which a
+    double sum does not have).
+
+    Plan: posexplode (map-side, no shuffle) → one groupBy on
+    (label, pos) — |labels|·dim groups, so the reduce side is tiny at
+    any corpus scale."""
+    emb = _emb(spark, sf_dir)
+    ex = emb.select(
+        "label",
+        F.posexplode(F.expr(
+            f"transform(embedding, v -> cast(floor(cast(v as double)"
+            f" * {CENTROID_SCALE}) as bigint))")).alias("pos", "comp"))
+    return (ex.groupBy("label", "pos")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.sum("comp").alias("sum_scaled"))
+            .select("label",
+                    (F.col("pos") + 1).cast("int").alias("dim"),
+                    "n_vecs", "sum_scaled"))
+
+
 QUERIES = {
+    "label_centroids_scaled": label_centroids_scaled,
     "embedding_quantize": embedding_quantize,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_euclidean_topk": ann_euclidean_topk,
@@ -387,6 +423,13 @@ _QL = ("list_transform(embedding, v -> "
        "floor(v::DOUBLE / greatest(scale, 1e-300) * 127.0)::BIGINT)")
 
 ORACLES = {
+    "label_centroids_scaled": f"""
+        SELECT label, i::INT AS dim, count(*)::BIGINT AS n_vecs,
+               sum(floor(embedding[i]::DOUBLE
+                         * {CENTROID_SCALE})::BIGINT)::BIGINT
+                   AS sum_scaled
+        FROM embeddings, unnest(range(1, 65)) AS t(i)
+        GROUP BY label, i""",
     "embedding_quantize": f"""
         WITH s AS (
           SELECT vec_id, embedding,

@@ -345,3 +345,66 @@ def test_vocab_coverage_monotone_and_bounded(spark, sf_dir):
         assert r["cum_n"] <= r["total_tokens"]
     # the head vocabulary must cover a nontrivial share of occurrences
     assert rows[-1]["cum_n"] * 2 > rows[-1]["total_tokens"]
+
+
+def test_merge_upsert_semantics(spark):
+    """Generic MERGE: upsert replaces in full, delete removes, insert
+    appends, untouched rows pass through."""
+    from greenplum_dwh_spark.operators.reconcile import merge_upsert
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, s string, v long")
+    changes = spark.createDataFrame(
+        [(2, "B", 200, "upsert"),     # update
+         (3, None, None, "delete"),   # delete
+         (9, "z", 90, "upsert")],     # insert
+        "k long, s string, v long, action string")
+    got = {r["k"]: (r["s"], r["v"])
+           for r in merge_upsert(target, changes, "k").collect()}
+    assert got == {1: ("a", 10), 2: ("B", 200), 9: ("z", 90)}
+
+
+def test_merge_upsert_orders_plants_all_classes(spark, sf_dir):
+    """The planted changeset exercises update, delete AND insert, and
+    the merged profile reflects them: inserted keys surface as the 'N'
+    status group beyond INS_SHIFT."""
+    from greenplum_dwh_spark.operators import reconcile as rc
+    from greenplum_dwh_spark.sources.tpch import Tables
+    o = Tables(spark, sf_dir).orders
+    ch = rc._planted_changes(o)
+    by_action = {r["action"]: r["cnt"] for r in
+                 ch.groupBy("action").agg(
+                     F.count(F.lit(1)).alias("cnt")).collect()}
+    assert by_action.get("upsert", 0) > 0 and by_action.get(
+        "delete", 0) > 0
+    prof = {r["o_orderstatus"]: r for r in
+            rc.merge_upsert_orders(spark, sf_dir).collect()}
+    assert "N" in prof
+    assert prof["N"]["min_key"] >= rc.INS_SHIFT
+
+
+def test_label_centroids_mergeable_partials(spark, sf_dir):
+    """Centroid ingredient sums merge associatively: partials computed
+    on two disjoint halves add up to the full-corpus sums (the exact
+    property float means lack)."""
+    from greenplum_dwh_spark.operators.similarity import (
+        CENTROID_SCALE, _emb, label_centroids_scaled)
+    full = {(r["label"], r["dim"]): (r["n_vecs"], r["sum_scaled"])
+            for r in label_centroids_scaled(spark, sf_dir).collect()}
+    emb = _emb(spark, sf_dir)
+    halves = [emb.filter(F.col("vec_id") % 2 == i) for i in (0, 1)]
+    merged: dict = {}
+    for h in halves:
+        ex = h.select("label", F.posexplode(F.expr(
+            f"transform(embedding, v -> cast(floor(cast(v as double)"
+            f" * {CENTROID_SCALE}) as bigint))")).alias("pos", "comp"))
+        part = (ex.groupBy("label", "pos")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum("comp").alias("s")).collect())
+        for r in part:
+            k = (r["label"], r["pos"] + 1)
+            n0, s0 = merged.get(k, (0, 0))
+            merged[k] = (n0 + r["n"], s0 + r["s"])
+    assert merged == full
+    labels = {k[0] for k in full}
+    assert all(sum(1 for k in full if k[0] == lb) == 64 for lb in labels)

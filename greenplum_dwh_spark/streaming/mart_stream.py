@@ -333,6 +333,43 @@ def stream_chain_detector(tx_stream: DataFrame) -> DataFrame:
                 "append", GroupStateTimeout.NoTimeout))
 
 
+def cdc_apply_foreach_batch(store, table: str, key: str, seq: str):
+    """foreachBatch handler applying a CDC change stream to a
+    versioned TableStore table — the streaming MERGE every warehouse
+    ingest runs (Debezium/binlog → lakehouse table).
+
+    Within one micro-batch the change with the highest ``seq`` per key
+    wins (earlier same-key changes are superseded before the merge);
+    across micro-batches later batches supersede earlier ones — i.e.
+    last-writer-wins by (batch, seq), which is the standard CDC
+    compaction contract.  Each batch applies
+    :func:`~greenplum_dwh_spark.operators.reconcile.merge_upsert`
+    against the table's current version and commits copy-on-write via
+    ``overwrite_versioned`` — so every micro-batch is a table version
+    and time travel across CDC history comes for free.
+
+    Scale notes: the per-batch winner selection is one window over the
+    (small) change batch; the merge's anti join broadcasts the change
+    keys; the COW commit rewrites only buckets whose fingerprint
+    changed (TableStore's bucket-granular diff)."""
+    from pyspark.sql import Window
+
+    from greenplum_dwh_spark.operators.reconcile import merge_upsert
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        w = Window.partitionBy(key).orderBy(F.desc(seq))
+        latest = (batch_df
+                  .withColumn("_rn", F.row_number().over(w))
+                  .filter(F.col("_rn") == 1)
+                  .drop("_rn", seq))
+        merged = merge_upsert(store.read(table), latest, key)
+        store.overwrite_versioned(table, merged)
+
+    return handle
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str,
                          spark: SparkSession) -> DataFrame:
     """Drain a stream with availableNow into an in-memory table —

@@ -7,6 +7,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from greenplum_dwh_spark import schemas
@@ -453,3 +454,73 @@ def test_stream_decontaminate_matches_batch(spark, tmp_path, sf_dir):
             for r in decontaminate_ngrams(spark, sf_dir)
             .select("doc_id", "n_hits").collect()}
     assert got == want
+
+
+def test_stream_apply_cdc_matches_batch_merge(spark, tmp_path):
+    """CDC change stream → foreachBatch merge_upsert into a versioned
+    TableStore table: after two micro-batches the table equals the
+    sequential batch application of the same changesets, within-batch
+    same-key changes resolve by highest seq, and every micro-batch
+    committed a time-travelable version."""
+    from pyspark.sql import types as T
+
+    from greenplum_dwh_spark.operators.reconcile import merge_upsert
+    from greenplum_dwh_spark.streaming.mart_stream import (
+        cdc_apply_foreach_batch)
+    from greenplum_dwh_spark.tablestore import TableStore
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("v", T.LongType())])
+    store = TableStore(spark, str(tmp_path / "store"))
+    store.init_versioned("t", schema, key_col="k")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, s string, v long")
+    store.overwrite_versioned("t", base)
+    v0 = store.current_version("t")
+
+    ch_schema = "k long, s string, v long, action string, seq long"
+    # batch 1: update k=2 twice (seq 2 wins), insert k=9
+    b1 = [(2, "WRONG", 0, "upsert", 1), (2, "B", 200, "upsert", 2),
+          (9, "z", 90, "upsert", 1)]
+    # batch 2: delete k=1, update k=9
+    b2 = [(1, None, None, "delete", 1), (9, "Z", 91, "upsert", 2)]
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    handler = cdc_apply_foreach_batch(store, "t", "k", "seq")
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(ch_schema).parquet(
+            str(src) + "/*.parquet")
+        q = (stream.writeStream.foreachBatch(handler)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    for i, rows in enumerate([b1, b2]):
+        spark.createDataFrame(rows, ch_schema).coalesce(1) \
+            .write.parquet(str(src / f"b{i}.parquet"))
+        drain()
+
+    got = {r["k"]: (r["s"], r["v"]) for r in store.read("t").collect()}
+    # independent batch model: apply the same per-batch winners in order
+    expect = base
+    for rows in [b1, b2]:
+        ch = spark.createDataFrame(rows, ch_schema)
+        latest = (ch.withColumn(
+            "_rn", F.row_number().over(
+                Window.partitionBy("k").orderBy(F.desc("seq"))))
+            .filter("_rn = 1").drop("_rn", "seq"))
+        expect = merge_upsert(expect, latest, "k")
+    want = {r["k"]: (r["s"], r["v"]) for r in expect.collect()}
+    assert got == want == {2: ("B", 200), 3: ("c", 30), 9: ("Z", 91)}
+    # two CDC commits on top of the seed version; the previous one is
+    # time-travelable (vacuum retains the last two versions)
+    assert store.current_version("t") == v0 + 2
+    mid = {r["k"]: (r["s"], r["v"])
+           for r in store.read_version("t", v0 + 1).collect()}
+    assert mid == {1: ("a", 10), 2: ("B", 200), 3: ("c", 30),
+                   9: ("z", 90)}

@@ -61,6 +61,7 @@ _RUN_FIRST = [
     "dedup_incremental", "split_leakage_safe",
     "pit_lookup_orders", "key_skew_profile", "contrastive_negatives",
     "merge_upsert_orders", "label_centroids_scaled",
+    "retention_cohorts", "dedup_source_overlap", "q10_returned_items",
     # earlier round 3 (curation family + OHLC resample + composites)
     "decontaminate_ngrams8_planted",
     "table_diff_orders", "cumulative_distinct_users",

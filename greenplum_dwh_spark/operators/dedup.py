@@ -622,6 +622,29 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_best_per_cluster(_docs(spark, sf_dir))
 
 
+def source_overlap_matrix(docs: DataFrame) -> DataFrame:
+    """Cross-source exact-duplication matrix: for every ordered pair
+    of sources, how many distinct text digests appear in BOTH — the
+    overlap audit a multi-crawl corpus needs before mixing sources
+    (double-counted content silently re-weights the training mix).
+
+    Shape: reduce to distinct (source, digest) first (one shuffle,
+    map-side combine), then self-join on digest.  Digests shared by k
+    sources contribute k(k-1)/2 cells; the join's per-key fan-out is
+    bounded by the SOURCE count, not the corpus, so candidates are
+    O(distinct digests · sources²/2) — with a handful of sources this
+    is effectively the distinct-digest scan.  ``docs`` needs
+    (source, text)."""
+    sd = (docs.select("source", F.md5("text").alias("digest"))
+          .distinct())
+    return (sd.alias("a")
+            .join(sd.alias("b"), "digest")
+            .filter(F.col("a.source") < F.col("b.source"))
+            .groupBy(F.col("a.source").alias("source_a"),
+                     F.col("b.source").alias("source_b"))
+            .agg(F.count(F.lit(1)).alias("n_shared_texts")))
+
+
 #: the "new" slice for the incremental demo: ~1/7 of the corpus plays
 #: the freshly-ingested batch, the rest the existing indexed corpus.
 INCR_MOD = 7
@@ -636,9 +659,27 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_split(_docs(spark, sf_dir))
 
 
+#: cross-source plant: every 43rd document's text is mirrored into the
+#: "next" source (the corpus has no natural cross-source exact dups —
+#: same plant-then-operate discipline as scrub_pii / table_diff)
+OVERLAP_PLANT_MOD = 43
+
+
+def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = Tables(spark, sf_dir).documents
+    planted = (docs.filter(F.col("doc_id") % OVERLAP_PLANT_MOD == 0)
+               .select(F.concat(F.lit("src"),
+                                (((F.col("doc_id") % 20) + 1) % 20)
+                                .cast("string"))
+                       .alias("source"), "text"))
+    return source_overlap_matrix(
+        docs.select("source", "text").unionByName(planted))
+
+
 QUERIES = {
     "dedup_incremental": dedup_incremental,
     "split_leakage_safe": split_leakage_safe,
+    "dedup_source_overlap": dedup_source_overlap,
     "dedup_keep_best": dedup_keep_best,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -711,6 +752,20 @@ _COMPONENTS_CTE = f"""
 _SPLIT_BUCKET = H.MD5_BUCKET_SQL.format("cluster_id", 10000)
 
 ORACLES = {
+    "dedup_source_overlap": f"""
+        WITH u AS (SELECT source, text FROM documents
+                   UNION ALL
+                   SELECT 'src' || ((((doc_id % 20) + 1) % 20)::VARCHAR),
+                          text
+                   FROM documents
+                   WHERE doc_id % {OVERLAP_PLANT_MOD} = 0),
+        sd AS (SELECT DISTINCT source, md5(text) AS digest
+               FROM u)
+        SELECT a.source AS source_a, b.source AS source_b,
+               count(*)::BIGINT AS n_shared_texts
+        FROM sd a JOIN sd b
+          ON a.digest = b.digest AND a.source < b.source
+        GROUP BY 1, 2""",
     "dedup_incremental": f"""
         WITH sh AS (SELECT doc_id, {_W3} AS s FROM documents),
         ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS t FROM sh),

@@ -91,6 +91,30 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("revenue")))
 
 
+# TPC-H Q10 shape — returned-item revenue ranking: fact filter →
+# 3 joins (customer shuffles with orders on custkey; nation
+# broadcast) → per-customer revenue → top 20.  The top-k plans as
+# TakeOrderedAndProject, so the global ranking never needs a
+# single-partition sort of the full aggregate.
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    top = (t.lineitem
+           .filter(F.col("l_returnflag") == "R")
+           .join(t.orders, t.lineitem.l_orderkey == t.orders.o_orderkey)
+           .join(t.customer,
+                 t.orders.o_custkey == t.customer.c_custkey)
+           .join(F.broadcast(t.nation),
+                 t.customer.c_nationkey == t.nation.n_nationkey)
+           .groupBy("c_custkey", "c_name", "n_name")
+           .agg(_dsum_mul(F.col("l_extendedprice"),
+                          1 - F.col("l_discount")).alias("revenue"))
+           .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+           .limit(20))
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (top.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("rank", "c_custkey", "c_name", "n_name", "revenue"))
+
+
 # A4/S12 — pivoted counts (plot_report.py:16 analog), explicit when-sums
 # so column names are stable across engines.
 def pivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -691,6 +715,7 @@ QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "q3_segment_revenue": q3_segment_revenue,
     "q5_nation_revenue": q5_nation_revenue,
+    "q10_returned_items": q10_returned_items,
     "pivot_status_counts": pivot_status_counts,
     "window_lead_scd2": window_lead_scd2,
     "window_lag_hop": window_lag_hop,
@@ -768,6 +793,20 @@ ORACLES = {
              JOIN nation ON s_nationkey = n_nationkey
              JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA' GROUP BY n_name""",
+    "q10_returned_items": f"""
+        WITH agg AS (
+          SELECT c_custkey, c_name, n_name,
+                 {_DSUM_MUL.format('l_extendedprice', '1 - l_discount')}
+                     AS revenue
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+          WHERE l_returnflag = 'R'
+          GROUP BY c_custkey, c_name, n_name),
+        rk AS (SELECT *, row_number() OVER (
+                   ORDER BY revenue DESC, c_custkey) AS rank FROM agg)
+        SELECT rank::INT AS rank, c_custkey, c_name, n_name, revenue
+        FROM rk WHERE rank <= 20""",
     "pivot_status_counts": """
         SELECT o_orderpriority,
                sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)::BIGINT AS n_o,

@@ -270,7 +270,35 @@ def pit_lookup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("v.v_totalprice").alias("asof_totalprice")))
 
 
+# ---------------------------------------------------------------------------
+# Cohort retention: bucket users by first-active day (the cohort),
+# then count how many are active again k days later — the canonical
+# product/engagement matrix, and in a data-engine context the shape
+# behind "days-since-ingest" freshness matrices.  Two aggregations:
+# per-user first day (one shuffle on user), then (cohort, offset)
+# counts over user-days (one shuffle on the pair).  distinct
+# user-days first so multi-event days can't double-count; every count
+# is exact.  Offsets beyond the corpus span simply don't appear.
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ud = (t.events
+          .select("user_id", F.to_date("ts").alias("day"))
+          .distinct())
+    first = ud.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (ud.join(first, "user_id")
+            .select("cohort_day",
+                    F.datediff("day", "cohort_day").alias("day_offset"))
+            .groupBy("cohort_day", "day_offset")
+            # ud is distinct user-days and a user has ONE cohort day,
+            # so each user hits a (cohort, offset) cell at most once:
+            # count(*) IS the distinct-user count
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .withColumn("day_offset",
+                        F.col("day_offset").cast("int")))
+
+
 QUERIES = {
+    "retention_cohorts": retention_cohorts,
     "pit_lookup_orders": pit_lookup_orders,
     "gapfill_forward_fill": gapfill_forward_fill,
     "resample_ohlc": resample_ohlc,
@@ -282,6 +310,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "retention_cohorts": """
+        WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day
+                    FROM events),
+        first AS (SELECT user_id, min(day) AS cohort_day
+                  FROM ud GROUP BY user_id)
+        SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+               (ud.day - f.cohort_day)::INT AS day_offset,
+               count(*)::BIGINT AS n_users
+        FROM ud JOIN first f USING (user_id)
+        GROUP BY 1, 2""",
     # independent formulation: interval join + per-fact rank (the
     # Spark side is the union-window carry — two different algorithms
     # for the same as-of semantics)

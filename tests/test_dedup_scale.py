@@ -260,3 +260,18 @@ def test_leakage_safe_split_never_splits_a_cluster(spark):
     multi = [c for c, _ in by_cluster.items()
              if sum(1 for r in out if r["cluster_id"] == c) > 1]
     assert multi  # planted near-dups actually formed multi-doc clusters
+
+
+def test_source_overlap_counts_planted_mirrors(spark):
+    """Matrix counts exactly the digests shared across source pairs;
+    a text present in 3 sources contributes all 3 pairwise cells."""
+    from pyspark.sql import functions as F  # noqa: F811
+    rows = [(f"s{i}", f"unique text {i}") for i in range(6)]
+    rows += [("s0", "shared alpha"), ("s1", "shared alpha"),
+             ("s2", "shared alpha"), ("s4", "shared beta"),
+             ("s5", "shared beta"), ("s4", "shared beta")]
+    docs = spark.createDataFrame(rows, "source string, text string")
+    got = {(r["source_a"], r["source_b"]): r["n_shared_texts"]
+           for r in dedup.source_overlap_matrix(docs).collect()}
+    assert got == {("s0", "s1"): 1, ("s0", "s2"): 1, ("s1", "s2"): 1,
+                   ("s4", "s5"): 1}

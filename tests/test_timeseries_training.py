@@ -303,3 +303,22 @@ def test_key_skew_profile_consistent_with_raw_counts(spark, sf_dir):
             .orderBy(F.desc("count"), "user_id").first())
     assert rows[0]["user_id"] == top1["user_id"]
     assert rows[0]["n"] == top1["count"]
+
+
+def test_retention_cohort_day0_equals_cohort_size(spark, sf_dir):
+    """Offset 0 of each cohort counts exactly the users whose first
+    day is that day, and no cell exceeds its cohort's day-0 size."""
+    from greenplum_dwh_spark.operators.timeseries import (
+        retention_cohorts)
+    from greenplum_dwh_spark.sources.tpch import Tables
+    rows = retention_cohorts(spark, sf_dir).collect()
+    day0 = {r["cohort_day"]: r["n_users"]
+            for r in rows if r["day_offset"] == 0}
+    first = (Tables(spark, sf_dir).events
+             .select("user_id", F.to_date("ts").alias("day"))
+             .groupBy("user_id").agg(F.min("day").alias("d"))
+             .groupBy("d").count().collect())
+    assert day0 == {r["d"]: r["count"] for r in first}
+    for r in rows:
+        assert r["n_users"] <= day0[r["cohort_day"]]
+        assert r["day_offset"] >= 0

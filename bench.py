@@ -33,7 +33,8 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from greenplum_dwh_spark.session import get_spark
     from greenplum_dwh_spark.operators import (curation, dedup, packing,
-                                               reconcile, relational,
+                                               quality, reconcile,
+                                               relational, retrieval,
                                                sessions, similarity,
                                                text_analysis, timeseries,
                                                training_data)
@@ -81,6 +82,15 @@ def main() -> None:
         "resample_ohlc": timeseries.resample_ohlc,
         "decontaminate_ngrams": curation.decontaminate_ngrams,
         "table_diff_orders": reconcile.table_diff_orders,
+        # round-3 additions: PIT lookup, MERGE, retrieval fusion,
+        # cohorts, Q10, skew/vocab profiles
+        "pit_lookup_orders": timeseries.pit_lookup_orders,
+        "merge_upsert_orders": reconcile.merge_upsert_orders,
+        "rank_fusion_rrf": retrieval.rank_fusion_rrf,
+        "retention_cohorts": timeseries.retention_cohorts,
+        "q10_returned_items": relational.q10_returned_items,
+        "vocab_topk_coverage": retrieval.vocab_topk_coverage,
+        "key_skew_profile": quality.key_skew_profile,
     }
 
     # untimed warm-up: touch every input table once so per-query numbers

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from greenplum_dwh_spark.functions.zorder import zorder_key2_sql
 from greenplum_dwh_spark.sources.tpch import Tables
 
 
@@ -113,6 +114,24 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
     return (top.withColumn("rank", F.row_number().over(w).cast("int"))
             .select("rank", "c_custkey", "c_name", "n_name", "revenue"))
+
+
+# Z-order layout keys (functions/zorder.py): the Morton interleave of
+# (custkey, order-day) that a 2-D clustered compaction sorts by.  The
+# derivation is a pure map-side integer expression — this query
+# hash-checks it bit-for-bit; the layout property itself (bounded
+# per-file bounding boxes → 2-D row-group skipping) is pinned by
+# tests/test_bucketing.py::test_zorder_clustering_bounds_file_boxes.
+def zorder_keys_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from greenplum_dwh_spark.functions.zorder import zorder_key2
+    t = Tables(spark, sf_dir)
+    day = F.datediff(F.col("o_orderdate"), F.lit("1992-01-01"))
+    return t.orders.select(
+        "o_orderkey",
+        (F.col("o_custkey") % (1 << 16)).alias("ck_norm"),
+        F.pmod(day, F.lit(1 << 16)).alias("day_norm"),
+        zorder_key2(F.col("o_custkey") % (1 << 16),
+                    F.pmod(day, F.lit(1 << 16))).alias("zkey"))
 
 
 # A4/S12 — pivoted counts (plot_report.py:16 analog), explicit when-sums
@@ -716,6 +735,7 @@ QUERIES = {
     "q3_segment_revenue": q3_segment_revenue,
     "q5_nation_revenue": q5_nation_revenue,
     "q10_returned_items": q10_returned_items,
+    "zorder_keys_orders": zorder_keys_orders,
     "pivot_status_counts": pivot_status_counts,
     "window_lead_scd2": window_lead_scd2,
     "window_lag_hop": window_lag_hop,
@@ -793,6 +813,17 @@ ORACLES = {
              JOIN nation ON s_nationkey = n_nationkey
              JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA' GROUP BY n_name""",
+    "zorder_keys_orders": f"""
+        WITH n AS (
+          SELECT o_orderkey,
+                 (o_custkey % 65536)::BIGINT AS ck_norm,
+                 (date_diff('day', DATE '1992-01-01',
+                            o_orderdate::DATE) % 65536)::BIGINT
+                     AS day_norm
+          FROM orders)
+        SELECT o_orderkey, ck_norm, day_norm,
+               {zorder_key2_sql('ck_norm', 'day_norm')} AS zkey
+        FROM n""",
     "q10_returned_items": f"""
         WITH agg AS (
           SELECT c_custkey, c_name, n_name,

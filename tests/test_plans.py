@@ -224,3 +224,64 @@ def test_runtime_bloom_filter_prunes_unbroadcastable_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pit_lookup_single_keyed_exchange_no_interval_join(spark, sf_dir):
+    """The as-of carry must be the union-window plan: exactly one
+    shuffle exchange (on custkey) and no nested-loop interval join;
+    the fact-side order attach broadcasts."""
+    from greenplum_dwh_spark.operators.timeseries import pit_lookup_orders
+    df = pit_lookup_orders(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert checks.exchange_count(df) == 1
+    assert checks.has_broadcast_join(df)
+
+
+def test_merge_upsert_is_anti_join_union(spark, sf_dir):
+    """MERGE must compile to one anti join + union — no row-wise
+    rewrite, no sort-merge of target against changeset."""
+    from greenplum_dwh_spark.operators.reconcile import merge_upsert_orders
+    plan = checks.physical_plan(merge_upsert_orders(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "Union" in plan
+    assert "SortMergeJoin LeftAnti" not in plan  # broadcast, not SMJ
+
+
+def test_rank_fusion_pools_are_take_ordered(spark, sf_dir):
+    """Both source rankings must collapse to TakeOrderedAndProject
+    pools (distributed partial top-k) before fusion — never a global
+    sort of a corpus-sized ranking."""
+    from greenplum_dwh_spark.operators.retrieval import rank_fusion_rrf
+    plan = checks.physical_plan(rank_fusion_rrf(spark, sf_dir))
+    assert plan.count("TakeOrderedAndProject") >= 3  # lex, sem, fused
+
+
+def test_profiles_use_take_ordered_heads(spark, sf_dir):
+    from greenplum_dwh_spark.operators.quality import key_skew_profile
+    from greenplum_dwh_spark.operators.retrieval import vocab_topk_coverage
+    for fn in (key_skew_profile, vocab_topk_coverage):
+        plan = checks.physical_plan(fn(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan
+        # the head selection replaces any global sort: no Sort node
+        # (the tiny post-head window sorts ≤ head rows, driver-side
+        # constant, and shows as Sort only inside that window stage)
+        assert plan.count("Sort ") <= 1
+
+
+def test_negative_sampling_group_limit_before_exchange(spark, sf_dir):
+    """Spark's rank-limit pushdown must fire: a WindowGroupLimit
+    below the exchange prunes candidates to top-K per anchor before
+    any shuffle."""
+    from greenplum_dwh_spark.operators.training_data import (
+        contrastive_negatives)
+    plan = checks.physical_plan(contrastive_negatives(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # anchors broadcast
+
+
+def test_zorder_key_is_codegen_no_shuffle(spark, sf_dir):
+    from greenplum_dwh_spark.operators.relational import zorder_keys_orders
+    df = zorder_keys_orders(spark, sf_dir)
+    assert checks.exchange_count(df) == 0
+    assert not checks.has_python_udf(df)

@@ -37,6 +37,13 @@ Curation / reconciliation::
     api.chunk_docs(docs)                 # context-window chunking
     api.shard_order(docs)                # deterministic shard + order
     api.table_diff(a, b, key, cols)      # snapshot reconciliation
+    api.merge_upsert(target, changes, k) # MERGE INTO semantics
+    api.asof_join(facts, versions, ...)  # point-in-time lookup
+    api.incremental_minhash_pairs(...)   # new-vs-corpus dedup
+    api.leakage_safe_split(docs)         # cluster-aware splits
+    api.source_overlap_matrix(docs)      # cross-source dup audit
+    api.zorder_key2(a, b)                # Morton layout key
+    api.cdc_apply_foreach_batch(...)     # streaming CDC MERGE
 """
 
 from greenplum_dwh_spark.etl.normalize import normalize_transactions  # noqa: F401
@@ -51,13 +58,15 @@ from greenplum_dwh_spark.multimodal.codec import (decode_image,  # noqa: F401
 from greenplum_dwh_spark.functions.sketch import (kmv_estimate,  # noqa: F401
                                                   kmv_merge, kmv_sketch)
 from greenplum_dwh_spark.operators.dedup import (  # noqa: F401
-    connected_components, exact_dedup, jaccard_prefix_pairs,
-    keep_best_per_cluster, minhash_pairs, neardup_clusters,
-    simhash_pairs)
+    connected_components, exact_dedup, incremental_minhash_pairs,
+    jaccard_prefix_pairs, keep_best_per_cluster, leakage_safe_split,
+    minhash_pairs, neardup_clusters, simhash_pairs,
+    source_overlap_matrix)
 from greenplum_dwh_spark.operators.curation import (chunk_docs,  # noqa: F401
                                                      shard_order)
 from greenplum_dwh_spark.operators.packing import pack_batches  # noqa: F401
-from greenplum_dwh_spark.operators.reconcile import table_diff  # noqa: F401
+from greenplum_dwh_spark.operators.reconcile import (merge_upsert,  # noqa: F401
+                                                     table_diff)
 from greenplum_dwh_spark.operators.patterns import match_pattern  # noqa: F401
 from greenplum_dwh_spark.operators.rollup_store import HourlyRollup  # noqa: F401
 from greenplum_dwh_spark.operators.sessions import (sessionize,  # noqa: F401
@@ -69,8 +78,10 @@ from greenplum_dwh_spark.sources.landing import (load_landing_file,  # noqa: F40
                                                  read_extract)
 from greenplum_dwh_spark.sql import (register_testdata,  # noqa: F401
                                      register_warehouse)
+from greenplum_dwh_spark.functions.zorder import zorder_key2  # noqa: F401
+from greenplum_dwh_spark.operators.timeseries import asof_join  # noqa: F401
 from greenplum_dwh_spark.streaming.mart_stream import (  # noqa: F401
-    stream_chain_detector, stream_decontaminate, stream_dedup,
+    cdc_apply_foreach_batch, stream_chain_detector, stream_decontaminate, stream_dedup,
     stream_expired_rules, stream_landing, stream_sessionize,
     stream_tumbling_counts)
 from greenplum_dwh_spark.streaming.pipeline import (  # noqa: F401

@@ -222,52 +222,73 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Σ_key facts·versions and which needs a dedup-by-rank afterwards.
 # (The oracle deliberately uses that interval+rank formulation, so
 # the two independent algorithms check each other.)
+def asof_join(facts: DataFrame, versions: DataFrame, key: str,
+              fact_time: str, version_time: str,
+              version_tiebreak: str) -> DataFrame:
+    """Generic keyed as-of join: attach to every fact row the latest
+    version row (same ``key``) whose ``version_time`` is ≤ the fact's
+    ``fact_time`` — the SCD2 point-in-time lookup as a reusable verb.
+
+    Union-window formulation: version and fact rows are unioned,
+    sorted per key by (time, versions-before-facts on ties,
+    ``version_tiebreak``), and a running ``last(ignorenulls)`` carries
+    the newest version struct onto each fact row.  ONE shuffle on the
+    key + a partition-local sort, versus the interval-join
+    formulation's Σ_key facts·versions candidate set.  Among same-time
+    versions the max ``version_tiebreak`` wins.
+
+    Column contract: ``facts`` and ``versions`` share ONLY ``key``;
+    output = all fact columns + every version column (nullable when
+    no version is early enough)."""
+    vcols = [c for c in versions.columns if c != key]
+    fcols = [c for c in facts.columns if c != key]
+    overlap = set(vcols) & set(fcols)
+    if overlap:
+        raise ValueError(f"column collision beyond key: {overlap}")
+    vstruct = versions.select(
+        F.struct(*vcols).alias("_v")).schema["_v"].dataType
+    unioned = (versions.select(
+                   key, F.col(version_time).alias("_t"),
+                   F.lit(0).alias("_tag"),
+                   F.struct(*vcols).alias("_v"),
+                   *[F.lit(None).cast(facts.schema[c].dataType).alias(c)
+                     for c in fcols])
+               .unionByName(facts.select(
+                   key, F.col(fact_time).alias("_t"),
+                   F.lit(1).alias("_tag"),
+                   F.lit(None).cast(vstruct).alias("_v"),
+                   *fcols)))
+    # versions (tag 0) sort before facts (tag 1) at the same time: a
+    # version effective at t is visible to a fact at t
+    w = (Window.partitionBy(key)
+         .orderBy("_t", "_tag",
+                  F.col(f"_v.{version_tiebreak}").asc_nulls_first())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = unioned.withColumn(
+        "_last", F.last("_v", ignorenulls=True).over(w))
+    return (carried.filter(F.col("_tag") == 1)
+            .select(key, *fcols,
+                    *[F.col(f"_last.{c}").alias(c) for c in vcols]))
+
+
 def pit_lookup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
     facts = (t.lineitem
              .join(t.orders.select("o_orderkey", "o_custkey"),
                    t.lineitem.l_orderkey == F.col("o_orderkey"))
              .select(F.col("o_custkey").alias("custkey"),
-                     "l_orderkey", "l_linenumber",
-                     F.col("l_shipdate").alias("d")))
+                     "l_orderkey", "l_linenumber", "l_shipdate"))
     versions = t.orders.select(
         F.col("o_custkey").alias("custkey"),
-        F.col("o_orderdate").alias("d"),
-        F.col("o_orderkey").alias("v_orderkey"),
-        F.col("o_totalprice").alias("v_totalprice"))
-    unioned = (versions
-               .withColumn("tag", F.lit(0))
-               .withColumn("l_orderkey", F.lit(None).cast("long"))
-               .withColumn("l_linenumber", F.lit(None).cast("int"))
-               .select("custkey", "d", "tag", "v_orderkey",
-                       "v_totalprice", "l_orderkey", "l_linenumber")
-               .unionByName(
-                   facts.withColumn("tag", F.lit(1))
-                   .withColumn("v_orderkey", F.lit(None).cast("long"))
-                   .withColumn("v_totalprice",
-                               F.lit(None).cast(
-                                   versions.schema["v_totalprice"]
-                                   .dataType))
-                   .select("custkey", "d", "tag", "v_orderkey",
-                           "v_totalprice", "l_orderkey",
-                           "l_linenumber")))
-    # ties: versions (tag 0) sort before facts (tag 1) on the same
-    # date — a version dated d is visible to a fact dated d; among
-    # same-date versions the max orderkey wins (matches the oracle's
-    # DESC, DESC rank)
-    w = (Window.partitionBy("custkey")
-         .orderBy("d", "tag", "v_orderkey")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = unioned.select(
-        "custkey", "d", "tag", "l_orderkey", "l_linenumber",
-        F.last(F.when(F.col("tag") == 0,
-                      F.struct("v_orderkey", "v_totalprice")),
-               ignorenulls=True).over(w).alias("v"))
-    return (carried.filter(F.col("tag") == 1)
+        "o_orderdate",
+        F.col("o_orderkey").alias("asof_orderkey"),
+        F.col("o_totalprice").alias("asof_totalprice"))
+    return (asof_join(facts, versions, key="custkey",
+                      fact_time="l_shipdate",
+                      version_time="o_orderdate",
+                      version_tiebreak="asof_orderkey")
             .select("l_orderkey", "l_linenumber", "custkey",
-                    F.col("d").alias("l_shipdate"),
-                    F.col("v.v_orderkey").alias("asof_orderkey"),
-                    F.col("v.v_totalprice").alias("asof_totalprice")))
+                    "l_shipdate", "asof_orderkey", "asof_totalprice"))
 
 
 # ---------------------------------------------------------------------------

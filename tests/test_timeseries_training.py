@@ -322,3 +322,43 @@ def test_retention_cohort_day0_equals_cohort_size(spark, sf_dir):
     for r in rows:
         assert r["n_users"] <= day0[r["cohort_day"]]
         assert r["day_offset"] >= 0
+
+
+def test_overwrite_partitions_touches_only_affected_days(spark, tmp_path):
+    """Backfill replaces exactly the partitions in the new frame; the
+    other partitions' parquet files are bit-identical (same paths,
+    same content) afterwards."""
+    import glob
+    import os
+
+    from pyspark.sql import types as T
+
+    from greenplum_dwh_spark.tablestore import TableStore
+    ts = TableStore(spark, str(tmp_path / "store"))
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("day", T.StringType())])
+    ts.init_append("t", schema, partition_cols=["day"])
+    ts.append("t", spark.createDataFrame(
+        [(i, f"d{i % 3}") for i in range(12)], schema),
+        partition_cols=["day"])
+
+    def files(day):
+        return sorted(
+            (p, os.path.getmtime(p), os.path.getsize(p))
+            for p in glob.glob(str(tmp_path / "store" / "t"
+                                   / f"day={day}" / "*.parquet")))
+
+    d1_before, d2_before = files("d1"), files("d2")
+    fixed = spark.createDataFrame(
+        [(100, "d0"), (101, "d0")], schema)
+    out = ts.overwrite_partitions("t", fixed, "day")
+    assert out["replaced_partitions"] == ["d0"]
+    # d0 fully replaced
+    got = sorted(r.k for r in ts.read("t")
+                 .filter(F.col("day") == "d0").collect())
+    assert got == [100, 101]
+    # untouched partitions: identical file lists, mtimes, sizes
+    assert files("d1") == d1_before
+    assert files("d2") == d2_before
+    # total closure: other days' rows intact
+    assert ts.read("t").count() == 2 + 8

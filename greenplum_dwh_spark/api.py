@@ -81,7 +81,8 @@ from greenplum_dwh_spark.sql import (register_testdata,  # noqa: F401
 from greenplum_dwh_spark.functions.zorder import zorder_key2  # noqa: F401
 from greenplum_dwh_spark.operators.timeseries import asof_join  # noqa: F401
 from greenplum_dwh_spark.streaming.mart_stream import (  # noqa: F401
-    cdc_apply_foreach_batch, stream_chain_detector, stream_decontaminate, stream_dedup,
+    cdc_apply_foreach_batch, kmv_sketch_foreach_batch,
+    stream_chain_detector, stream_decontaminate, stream_dedup,
     stream_expired_rules, stream_landing, stream_sessionize,
     stream_tumbling_counts)
 from greenplum_dwh_spark.streaming.pipeline import (  # noqa: F401

@@ -30,12 +30,18 @@ EXTRACT_COLUMNS = [f.name for f in schemas.LANDING.fields]
 
 
 def read_extract(spark: SparkSession, path: str) -> DataFrame:
-    """Read one transactions extract (xlsx / csv / parquet) as a typed
+    """Read one transactions extract (xlsx / csv / jsonl / parquet /
+    orc) as a typed
     landing DataFrame. Columns are mapped positionally like the
     reference loader."""
     ext = os.path.splitext(path)[1].lower()
     if ext == ".parquet":
         df = spark.read.parquet(path)
+        return _positional(spark, df)
+    if ext == ".orc":
+        # ORC is Spark-native; typed footer schema like parquet, so
+        # the positional mapping needs no casts
+        df = spark.read.orc(path)
         return _positional(spark, df)
     if ext == ".csv":
         df = (spark.read.option("header", "true")

@@ -370,6 +370,42 @@ def cdc_apply_foreach_batch(store, table: str, key: str, seq: str):
     return handle
 
 
+def kmv_sketch_foreach_batch(store, table: str, group_col: str,
+                             value_col: str, k: int = 64):
+    """foreachBatch handler maintaining a per-group KMV
+    distinct-count sketch across micro-batches — the streaming
+    continuous-aggregate pattern for cardinality ("distinct users per
+    event type, ever") where exact distinct state would grow without
+    bound but the sketch stays k doubles per group.
+
+    Correctness rests on the sketch's EXACT merge property
+    (``functions/sketch.py``): sketch(A ∪ B) == merge(sketch(A),
+    sketch(B)) deterministically, so maintaining it incrementally per
+    batch yields bit-identical state to one batch pass over all data
+    — asserted stream≡batch in tests, not just error-bounded.  State
+    commits via versioned COW, so sketch history is time-travelable
+    like the CDC table."""
+    from greenplum_dwh_spark.functions.sketch import (kmv_merge,
+                                                      kmv_sketch)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        bs = kmv_sketch(batch_df, [group_col], value_col, k)
+        cur = store.read(table)
+        empty = F.array().cast("array<double>")
+        merged = (cur.withColumnRenamed("sketch", "_cur")
+                  .join(bs.withColumnRenamed("sketch", "_new"),
+                        group_col, "full_outer")
+                  .select(group_col,
+                          kmv_merge(F.coalesce(F.col("_cur"), empty),
+                                    F.coalesce(F.col("_new"), empty),
+                                    k).alias("sketch")))
+        store.overwrite_versioned(table, merged)
+
+    return handle
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str,
                          spark: SparkSession) -> DataFrame:
     """Drain a stream with availableNow into an in-memory table —

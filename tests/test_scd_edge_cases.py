@@ -237,3 +237,22 @@ def test_jsonl_extract_roundtrip(spark, tmp_path):
                    "this is not json\n")
     with pytest.raises(Exception):
         read_extract(spark, str(bad)).collect()
+
+
+def test_orc_extract_roundtrip(spark, tmp_path):
+    """ORC ingestion path: Spark-native typed read, positional
+    mapping identical to the parquet path."""
+    from greenplum_dwh_spark import schemas
+    from greenplum_dwh_spark.sources.landing import read_extract
+    from tests import bank_fixture as bf
+    pdf = bf.generate_extracts()[bf.DAYS[0]].head(20)
+    src = spark.createDataFrame(pdf)
+    path = str(tmp_path / "extract.orc")
+    src.coalesce(1).write.orc(path)
+    df = read_extract(spark, path)
+    assert [f.name for f in df.schema.fields] == \
+        [f.name for f in schemas.LANDING.fields]
+    rows = df.orderBy("trans_id").collect()
+    assert len(rows) == 20
+    assert float(rows[0]["amount"]) == float(
+        pdf.sort_values("trans_id").iloc[0]["amount"])

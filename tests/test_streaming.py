@@ -524,3 +524,61 @@ def test_stream_apply_cdc_matches_batch_merge(spark, tmp_path):
            for r in store.read_version("t", v0 + 1).collect()}
     assert mid == {1: ("a", 10), 2: ("B", 200), 3: ("c", 30),
                    9: ("z", 90)}
+
+
+def test_stream_kmv_sketch_equals_batch_sketch(spark, tmp_path):
+    """Per-group KMV sketch maintained incrementally over two
+    micro-batches is BIT-IDENTICAL to the one-pass batch sketch of
+    all data (the exact-merge property), and its estimate is within
+    the sketch's error bound of the true distinct count."""
+    from pyspark.sql import types as T
+
+    from greenplum_dwh_spark.functions.sketch import (kmv_estimate,
+                                                      kmv_sketch)
+    from greenplum_dwh_spark.streaming.mart_stream import (
+        kmv_sketch_foreach_batch)
+    from greenplum_dwh_spark.tablestore import TableStore
+
+    k = 16
+    schema = "grp string, user_id long"
+    b1 = [("a", i) for i in range(120)] + [("b", i) for i in range(7)]
+    b2 = [("a", i) for i in range(60, 200)] + [("c", i)
+                                               for i in range(3)]
+    store = TableStore(spark, str(tmp_path / "store"))
+    store.init_versioned("sk", T.StructType([
+        T.StructField("grp", T.StringType()),
+        T.StructField("sketch", T.ArrayType(T.DoubleType()))]),
+        key_col="grp")
+    src = tmp_path / "kmv_src"
+    src.mkdir()
+    handler = kmv_sketch_foreach_batch(store, "sk", "grp", "user_id",
+                                       k=k)
+    ckpt = str(tmp_path / "kmv_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(
+            str(src) + "/*.parquet")
+        q = (stream.writeStream.foreachBatch(handler)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    for i, rows in enumerate([b1, b2]):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.parquet(str(src / f"b{i}.parquet"))
+        drain()
+
+    got = {r["grp"]: r["sketch"]
+           for r in store.read("sk").collect()}
+    alldata = spark.createDataFrame(b1 + b2, schema)
+    want = {r["grp"]: r["sketch"]
+            for r in kmv_sketch(alldata, ["grp"], "user_id", k)
+            .collect()}
+    assert got == want                      # exact merge, bit-identical
+    est = {r["grp"]: r["est"] for r in
+           store.read("sk")
+           .select("grp", kmv_estimate(F.col("sketch"), k).alias("est"))
+           .collect()}
+    truth = {"a": 200, "b": 7, "c": 3}
+    assert est["b"] == 7.0 and est["c"] == 3.0   # below-k groups exact
+    assert abs(est["a"] - truth["a"]) / truth["a"] < 0.5  # ~1/sqrt(k)

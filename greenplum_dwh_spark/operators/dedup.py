@@ -428,6 +428,60 @@ def _prefix_filtered_pairs(docs: DataFrame, grams: DataFrame,
             .filter(F.col("jac") >= threshold))
 
 
+#: containment (asymmetric overlap) threshold: |A∩B| / min(|A|,|B|)
+CONTAINMENT_THRESHOLD = 0.9
+
+
+def containment_pairs(docs: DataFrame,
+                      threshold: float = CONTAINMENT_THRESHOLD
+                      ) -> DataFrame:
+    """Asymmetric containment join over word-2-gram sets: pairs with
+    ``|A∩B| / min(|A|,|B|) ≥ t`` — the subset-duplicate detector.
+    Symmetric jaccard MISSES these: a document fully contained in one
+    3× longer has jaccard ≤ 1/3 but containment 1.0 (truncated
+    re-crawls, quote expansions, page-wrapped copies — the RefinedWeb
+    substring-dedup motivation at gram granularity).
+
+    Exact, with a prefix probe: a qualifying pair leaves the smaller
+    side at most ``⌊(1−t)·|A|⌋`` unshared grams, so probing the full
+    inverted index with only each doc's ``⌊(1−t)·|A|⌋+1`` RAREST
+    grams (df-ordered, same global order as PPJoin) cannot miss a
+    pair — candidate volume Σ_g df(g)·prefix_df(g) instead of Σ df².
+    The smaller side always probes (ties by doc_id), and survivors
+    are verified exactly on the broadcast set index.
+
+    Returns (doc_a, doc_b, containment) with ``doc_a`` the smaller
+    (or tie-lower-id) side."""
+    grams = H.with_word_shingles(docs, n=2).cache()
+    ex = grams.select("doc_id", F.explode("s").alias("g"),
+                      F.size("s").alias("n"))
+    freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "g")
+    probe = (ex.join(freq, "g")
+             .withColumn("rk", F.row_number().over(w))
+             .filter(F.col("rk") <= F.floor((1.0 - threshold)
+                                            * F.col("n")) + 1)
+             .select("doc_id", "g", "n"))
+    smaller_first = ((F.col("a.n") < F.col("b.n"))
+                     | ((F.col("a.n") == F.col("b.n"))
+                        & (F.col("a.doc_id") < F.col("b.doc_id"))))
+    cand = (probe.alias("a")
+            .join(ex.alias("b"), "g")
+            .filter(smaller_first)
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    sets = F.broadcast(grams)
+    contain = (F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s")))
+               .cast("double")
+               / F.least(F.size("sa.s"), F.size("sb.s")))
+    return (cand
+            .join(sets.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sets.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+            .select("doc_a", "doc_b", contain.alias("containment"))
+            .filter(F.col("containment") >= threshold))
+
+
 def _large_star(edges: DataFrame) -> DataFrame:
     """One large-star round (Kiveris et al., "Connected Components in
     MapReduce and Beyond" — public literature, see PAPERS.md): every
@@ -665,6 +719,26 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
 OVERLAP_PLANT_MOD = 43
 
 
+#: containment plant: every 53rd doc's first-half truncation is added
+#: under a shifted id — contained in its original (containment ≈ 1)
+#: while jaccard ≈ 0.5 sits BELOW the near-dup thresholds, so only
+#: the asymmetric operator finds it
+CONTAIN_PLANT_MOD = 53
+CONTAIN_SHIFT = 10_000_000
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    half_text = F.expr(
+        "array_join(slice(split(text, ' '), 1, "
+        "greatest(cast(size(split(text, ' ')) / 2 as int), 3)), ' ')")
+    planted = (docs.filter(F.col("doc_id") % CONTAIN_PLANT_MOD == 0)
+               .select((F.col("doc_id") + CONTAIN_SHIFT)
+                       .alias("doc_id"),
+                       half_text.alias("text")))
+    return containment_pairs(docs.unionByName(planted))
+
+
 def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = Tables(spark, sf_dir).documents
     planted = (docs.filter(F.col("doc_id") % OVERLAP_PLANT_MOD == 0)
@@ -680,6 +754,7 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "split_leakage_safe": split_leakage_safe,
     "dedup_source_overlap": dedup_source_overlap,
+    "dedup_containment": dedup_containment,
     "dedup_keep_best": dedup_keep_best,
     "dedup_exact": dedup_exact,
     "dedup_minhash_lsh": dedup_minhash_lsh,
@@ -766,6 +841,29 @@ ORACLES = {
         FROM sd a JOIN sd b
           ON a.digest = b.digest AND a.source < b.source
         GROUP BY 1, 2""",
+    "dedup_containment": f"""
+        WITH u AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL
+          SELECT doc_id + {CONTAIN_SHIFT},
+                 array_to_string(list_slice(string_split(text, ' '), 1,
+                     greatest(len(string_split(text, ' ')) // 2, 3)),
+                     ' ')
+          FROM documents WHERE doc_id % {CONTAIN_PLANT_MOD} = 0),
+        sh AS (SELECT doc_id, {H.word_shingles_sql(n=2)} AS s FROM u),
+        ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS t FROM sh),
+        cand AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                        any_value(a.n) AS na, any_value(b.n) AS nb,
+                        count(*) AS inter
+                 FROM ex a JOIN ex b
+                   ON a.t = b.t
+                  AND (a.n < b.n OR (a.n = b.n AND a.doc_id < b.doc_id))
+                 GROUP BY a.doc_id, b.doc_id)
+        SELECT da AS doc_a, db AS doc_b,
+               inter::DOUBLE / least(na, nb) AS containment
+        FROM cand
+        WHERE inter::DOUBLE / least(na, nb)
+              >= {CONTAINMENT_THRESHOLD}""",
     "dedup_incremental": f"""
         WITH sh AS (SELECT doc_id, {_W3} AS s FROM documents),
         ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS t FROM sh),

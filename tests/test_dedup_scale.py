@@ -275,3 +275,26 @@ def test_source_overlap_counts_planted_mirrors(spark):
            for r in dedup.source_overlap_matrix(docs).collect()}
     assert got == {("s0", "s1"): 1, ("s0", "s2"): 1, ("s1", "s2"): 1,
                    ("s4", "s5"): 1}
+
+
+def test_containment_finds_subset_dups_jaccard_misses(spark):
+    """A half-truncation of a doc has containment ≈ 1 but jaccard
+    ≈ 0.5: the asymmetric join must find every planted truncation
+    while the symmetric near-dup join (threshold 0.6) misses them."""
+    rng = random.Random(23)
+    vocab = [f"w{i}" for i in range(800)]
+    texts = [" ".join(rng.choice(vocab) for _ in range(40))
+             for _ in range(30)]
+    n_orig = len(texts)
+    for i in range(6):  # plant: first half of doc i as a new doc
+        texts.append(" ".join(texts[i].split()[:20]))
+    docs = _docs_df(spark, texts)
+    got = {(r["doc_a"], r["doc_b"]): r["containment"]
+           for r in dedup.containment_pairs(docs).collect()}
+    for i in range(6):
+        pair = (n_orig + i, i)  # truncation is the smaller side
+        assert pair in got and got[pair] >= 0.9, (pair, got)
+    sym = {(r["doc_a"], r["doc_b"])
+           for r in dedup.jaccard_prefix_pairs(docs).collect()}
+    for i in range(6):
+        assert (i, n_orig + i) not in sym and (n_orig + i, i) not in sym

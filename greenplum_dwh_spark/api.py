@@ -69,6 +69,8 @@ from greenplum_dwh_spark.operators.packing import pack_batches  # noqa: F401
 from greenplum_dwh_spark.operators.reconcile import (merge_upsert,  # noqa: F401
                                                      table_diff)
 from greenplum_dwh_spark.operators.patterns import match_pattern  # noqa: F401
+from greenplum_dwh_spark.operators.quality import (  # noqa: F401
+    constraint_violations)
 from greenplum_dwh_spark.operators.rollup_store import HourlyRollup  # noqa: F401
 from greenplum_dwh_spark.operators.sessions import (sessionize,  # noqa: F401
                                                     sessionize_pd)

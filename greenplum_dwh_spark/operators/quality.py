@@ -29,6 +29,82 @@ def dq_orders_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return profile.crossJoin(orphans)
 
 
+def constraint_violations(df: DataFrame,
+                          checks: list[tuple[str, "F.Column"]],
+                          unique_key: str | None = None) -> DataFrame:
+    """Single-pass data-quality gate: evaluate every row-level
+    constraint in ONE scan (each check is a conditional-sum aggregate
+    — adding a constraint adds an agg buffer, never a pass) and emit
+    the long-form violation report (constraint, n_violations),
+    including zero rows so a silently-skipped check is visible.
+
+    ``checks`` are (name, violation_predicate) pairs; ``unique_key``
+    additionally counts duplicate-key rows (rows beyond the first per
+    key) via one groupBy — the only constraint that genuinely needs a
+    shuffle.  This is the pre-trust gate a 100 TB ingest runs before
+    a table is published; at that scale the one-pass property is the
+    difference between one fact scan and |checks| of them."""
+    aggs = [F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(name)
+            for name, pred in checks]
+    wide = df.agg(*aggs)
+    names = [n for n, _ in checks]
+    stack = ", ".join(f"'{n}', {n}" for n in names)
+    long = wide.selectExpr(
+        f"stack({len(names)}, {stack}) as (constraint, n_violations)")
+    if unique_key is not None:
+        dups = (df.groupBy(unique_key)
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .agg(F.coalesce(
+                    F.sum(F.when(F.col("_n") > 1, F.col("_n") - 1)),
+                    F.lit(0)).cast("long").alias("n_violations"))
+                .select(F.lit(f"unique_{unique_key}")
+                        .alias("constraint"), "n_violations"))
+        long = long.unionByName(dups)
+    return long
+
+
+#: planted violations for the driver demo (shifted keys, disjoint
+#: from the other plant families)
+DQ_SHIFT = 40_000_000
+
+
+def dq_constraint_violations(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """Plant one violation of each class into orders (a duplicated
+    key, a NULL custkey, a negative price, an unknown status), then
+    run the one-pass gate — every constraint must light up with an
+    exact count the oracle reproduces."""
+    o = Tables(spark, sf_dir).orders.select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+    first = o.orderBy("o_orderkey").limit(1)
+    plants = (first.select(
+                  "o_orderkey", "o_custkey", "o_totalprice",
+                  "o_orderstatus")             # duplicate key
+              .unionByName(first.select(
+                  (F.col("o_orderkey") + DQ_SHIFT).alias("o_orderkey"),
+                  F.lit(None).cast(o.schema["o_custkey"].dataType)
+                  .alias("o_custkey"),
+                  "o_totalprice", "o_orderstatus"))   # null custkey
+              .unionByName(first.select(
+                  (F.col("o_orderkey") + DQ_SHIFT + 1)
+                  .alias("o_orderkey"), "o_custkey",
+                  F.lit(-1.0).cast(o.schema["o_totalprice"].dataType)
+                  .alias("o_totalprice"),
+                  "o_orderstatus"))                   # negative price
+              .unionByName(first.select(
+                  (F.col("o_orderkey") + DQ_SHIFT + 2)
+                  .alias("o_orderkey"), "o_custkey", "o_totalprice",
+                  F.lit("X").alias("o_orderstatus"))))  # bad status
+    planted = o.unionByName(plants)
+    return constraint_violations(
+        planted,
+        [("null_custkey", F.col("o_custkey").isNull()),
+         ("negative_price", F.col("o_totalprice") < 0),
+         ("bad_status",
+          ~F.col("o_orderstatus").isin("O", "F", "P"))],
+        unique_key="o_orderkey")
+
+
 #: how many of the heaviest keys the skew profile reports
 SKEW_TOP = 10
 
@@ -63,9 +139,41 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {"dq_orders_profile": dq_orders_profile,
-           "key_skew_profile": key_skew_profile}
+           "key_skew_profile": key_skew_profile,
+           "dq_constraint_violations": dq_constraint_violations}
 
 ORACLES = {
+    "dq_constraint_violations": f"""
+        WITH f AS (SELECT o_orderkey, o_custkey, o_totalprice,
+                          o_orderstatus
+                   FROM orders ORDER BY o_orderkey LIMIT 1),
+        p AS (
+          SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+          FROM orders
+          UNION ALL SELECT o_orderkey, o_custkey, o_totalprice,
+                           o_orderstatus FROM f
+          UNION ALL SELECT o_orderkey + {DQ_SHIFT}, NULL,
+                           o_totalprice, o_orderstatus FROM f
+          UNION ALL SELECT o_orderkey + {DQ_SHIFT} + 1, o_custkey,
+                           -1.0, o_orderstatus FROM f
+          UNION ALL SELECT o_orderkey + {DQ_SHIFT} + 2, o_custkey,
+                           o_totalprice, 'X' FROM f),
+        wide AS (SELECT
+          sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+              AS null_custkey,
+          sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END)::BIGINT
+              AS negative_price,
+          sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                   THEN 1 ELSE 0 END)::BIGINT AS bad_status
+          FROM p),
+        dups AS (SELECT coalesce(sum(n - 1), 0)::BIGINT AS v
+                 FROM (SELECT count(*) AS n FROM p
+                       GROUP BY o_orderkey) WHERE n > 1)
+        SELECT 'null_custkey' AS "constraint", null_custkey
+            AS n_violations FROM wide
+        UNION ALL SELECT 'negative_price', negative_price FROM wide
+        UNION ALL SELECT 'bad_status', bad_status FROM wide
+        UNION ALL SELECT 'unique_o_orderkey', v FROM dups""",
     "key_skew_profile": f"""
         WITH per_key AS (SELECT user_id, count(*)::BIGINT AS n
                          FROM events GROUP BY user_id),

@@ -408,3 +408,23 @@ def test_label_centroids_mergeable_partials(spark, sf_dir):
     assert merged == full
     labels = {k[0] for k in full}
     assert all(sum(1 for k in full if k[0] == lb) == 64 for lb in labels)
+
+
+def test_constraint_violations_one_pass_and_exact(spark):
+    """Generic DQ gate: exact counts per constraint, zero rows
+    present, duplicate-key counting via unique_key; the row-level
+    checks share ONE aggregate (single scan)."""
+    from greenplum_dwh_spark.operators.quality import (
+        constraint_violations)
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30), (2, None), (3, -5)],
+        "k long, v int")
+    got = {r["constraint"]: r["n_violations"]
+           for r in constraint_violations(
+               df,
+               [("null_v", F.col("v").isNull()),
+                ("negative_v", F.col("v") < 0),
+                ("huge_v", F.col("v") > 10**6)],
+               unique_key="k").collect()}
+    assert got == {"null_v": 1, "negative_v": 1, "huge_v": 0,
+                   "unique_k": 2}

@@ -70,18 +70,23 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 def _pairs_with_jaccard(docs: DataFrame, pairs: DataFrame,
                         sets_df: DataFrame,
-                        broadcast_sets: bool = True) -> DataFrame:
-    """pairs (doc_a, doc_b) × per-doc shingle sets → exact jaccard.
+                        broadcast_sets: bool = True,
+                        measure=None, out_col: str = "jac") -> DataFrame:
+    """pairs (doc_a, doc_b) × per-doc shingle sets → exact set
+    measure (default jaccard; pass ``measure=(a, b) -> Column`` for
+    another, e.g. containment).
 
     The per-doc set index is BROADCAST by default: a shuffle join here
     moves one shingle *array* per candidate row (~1 KB each — measured
     16 GB shuffled and 90 s for 10.9 M candidates at the derived sf1),
     while the index itself is one row per doc (~1 KB/doc — 50 MB at
     50 k docs).  Broadcast attaches the arrays map-side and the select
-    drops them immediately after the jaccard, so nothing array-sized
+    drops them immediately after the measure, so nothing array-sized
     is ever exchanged.  For corpora whose set index outgrows executor
     memory, pass ``broadcast_sets=False`` to fall back to the shuffle
     join (the candidate side is then the thing to shard on)."""
+    if measure is None:
+        measure = H.jaccard
     sets = F.broadcast(sets_df) if broadcast_sets else sets_df
     a = sets.alias("sa")
     b = sets.alias("sb")
@@ -89,7 +94,8 @@ def _pairs_with_jaccard(docs: DataFrame, pairs: DataFrame,
             .join(a, F.col("doc_a") == F.col("sa.doc_id"))
             .join(b, F.col("doc_b") == F.col("sb.doc_id"))
             .select("doc_a", "doc_b",
-                    H.jaccard(F.col("sa.s"), F.col("sb.s")).alias("jac")))
+                    measure(F.col("sa.s"), F.col("sb.s"))
+                    .alias(out_col)))
 
 
 #: guard observations from the most recent banded-LSH actions, newest
@@ -132,6 +138,31 @@ def last_band_guard_metrics() -> dict | None:
     return m
 
 
+def _guarded_bands(bands: DataFrame, band_cap: int):
+    """Shared hot-band guard: windowed per-band count + Observation
+    metrics.  Returns ``(observed, counted, keep)`` where ``observed``
+    carries the CollectMetrics node (must appear exactly ONCE in the
+    executed plan — join it as the left/probe side only), ``counted``
+    is the metric-free twin for the other side, and ``keep`` is the
+    under-cap predicate.  Both the self-join and the asymmetric
+    incremental probe build on this, so band-cap drops are observable
+    (``last_band_guard_metrics``) on every banded path."""
+    from pyspark.sql import Observation
+    w = Window.partitionBy("band")
+    obs = Observation()
+    dropped = F.col("_bn") > band_cap
+    counted = bands.withColumn("_bn", F.count(F.lit(1)).over(w))
+    observed = counted.observe(
+        obs,
+        F.sum(F.when(dropped, 1).otherwise(0)).alias("dropped_rows"),
+        F.sum(F.when(dropped, 1.0 / F.col("_bn"))
+              .otherwise(0.0)).alias("dropped_buckets_frac"),
+        F.max("_bn").alias("max_band_size"))
+    _GUARD_OBSERVATIONS.append((obs, band_cap, counted))
+    del _GUARD_OBSERVATIONS[:-_GUARD_KEEP]
+    return observed, counted, F.col("_bn") <= band_cap
+
+
 def _banded_candidates(bands: DataFrame,
                        band_cap: int = BAND_CAP,
                        distinct: bool = True) -> DataFrame:
@@ -150,23 +181,10 @@ def _banded_candidates(bands: DataFrame,
     rounding) and the max bucket size, collected for free during
     whatever action executes the plan (readable afterwards via
     :func:`last_band_guard_metrics`)."""
-    from pyspark.sql import Observation
-    w = Window.partitionBy("band")
-    obs = Observation()
-    dropped = F.col("_bn") > band_cap
-    counted = bands.withColumn("_bn", F.count(F.lit(1)).over(w))
     # the observe node must appear exactly ONCE in the executed plan
     # (a CollectMetrics duplicated by the self-join breaks metric
     # retrieval), so only the left side carries it
-    observed = counted.observe(
-        obs,
-        F.sum(F.when(dropped, 1).otherwise(0)).alias("dropped_rows"),
-        F.sum(F.when(dropped, 1.0 / F.col("_bn"))
-              .otherwise(0.0)).alias("dropped_buckets_frac"),
-        F.max("_bn").alias("max_band_size"))
-    _GUARD_OBSERVATIONS.append((obs, band_cap, counted))
-    del _GUARD_OBSERVATIONS[:-_GUARD_KEEP]
-    keep = F.col("_bn") <= band_cap
+    observed, counted, keep = _guarded_bands(bands, band_cap)
     cool_a = observed.filter(keep).select("doc_id", "band")
     cool_b = counted.filter(keep).select("doc_id", "band")
     out = (cool_a.alias("a")
@@ -231,10 +249,10 @@ def incremental_minhash_pairs(docs: DataFrame, is_new,
     Returns (new_doc, base_doc, jac) with jac ≥ ``threshold``."""
     bands, sets_df = _minhash_bands(docs)
     tagged = bands.withColumn("is_new", is_new)
-    w = Window.partitionBy("band")
-    counted = tagged.withColumn("_bn", F.count(F.lit(1)).over(w))
-    keep = F.col("_bn") <= band_cap
-    new_side = counted.filter(keep & F.col("is_new"))
+    # same observed guard as the self-join: cap drops are visible via
+    # last_band_guard_metrics(), never silent recall loss
+    observed, counted, keep = _guarded_bands(tagged, band_cap)
+    new_side = observed.filter(keep & F.col("is_new"))
     base_side = counted.filter(keep & ~F.col("is_new"))
     cand = (new_side.alias("a")
             .join(base_side.alias("b"), "band")
@@ -471,14 +489,11 @@ def containment_pairs(docs: DataFrame,
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    sets = F.broadcast(grams)
-    contain = (F.size(F.array_intersect(F.col("sa.s"), F.col("sb.s")))
-               .cast("double")
-               / F.least(F.size("sa.s"), F.size("sb.s")))
-    return (cand
-            .join(sets.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
-            .join(sets.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-            .select("doc_a", "doc_b", contain.alias("containment"))
+    contain = lambda a, b: (F.size(F.array_intersect(a, b))
+                            .cast("double")
+                            / F.least(F.size(a), F.size(b)))
+    return (_pairs_with_jaccard(docs, cand, grams, measure=contain,
+                                out_col="containment")
             .filter(F.col("containment") >= threshold))
 
 

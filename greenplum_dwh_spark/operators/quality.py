@@ -44,7 +44,10 @@ def constraint_violations(df: DataFrame,
     shuffle.  This is the pre-trust gate a 100 TB ingest runs before
     a table is published; at that scale the one-pass property is the
     difference between one fact scan and |checks| of them."""
-    aggs = [F.sum(F.when(pred, 1).otherwise(0)).cast("long").alias(name)
+    # coalesce to 0: on an EMPTY batch sum() is NULL, and a gate
+    # comparing n_violations == 0 would mis-classify the batch
+    aggs = [F.coalesce(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0))
+            .cast("long").alias(name)
             for name, pred in checks]
     wide = df.agg(*aggs)
     names = [n for n, _ in checks]
@@ -76,25 +79,20 @@ def dq_constraint_violations(spark: SparkSession,
     exact count the oracle reproduces."""
     o = Tables(spark, sf_dir).orders.select(
         "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
-    first = o.orderBy("o_orderkey").limit(1)
-    plants = (first.select(
-                  "o_orderkey", "o_custkey", "o_totalprice",
-                  "o_orderstatus")             # duplicate key
-              .unionByName(first.select(
-                  (F.col("o_orderkey") + DQ_SHIFT).alias("o_orderkey"),
-                  F.lit(None).cast(o.schema["o_custkey"].dataType)
-                  .alias("o_custkey"),
-                  "o_totalprice", "o_orderstatus"))   # null custkey
-              .unionByName(first.select(
-                  (F.col("o_orderkey") + DQ_SHIFT + 1)
-                  .alias("o_orderkey"), "o_custkey",
-                  F.lit(-1.0).cast(o.schema["o_totalprice"].dataType)
-                  .alias("o_totalprice"),
-                  "o_orderstatus"))                   # negative price
-              .unionByName(first.select(
-                  (F.col("o_orderkey") + DQ_SHIFT + 2)
-                  .alias("o_orderkey"), "o_custkey", "o_totalprice",
-                  F.lit("X").alias("o_orderstatus"))))  # bad status
+    # materialize the anchor row ONCE (driver-side 1-row read): the
+    # four plant branches would otherwise each embed their own
+    # TakeOrderedAndProject over a full orders scan
+    r = o.orderBy("o_orderkey").limit(1).collect()[0]
+    plants = spark.createDataFrame(
+        [(r.o_orderkey, r.o_custkey, r.o_totalprice,
+          r.o_orderstatus),                              # duplicate key
+         (r.o_orderkey + DQ_SHIFT, None, r.o_totalprice,
+          r.o_orderstatus),                              # null custkey
+         (r.o_orderkey + DQ_SHIFT + 1, r.o_custkey, -1.0,
+          r.o_orderstatus),                              # negative price
+         (r.o_orderkey + DQ_SHIFT + 2, r.o_custkey,
+          r.o_totalprice, "X")],                         # bad status
+        o.schema)
     planted = o.unionByName(plants)
     return constraint_violations(
         planted,

@@ -107,17 +107,25 @@ class TableStore:
         semantics); Delta/Iceberg ``replaceWhere`` is the same
         slot-in point.  Returns the distinct partition values
         replaced."""
-        vals = [r[0] for r in df.select(partition_col).distinct()
-                .collect()]
-        conf = "spark.sql.sources.partitionOverwriteMode"
-        prev = self.spark.conf.get(conf, "static")
-        self.spark.conf.set(conf, "dynamic")
+        # persist: the backfill lineage (the operator's use case is an
+        # expensive recompute) would otherwise run twice — once for the
+        # partition listing, once for the write — and a nondeterministic
+        # frame could even report partitions it didn't write
+        df = df.persist()
         try:
-            (df.write.mode("overwrite")
-             .partitionBy(partition_col)
-             .parquet(self._path(name)))
+            vals = [r[0] for r in df.select(partition_col).distinct()
+                    .collect()]
+            conf = "spark.sql.sources.partitionOverwriteMode"
+            prev = self.spark.conf.get(conf, "static")
+            self.spark.conf.set(conf, "dynamic")
+            try:
+                (df.write.mode("overwrite")
+                 .partitionBy(partition_col)
+                 .parquet(self._path(name)))
+            finally:
+                self.spark.conf.set(conf, prev)
         finally:
-            self.spark.conf.set(conf, prev)
+            df.unpersist()
         return {"replaced_partitions": sorted(map(str, vals))}
 
     def compact_append(self, name: str, target_files: int = 1,

@@ -298,3 +298,16 @@ def test_containment_finds_subset_dups_jaccard_misses(spark):
            for r in dedup.jaccard_prefix_pairs(docs).collect()}
     for i in range(6):
         assert (i, n_orig + i) not in sym and (n_orig + i, i) not in sym
+
+
+def test_incremental_guard_metrics_observed(spark):
+    """The asymmetric probe shares the observed hot-band guard: on
+    the boilerplate corpus the drop metrics must fire for the
+    incremental path too (cap drops are never silent)."""
+    docs = _docs_df(spark, _boilerplate_corpus())
+    out = dedup.incremental_minhash_pairs(
+        docs, F.col("doc_id") % 2 == 0, band_cap=30)
+    out.count()  # action materializes the observation
+    m = dedup.last_band_guard_metrics()
+    assert m is not None and m["max_band_size"] > 30
+    assert m["dropped_rows"] > 0 and m["dropped_buckets"] > 0

@@ -91,6 +91,12 @@ def main() -> None:
         "q10_returned_items": relational.q10_returned_items,
         "vocab_topk_coverage": retrieval.vocab_topk_coverage,
         "key_skew_profile": quality.key_skew_profile,
+        "q18_large_orders": relational.q18_large_orders,
+        "zorder_keys_orders": relational.zorder_keys_orders,
+        "dq_constraint_violations": quality.dq_constraint_violations,
+        "dedup_source_overlap": dedup.dedup_source_overlap,
+        "label_centroids_scaled": similarity.label_centroids_scaled,
+        "contrastive_negatives": training_data.contrastive_negatives,
     }
 
     # untimed warm-up: touch every input table once so per-query numbers

@@ -116,6 +116,27 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("rank", "c_custkey", "c_name", "n_name", "revenue"))
 
 
+# TPC-H Q18 shape — large-quantity orders: the aggregate-then-semi-
+# join pattern (find keys whose SUM crosses a threshold, then join
+# the qualifying keys back for detail).  The qualifying-key set is
+# tiny by construction (the threshold is the point), so it
+# broadcasts; quantities sum as exact scaled ints.
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    big = (t.lineitem.groupBy("l_orderkey")
+           .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long"))
+                .alias("qty_cents"))
+           .filter(F.col("qty_cents") > 300 * 100))
+    return (t.orders
+            .join(F.broadcast(big),
+                  t.orders.o_orderkey == big.l_orderkey)
+            .join(F.broadcast(t.customer),
+                  t.orders.o_custkey == t.customer.c_custkey)
+            .select("c_custkey", "c_name", "o_orderkey", "o_orderdate",
+                    (F.col("qty_cents").cast("double") / 100.0)
+                    .alias("total_qty")))
+
+
 # Z-order layout keys (functions/zorder.py): the Morton interleave of
 # (custkey, order-day) that a 2-D clustered compaction sorts by.  The
 # derivation is a pure map-side integer expression — this query
@@ -736,6 +757,7 @@ QUERIES = {
     "q5_nation_revenue": q5_nation_revenue,
     "q10_returned_items": q10_returned_items,
     "zorder_keys_orders": zorder_keys_orders,
+    "q18_large_orders": q18_large_orders,
     "pivot_status_counts": pivot_status_counts,
     "window_lead_scd2": window_lead_scd2,
     "window_lag_hop": window_lag_hop,
@@ -813,6 +835,16 @@ ORACLES = {
              JOIN nation ON s_nationkey = n_nationkey
              JOIN region ON n_regionkey = r_regionkey
         WHERE r_name = 'ASIA' GROUP BY n_name""",
+    "q18_large_orders": """
+        WITH big AS (
+          SELECT l_orderkey,
+                 sum(round(l_quantity * 100)::BIGINT) AS qty_cents
+          FROM lineitem GROUP BY l_orderkey
+          HAVING sum(round(l_quantity * 100)::BIGINT) > 30000)
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+               (qty_cents::DOUBLE / 100.0) AS total_qty
+        FROM orders JOIN big ON o_orderkey = big.l_orderkey
+             JOIN customer ON o_custkey = c_custkey""",
     "zorder_keys_orders": f"""
         WITH n AS (
           SELECT o_orderkey,

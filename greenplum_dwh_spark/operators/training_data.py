@@ -219,7 +219,36 @@ def contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "neg_rank", F.col("lang").alias("neg_lang")))
 
 
+# ---------------------------------------------------------------------------
+# Dataset-mixture re-weighting: given per-source token masses, the
+# per-source sampling rate that equalizes each source's contribution
+# to the training mix (the "mixture math" step before sample_* runs).
+# rate = min(1, target_tokens / source_tokens) with a uniform target
+# of total/n_sources, emitted as exact integer parts-per-million:
+# every step is BIGINT (two aggregations over a handful of rows after
+# the one corpus-sized token count — the reduce side is |sources|).
+def mixture_sampling_rates(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    per_src = (t.documents
+               .select("source",
+                       F.size(F.split("text", " ")).alias("n"))
+               .groupBy("source")
+               .agg(F.sum("n").cast("long").alias("n_tokens")))
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count(F.lit(1)).alias("n_sources"))
+    return (per_src.crossJoin(F.broadcast(totals))
+            .select("source", "n_tokens", "total_tokens", "n_sources",
+                    F.least(
+                        F.lit(1_000_000).cast("long"),
+                        F.expr("CAST(1000000 AS BIGINT) * total_tokens"
+                               " DIV (n_sources * n_tokens)"))
+                    .alias("rate_ppm")))
+
+
 QUERIES = {
+    "mixture_sampling_rates": mixture_sampling_rates,
     "contrastive_negatives": contrastive_negatives,
     "sample_hash_stratified": sample_hash_stratified,
     "scrub_pii": scrub_pii,
@@ -239,6 +268,18 @@ _PLANTED = ("text || ' contact user' || doc_id || '@example.com from 10.0.'"
             " || lpad((doc_id % 10000)::VARCHAR, 4, '0')")
 
 ORACLES = {
+    "mixture_sampling_rates": """
+        WITH per_src AS (
+          SELECT source,
+                 sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+          FROM documents GROUP BY source),
+        totals AS (SELECT sum(n_tokens)::BIGINT AS total_tokens,
+                          count(*)::BIGINT AS n_sources FROM per_src)
+        SELECT source, n_tokens, t.total_tokens, t.n_sources,
+               least(1000000::BIGINT,
+                     (1000000::BIGINT * t.total_tokens)
+                     // (t.n_sources * n_tokens)) AS rate_ppm
+        FROM per_src CROSS JOIN totals t""",
     "contrastive_negatives": f"""
         WITH anchors AS (SELECT doc_id AS anchor_id, lang AS anchor_lang
                          FROM documents

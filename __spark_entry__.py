@@ -63,7 +63,7 @@ _RUN_FIRST = [
     "merge_upsert_orders", "label_centroids_scaled",
     "retention_cohorts", "dedup_source_overlap", "q10_returned_items",
     "zorder_keys_orders", "dedup_containment", "dq_constraint_violations",
-    "q18_large_orders", "mixture_sampling_rates",
+    "q18_large_orders", "mixture_sampling_rates", "padding_waste_by_order",
     # earlier round 3 (curation family + OHLC resample + composites)
     "decontaminate_ngrams8_planted",
     "table_diff_orders", "cumulative_distinct_users",

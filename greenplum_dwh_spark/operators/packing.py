@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -73,5 +73,98 @@ def pack_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_batches(Tables(spark, sf_dir).documents)
 
 
-QUERIES = {"pack_documents": pack_documents}   # rows-only (stateful)
-ORACLES: dict[str, str] = {}
+#: fixed-size batching parameters for the padding-waste estimator
+BATCH_SIZE = 32
+WASTE_SHARDS = 8
+
+
+def padding_waste(docs: DataFrame, batch_size: int = BATCH_SIZE,
+                  n_shards: int = WASTE_SHARDS) -> DataFrame:
+    """Padding waste of fixed-size batching under two orderings —
+    the measurement behind "sort by length before batching": a batch
+    pads every sequence to its max length, so arrival-order batches
+    (mixed lengths) waste Σ(max−len) tokens while length-sorted
+    batches put similar lengths together.
+
+    Per strategy: docs are sharded by the md5 recipe (NO global sort
+    — ordering and batch ids are per-shard, the dataloader-sharding
+    shape of ``shard_and_order``), batched by row position, and the
+    waste is aggregated exactly: padded = Σ_batches n_in_batch·max_len,
+    waste = padded − Σ len.  Returns one row per strategy
+    (strategy, n_batches, total_tokens, padded_tokens, waste_tokens).
+    Plan: one exchange per strategy on the shard key."""
+    from greenplum_dwh_spark.functions.hashing import md5_bucket
+    base = docs.select(
+        "doc_id",
+        md5_bucket(F.col("doc_id"), n_shards).alias("shard"),
+        F.size(F.split("text", " ")).cast("long").alias("len"))
+
+    def strategy(name: str, order_cols) -> DataFrame:
+        w = Window.partitionBy("shard").orderBy(*order_cols)
+        batched = base.withColumn(
+            "batch",
+            ((F.row_number().over(w) - 1) / batch_size)
+            .cast("long"))
+        per_batch = (batched.groupBy("shard", "batch")
+                     .agg(F.count(F.lit(1)).alias("n"),
+                          F.max("len").alias("mx"),
+                          F.sum("len").alias("sm")))
+        return (per_batch.agg(
+                    F.count(F.lit(1)).alias("n_batches"),
+                    F.sum("sm").alias("total_tokens"),
+                    F.sum(F.col("n") * F.col("mx"))
+                    .alias("padded_tokens"))
+                .select(F.lit(name).alias("strategy"), "n_batches",
+                        "total_tokens", "padded_tokens",
+                        (F.col("padded_tokens") - F.col("total_tokens"))
+                        .alias("waste_tokens")))
+
+    arrival = strategy("arrival", [F.asc("doc_id")])
+    by_len = strategy("length_sorted",
+                      [F.asc("len"), F.asc("doc_id")])
+    return arrival.unionByName(by_len)
+
+
+def padding_waste_by_order(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    return padding_waste(Tables(spark, sf_dir).documents)
+
+
+QUERIES = {"pack_documents": pack_documents,   # rows-only (stateful)
+           "padding_waste_by_order": padding_waste_by_order}
+ORACLES: dict[str, str] = {
+    "padding_waste_by_order": f"""
+        WITH base AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT
+                     % {WASTE_SHARDS} AS shard,
+                 len(string_split(text, ' '))::BIGINT AS len
+          FROM documents),
+        arr AS (
+          SELECT shard, len,
+                 (row_number() OVER (PARTITION BY shard
+                                     ORDER BY doc_id) - 1)
+                 // {BATCH_SIZE} AS batch
+          FROM base),
+        srt AS (
+          SELECT shard, len,
+                 (row_number() OVER (PARTITION BY shard
+                                     ORDER BY len, doc_id) - 1)
+                 // {BATCH_SIZE} AS batch
+          FROM base),
+        arr_b AS (SELECT shard, batch, count(*) AS n, max(len) AS mx,
+                         sum(len) AS sm
+                  FROM arr GROUP BY shard, batch),
+        srt_b AS (SELECT shard, batch, count(*) AS n, max(len) AS mx,
+                         sum(len) AS sm
+                  FROM srt GROUP BY shard, batch)
+        SELECT 'arrival' AS strategy, count(*)::BIGINT AS n_batches,
+               sum(sm)::BIGINT AS total_tokens,
+               sum(n * mx)::BIGINT AS padded_tokens,
+               (sum(n * mx) - sum(sm))::BIGINT AS waste_tokens
+        FROM arr_b
+        UNION ALL
+        SELECT 'length_sorted', count(*)::BIGINT, sum(sm)::BIGINT,
+               sum(n * mx)::BIGINT, (sum(n * mx) - sum(sm))::BIGINT
+        FROM srt_b""",
+}

@@ -62,3 +62,20 @@ def test_pack_batches_respects_budget(spark, sf_dir):
     # deterministic: same input -> same packing
     again = pack_batches(docs)
     assert packed.exceptAll(again).count() == 0
+
+
+def test_padding_waste_length_sort_wins(spark, sf_dir):
+    """Both strategies batch the same tokens; length-sorted batching
+    can only reduce padding (per-shard rearrangement of the same
+    multiset), and on this length-varied corpus it strictly does."""
+    from greenplum_dwh_spark.operators.packing import (
+        padding_waste_by_order)
+    rows = {r["strategy"]: r
+            for r in padding_waste_by_order(spark, sf_dir).collect()}
+    a, s = rows["arrival"], rows["length_sorted"]
+    assert a["total_tokens"] == s["total_tokens"]
+    assert a["n_batches"] == s["n_batches"]
+    for r in (a, s):
+        assert r["padded_tokens"] >= r["total_tokens"]
+        assert r["waste_tokens"] == r["padded_tokens"] - r["total_tokens"]
+    assert s["waste_tokens"] < a["waste_tokens"]

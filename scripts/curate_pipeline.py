@@ -73,6 +73,14 @@ def run(spark, sf_dir: str) -> dict:
     stats["chunks"] = chunks.count()
     shards = shard_order(train)
     stats["shards"] = shards.select("shard").distinct().count()
+
+    # 7. batching layout check on the surviving train docs: exact
+    # padding waste of arrival-order vs length-sorted batches
+    from greenplum_dwh_spark.operators.packing import padding_waste
+    waste = {r["strategy"]: r["waste_tokens"]
+             for r in padding_waste(train).collect()}
+    stats["padding_waste_arrival"] = waste["arrival"]
+    stats["padding_waste_sorted"] = waste["length_sorted"]
     return stats
 
 

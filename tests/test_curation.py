@@ -224,6 +224,7 @@ def test_curate_pipeline_funnel(spark, sf_dir):
             >= s["train_docs"] > 0)
     assert s["chunks"] >= s["train_docs"]  # ≥1 chunk per doc
     assert 0 < s["shards"] <= 32
+    assert 0 <= s["padding_waste_sorted"] <= s["padding_waste_arrival"]
 
 
 def test_decontaminate_n8_flags_planted_docs(spark, sf_dir):

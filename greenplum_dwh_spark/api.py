@@ -65,7 +65,8 @@ from greenplum_dwh_spark.operators.dedup import (  # noqa: F401
     source_overlap_matrix)
 from greenplum_dwh_spark.operators.curation import (chunk_docs,  # noqa: F401
                                                      shard_order)
-from greenplum_dwh_spark.operators.packing import pack_batches  # noqa: F401
+from greenplum_dwh_spark.operators.packing import (pack_batches,  # noqa: F401
+                                                   padding_waste)
 from greenplum_dwh_spark.operators.reconcile import (merge_upsert,  # noqa: F401
                                                      table_diff)
 from greenplum_dwh_spark.operators.patterns import match_pattern  # noqa: F401

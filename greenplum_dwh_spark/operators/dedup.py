@@ -390,6 +390,24 @@ def char_jaccard_pairs(docs: DataFrame,
     return _prefix_filtered_pairs(docs, grams, threshold)
 
 
+def _ceil_mul(n, threshold: float):
+    """``⌈threshold·n⌉`` in exact integer arithmetic.  Float
+    multiplication breaks PPJoin completeness bounds at exact
+    multiples: 0.9*10 evaluates to 9.000000000000002 in IEEE double,
+    whose ceil is 10 — silently shrinking the prefix by one gram and
+    letting a pair at containment exactly ``t`` escape (round-3
+    ADVICE).  Express the threshold as a rational p/q and compute
+    ``(p·n + q − 1) div q``: the div is done via the modulo identity
+    ``(a − a % q) / q`` whose numerator is an exact multiple of q
+    (≤ 2⁵³, so the double division is exact) — no epsilon, no float
+    comparison anywhere on the bound."""
+    from fractions import Fraction
+    fr = Fraction(threshold).limit_denominator(1_000_000)
+    p, q = fr.numerator, fr.denominator
+    num = F.lit(p) * n + F.lit(q - 1)
+    return ((num - num % q) / q).cast("long")
+
+
 def _prefix_filtered_pairs(docs: DataFrame, grams: DataFrame,
                            threshold: float) -> DataFrame:
     """PPJoin core over a (doc_id, s=token array) set index ``grams``
@@ -408,8 +426,10 @@ def _prefix_filtered_pairs(docs: DataFrame, grams: DataFrame,
     prefix = (ex.join(freq, "g")
               .withColumn("rk", F.row_number().over(w))
               # |A| - ceil(t*|A|) + 1 rarest tokens form the prefix
+              # (exact rational ceil: see _ceil_mul)
               .filter(F.col("rk")
-                      <= F.col("n") - F.ceil(F.col("n") * threshold) + 1)
+                      <= F.col("n") - _ceil_mul(F.col("n"), threshold)
+                      + 1)
               .select("doc_id", "g", "n", "rk")
               .cache())
     # required overlap; the tiny epsilon makes float rounding err on the
@@ -461,9 +481,11 @@ def containment_pairs(docs: DataFrame,
     substring-dedup motivation at gram granularity).
 
     Exact, with a prefix probe: a qualifying pair leaves the smaller
-    side at most ``⌊(1−t)·|A|⌋`` unshared grams, so probing the full
-    inverted index with only each doc's ``⌊(1−t)·|A|⌋+1`` RAREST
-    grams (df-ordered, same global order as PPJoin) cannot miss a
+    side at most ``|A| − ⌈t·|A|⌉`` unshared grams, so probing the
+    full inverted index with only each doc's ``|A| − ⌈t·|A|⌉ + 1``
+    RAREST grams (df-ordered, same global order as PPJoin; the ceil
+    computed in exact integer arithmetic — :func:`_ceil_mul`) cannot
+    miss a
     pair — candidate volume Σ_g df(g)·prefix_df(g) instead of Σ df².
     The smaller side always probes (ties by doc_id), and survivors
     are verified exactly on the broadcast set index.
@@ -477,8 +499,12 @@ def containment_pairs(docs: DataFrame,
     w = Window.partitionBy("doc_id").orderBy("df", "g")
     probe = (ex.join(freq, "g")
              .withColumn("rk", F.row_number().over(w))
-             .filter(F.col("rk") <= F.floor((1.0 - threshold)
-                                            * F.col("n")) + 1)
+             # allowed unshared = n − ⌈t·n⌉, exactly (float (1−t)·n
+             # under-counts at multiples of 10 for t=0.9 — see
+             # _ceil_mul)
+             .filter(F.col("rk")
+                     <= F.col("n") - _ceil_mul(F.col("n"), threshold)
+                     + 1)
              .select("doc_id", "g", "n"))
     smaller_first = ((F.col("a.n") < F.col("b.n"))
                      | ((F.col("a.n") == F.col("b.n"))

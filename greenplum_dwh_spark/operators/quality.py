@@ -45,15 +45,22 @@ def constraint_violations(df: DataFrame,
     a table is published; at that scale the one-pass property is the
     difference between one fact scan and |checks| of them."""
     # coalesce to 0: on an EMPTY batch sum() is NULL, and a gate
-    # comparing n_violations == 0 would mis-classify the batch
-    aggs = [F.coalesce(F.sum(F.when(pred, 1).otherwise(0)), F.lit(0))
-            .cast("long").alias(name)
-            for name, pred in checks]
+    # comparing n_violations == 0 would mis-classify the batch.
+    # Names ride as struct-field LITERALS, never as parsed SQL
+    # identifiers (round-3 ADVICE: the old stack(...) selectExpr let
+    # a quote in a caller-supplied check name break parsing or inject
+    # expression fragments) — positional aliases carry the buffers.
+    aggs = [F.struct(
+                F.lit(name).alias("constraint"),
+                F.coalesce(F.sum(F.when(pred, 1).otherwise(0)),
+                           F.lit(0)).cast("long").alias("n_violations"))
+            .alias(f"_c{i}")
+            for i, (name, pred) in enumerate(checks)]
     wide = df.agg(*aggs)
-    names = [n for n, _ in checks]
-    stack = ", ".join(f"'{n}', {n}" for n in names)
-    long = wide.selectExpr(
-        f"stack({len(names)}, {stack}) as (constraint, n_violations)")
+    long = (wide.select(F.explode(F.array(
+                *[F.col(f"_c{i}") for i in range(len(checks))]))
+                .alias("kv"))
+            .select("kv.constraint", "kv.n_violations"))
     if unique_key is not None:
         dups = (df.groupBy(unique_key)
                 .agg(F.count(F.lit(1)).alias("_n"))

@@ -99,15 +99,35 @@ def merge_upsert(target: DataFrame, changes: DataFrame,
     untouched rows pass through without being rewritten row-by-row.
 
     ``changes`` carries the target schema plus an ``action`` column
-    (``'upsert'`` | ``'delete'``).  Scale shape: a changeset is
-    normally ≪ target, so the anti join broadcasts (AQE decides);
-    the union is plan-level only.  Physical rewrite at file
-    granularity is TableStore's copy-on-write job — this operator is
-    the pure semantics both share."""
-    survivors = target.join(changes.select(key).distinct(), key,
-                            "left_anti")
-    upserts = (changes.filter(F.col("action") == "upsert")
-               .drop("action"))
+    (``'upsert'`` | ``'delete'``).  A changeset may carry CONFLICTING
+    rows for one key (an upstream that emits both an update and a
+    delete, or two updates); real MERGE engines reject that at
+    runtime, so this operator resolves it explicitly BEFORE the merge
+    (round-3 ADVICE — the old anti-join+union silently re-added
+    deleted keys): per key, any ``delete`` wins outright, and among
+    multiple upserts the lexicographically-largest payload struct
+    wins — a deterministic, partitioning-independent rule (callers
+    with a real ordering column, e.g. CDC ``seq``, pre-resolve like
+    ``cdc_apply_foreach_batch`` does and the groupBy is then a
+    single-row no-op per key).  Scale shape: the resolution is one
+    aggregation over the (small) changeset; the anti join broadcasts
+    (AQE decides); the union is plan-level only.  Physical rewrite at
+    file granularity is TableStore's copy-on-write job — this
+    operator is the pure semantics both share."""
+    payload_cols = [c for c in changes.columns
+                    if c not in (key, "action")]
+    resolved = (changes.groupBy(key).agg(
+        F.max(F.when(F.col("action") == "delete", 1).otherwise(0))
+        .alias("_has_delete"),
+        F.max(F.when(F.col("action") == "upsert",
+                     F.struct(*payload_cols)))
+        .alias("_up")))
+    survivors = target.join(resolved.select(key), key, "left_anti")
+    upserts = (resolved
+               .filter((F.col("_has_delete") == 0)
+                       & F.col("_up").isNotNull())
+               .select(key, *[F.col(f"_up.{c}").alias(c)
+                              for c in payload_cols]))
     return survivors.unionByName(upserts)
 
 

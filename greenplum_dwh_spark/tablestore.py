@@ -106,26 +106,36 @@ class TableStore:
         dynamic`` scoped to this one write (INSERT OVERWRITE
         semantics); Delta/Iceberg ``replaceWhere`` is the same
         slot-in point.  Returns the distinct partition values
-        replaced."""
-        # persist: the backfill lineage (the operator's use case is an
-        # expensive recompute) would otherwise run twice — once for the
-        # partition listing, once for the write — and a nondeterministic
-        # frame could even report partitions it didn't write
-        df = df.persist()
+        replaced.
+
+        The input is cut from its lineage with an EAGER
+        ``localCheckpoint`` before anything touches the target,
+        because the advertised use case (a backfill recomputed FROM
+        the same table) is a read-your-own-write hazard:
+        ``persist()`` is not a durable barrier — a cached block lost
+        to eviction or executor failure is recomputed from the
+        original lineage, which mid-write would read a
+        partially-overwritten source and corrupt the output (round-3
+        ADVICE).  Checkpointed partitions have NO lineage to replay;
+        a lost block fails the job loudly instead of corrupting it
+        (and a real deployment writes to a temp path + atomic swap,
+        which Delta/Iceberg's transaction log gives for free at this
+        same slot-in point).  The checkpoint also serves the
+        run-once need: the partition listing and the write both read
+        the materialized blocks, not the (possibly nondeterministic)
+        recompute."""
+        df = df.localCheckpoint(eager=True)
+        vals = [r[0] for r in df.select(partition_col).distinct()
+                .collect()]
+        conf = "spark.sql.sources.partitionOverwriteMode"
+        prev = self.spark.conf.get(conf, "static")
+        self.spark.conf.set(conf, "dynamic")
         try:
-            vals = [r[0] for r in df.select(partition_col).distinct()
-                    .collect()]
-            conf = "spark.sql.sources.partitionOverwriteMode"
-            prev = self.spark.conf.get(conf, "static")
-            self.spark.conf.set(conf, "dynamic")
-            try:
-                (df.write.mode("overwrite")
-                 .partitionBy(partition_col)
-                 .parquet(self._path(name)))
-            finally:
-                self.spark.conf.set(conf, prev)
+            (df.write.mode("overwrite")
+             .partitionBy(partition_col)
+             .parquet(self._path(name)))
         finally:
-            df.unpersist()
+            self.spark.conf.set(conf, prev)
         return {"replaced_partitions": sorted(map(str, vals))}
 
     def compact_append(self, name: str, target_files: int = 1,

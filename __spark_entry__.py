@@ -46,58 +46,57 @@ def entry(spark: SparkSession) -> DataFrame:
     return q5_nation_revenue(spark, "/root/testdata/sf0.001")
 
 
-#: Run order for the driver's correctness pass.  Round-1 showed the
-#: driver truncates the tail of this dict when its global budget runs
-#: out, so: queries it has never checked (or whose implementation was
-#: touched most recently) come FIRST, the freshest-green ones LAST — a
-#: timeout then costs re-confirmation of a known-green query, never
-#: first-time coverage.  Round-3 rotation: new entries first, then the
-#: 8 queries whose last green row is r01, then the rest; the 8 queries
-#: already green in r02 run last.
+#: Run order for the driver's correctness pass.  The driver truncates
+#: the tail of this dict when its global budget (~50 slots) runs out,
+#: so the ordering IS the verification-freshness lever.  Round-4
+#: rotation (verdict item 1, mechanical): (a) the 13 oracle-backed
+#: queries that have NEVER had a driver row (r03's list put them at
+#: positions 51+ and the budget cut at 50), then (b) the 6 whose last
+#: green row is r01, then (c) everything touched or added in round 4,
+#: then (d) the 45 queries last green in r02, oldest debt first.  The
+#: r03-green queries fall in registration order after these; the 7
+#: no-oracle-by-design queries sit in _RUN_LAST so they never burn a
+#: budget slot on a rows-only check while oracle debt exists.
 _RUN_FIRST = [
-    # newest in round 3 (retrieval fusion + incremental dedup +
-    # leakage-safe splits)
-    "rank_fusion_rrf", "vocab_topk_coverage",
-    "dedup_incremental", "split_leakage_safe",
-    "pit_lookup_orders", "key_skew_profile", "contrastive_negatives",
-    "merge_upsert_orders", "label_centroids_scaled",
-    "retention_cohorts", "dedup_source_overlap", "q10_returned_items",
-    "zorder_keys_orders", "dedup_containment", "dq_constraint_violations",
-    "q18_large_orders", "mixture_sampling_rates", "padding_waste_by_order",
-    # earlier round 3 (curation family + OHLC resample + composites)
-    "decontaminate_ngrams8_planted",
-    "table_diff_orders", "cumulative_distinct_users",
-    "dedup_keep_best", "embedding_quantize",
-    "decontaminate_ngrams", "split_train_holdout", "chunk_documents",
-    "remove_boilerplate_lines", "bigram_lm_counts", "shard_and_order",
-    "resample_ohlc",
-    # earlier round 3 (timeseries + training-data families)
-    "big_spenders_having", "argmax_order_per_customer", "order_keys_csv",
-    "full_outer_user_hours", "window_nth_family",
-    "sessionize_native_window", "text_heavy_hitters",
-    "dedup_embedding_clusters", "outlier_iqr_events",
-    "unpivot_status_counts", "text_repetition", "fuzzy_doc_pairs",
-    "gapfill_forward_fill", "stats_moments_events",
-    "covar_components_events", "histogram_orders",
-    "sample_hash_stratified", "scrub_pii", "canon_text_dedup",
-    "topk_docs_per_lang", "embedding_hof_norms", "tokens_posexplode",
-    "grouping_sets_priority_status",
-    # new in round 3
-    "dedup_embedding_lsh", "multimodal_features", "text_bm25_topk_ranks",
-    "dedup_char_jaccard", "skew_salted_user_totals", "rollup_merge_hourly",
-    "multimodal_resize", "multimodal_frames", "multimodal_audio",
-    "window_rank_family",
-    # perf-touched this round (must re-green fresh)
-    "dedup_simhash",
-    # last green in r01 (rotated out of r02's budget)
-    "dedup_minhash_lsh", "dedup_jaccard_prefix", "dedup_clusters",
-    "sessionize_events", "ann_ivf_topk", "multimodal_meta",
+    # (a) oracle-backed, never driver-checked (all judge-local PASS r3)
+    "dedup_char_jaccard", "dedup_embedding_lsh", "embedding_hof_norms",
+    "grouping_sets_priority_status", "multimodal_audio",
+    "multimodal_features", "multimodal_frames", "multimodal_resize",
+    "rollup_merge_hourly", "skew_salted_user_totals",
+    "text_bm25_topk_ranks", "tokens_posexplode", "window_rank_family",
+    # (b) last green in r01
+    "dedup_clusters", "dedup_jaccard_prefix", "dedup_minhash_lsh",
+    "dedup_simhash", "multimodal_meta", "sessionize_events",
+    # (c) touched in round 4 (ADVICE fixes: exact prefix bounds,
+    # MERGE conflict resolution, struct-literal DQ gate, pool
+    # pre-slice) — must re-green fresh
+    "dedup_containment", "merge_upsert_orders",
+    "dq_constraint_violations", "contrastive_negatives",
+    # (d) last green in r02, nothing changed since
+    "amount_diff_lag", "ann_cosine_topk", "ann_euclidean_topk",
+    "anti_join_no_orders", "asof_last_click", "chain_fraud_window",
+    "cube_status_priority", "dedup_embedding", "dedup_exact",
+    "distinct_parts_per_flag", "dq_orders_profile", "funnel_users",
+    "json_props_agg", "last_week_threshold", "late_shipments",
+    "moving_sum_rows_frame", "multimodal_decode", "not_in_customers",
+    "null_handling_demo", "orders_calendar", "percentile_prices",
+    "pivot_status_counts", "q1_pricing_summary", "q3_segment_revenue",
+    "q5_nation_revenue", "range_frame_hour_sum",
+    "range_join_hour_buckets", "range_join_tumbling_rewrite",
+    "rollup_status_priority", "scalar_subquery_acctbal",
+    "semi_join_big_orders", "set_except_customers",
+    "set_intersect_customers", "string_funcs_demo", "text_bm25_scaled",
+    "text_fingerprint", "text_langid", "text_quality",
+    "text_term_stats", "text_tokens", "tumbling_hourly",
+    "union_labeled_rules", "window_lag_hop", "window_last_scd1",
+    "window_lead_scd2",
 ]
 _RUN_LAST = [
-    # green in r02, nothing changed since
-    "dq_orders_profile", "pack_documents", "chain_fraud_state",
-    "range_join_tumbling_rewrite", "text_bm25_scaled", "text_bm25_topk",
-    "dedup_embedding", "multimodal_decode",
+    # no-oracle-by-design (rows-only checks; each pinned by tests —
+    # see module docstring) run dead last
+    "text_heavy_hitters", "ann_ivf_topk", "approx_distinct_parts",
+    "approx_percentile_prices", "pack_documents", "chain_fraud_state",
+    "text_bm25_topk",
 ]
 
 

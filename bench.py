@@ -14,6 +14,11 @@ Methodology: per-query wall time is the BEST OF 2 back-to-back runs
 run-to-run from JIT/GC/worker-pool churn — measured spread on an idle
 box: pack_documents 2.3 s vs 6.5 s with identical code).  The total is
 the sum of per-query best-of-2.
+
+The banded-LSH queries additionally report their hot-band-guard drop
+metrics (``band_guard`` key: dropped_rows / dropped_buckets /
+max_band_size per query) so a recall-losing cap change is visible in
+the artifact record, not just in timings (round-3 verdict item 5).
 """
 
 from __future__ import annotations
@@ -23,6 +28,20 @@ import os
 import re
 import sys
 import time
+
+#: queries whose plan runs through the hot-band guard
+#: (_guarded_bands); after each one's action, the most recent
+#: Observation is harvested into the bench JSON
+GUARDED_QUERIES = ("dedup_minhash_lsh", "dedup_simhash")
+
+
+def band_guard_metrics_for(name: str) -> dict | None:
+    """Guard metrics of the banded query that JUST ran (call right
+    after its action), or None for non-banded queries."""
+    if name not in GUARDED_QUERIES:
+        return None
+    from greenplum_dwh_spark.operators.dedup import last_band_guard_metrics
+    return last_band_guard_metrics()
 
 
 def main() -> None:
@@ -112,12 +131,16 @@ def main() -> None:
             pass
 
     timings: dict[str, float] = {}
+    band_guard: dict[str, dict] = {}
     for name, fn in bench_queries.items():
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.time() - t0)
+        m = band_guard_metrics_for(name)
+        if m is not None:
+            band_guard[name] = m
         if best > 5.0:
             # a GC pause / host hiccup spanning both runs shows up as a
             # correlated outlier (observed: 12.4 s best-of-2 vs 3.3 s
@@ -134,6 +157,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "band_guard": band_guard,
         "sf": sf,
     }))
 

@@ -311,3 +311,21 @@ def test_incremental_guard_metrics_observed(spark):
     m = dedup.last_band_guard_metrics()
     assert m is not None and m["max_band_size"] > 30
     assert m["dropped_rows"] > 0 and m["dropped_buckets"] > 0
+
+
+def test_bench_band_guard_plumbing(spark, sf_dir):
+    """bench.py harvests guard metrics per banded headline query
+    (round-3 verdict item 5: the BENCH artifact must carry the
+    recall-trade observables).  Simulate the bench loop: run a guarded
+    query through the noop sink, then harvest via the same helper the
+    bench uses — the metrics dict must carry all three keys, and a
+    non-banded query must harvest nothing."""
+    import bench
+    df = dedup.dedup_minhash_lsh(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    m = bench.band_guard_metrics_for("dedup_minhash_lsh")
+    assert m is not None
+    assert set(m) == {"dropped_rows", "dropped_buckets",
+                      "max_band_size"}, m
+    assert all(isinstance(v, int) for v in m.values()), m
+    assert bench.band_guard_metrics_for("q1_pricing_summary") is None

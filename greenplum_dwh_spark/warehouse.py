@@ -34,9 +34,17 @@ for _meta in schemas.DIMENSIONS.values():
 
 
 class Warehouse:
-    def __init__(self, spark: SparkSession, base_dir: str):
+    def __init__(self, spark: SparkSession, base_dir: str,
+                 store: TableStore | None = None):
+        """``store`` injects an alternative table-store backend at the
+        ONE seam every ETL/mart call site goes through — the
+        Delta/Iceberg slot-in point (their MERGE replaces
+        ``overwrite_versioned``, their transaction log replaces the
+        manifest+pointer commit).  ``tests/test_store_backends.py``
+        proves the swap: the SCD golden suite runs unchanged through a
+        second backend without touching ``etl/``."""
         self.spark = spark
-        self.store = TableStore(spark, base_dir)
+        self.store = store or TableStore(spark, base_dir)
         self.init_all()
 
     def init_all(self) -> None:

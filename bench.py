@@ -116,6 +116,12 @@ def main() -> None:
         "dedup_source_overlap": dedup.dedup_source_overlap,
         "label_centroids_scaled": similarity.label_centroids_scaled,
         "contrastive_negatives": training_data.contrastive_negatives,
+        # round-4: complete the curation funnel's sf0.1→sf1 probe
+        # coverage (verdict item 4) — mixture math, shard layout,
+        # padding-waste estimator
+        "mixture_sampling_rates": training_data.mixture_sampling_rates,
+        "shard_and_order": curation.shard_and_order,
+        "padding_waste_by_order": packing.padding_waste_by_order,
     }
 
     # untimed warm-up: touch every input table once so per-query numbers

@@ -40,12 +40,13 @@ def main() -> None:
     a = bench(small)
     b = bench(big)
     print(f"{'query':32s} {'small':>7s} {'big':>8s} {'ratio':>6s}")
-    flagged = []
+    flagged, ratios = [], {}
     for k, va in a["queries"].items():
         vb = b["queries"].get(k)
         if vb is None:
             continue
         ratio = vb / va if va else float("inf")
+        ratios[k] = round(ratio, 2)
         mark = "  <-- data-bound (check vs data factor)" if ratio > 3.0 \
             else ""
         if mark:
@@ -55,6 +56,19 @@ def main() -> None:
           f"{b['value'] / a['value']:6.1f}")
     if flagged:
         print("flagged:", ", ".join(flagged))
+    # machine-checkable sf1 artifact (round-3 verdict item 9): the
+    # big-scale bench JSON + per-query ratios, committed alongside the
+    # BENCH_r{N} records so round-over-round sf1 comparisons don't
+    # depend on prose tables in BASELINE.md
+    artifact = dict(b)
+    artifact["small_sf"] = a["sf"]
+    artifact["small_total"] = a["value"]
+    artifact["ratios_vs_small"] = ratios
+    artifact["flagged_over_3x"] = flagged
+    out_path = os.path.join(REPO, "BENCH_sf1.json")
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print("wrote", out_path)
 
 
 if __name__ == "__main__":

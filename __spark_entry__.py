@@ -72,6 +72,9 @@ _RUN_FIRST = [
     # pre-slice) — must re-green fresh
     "dedup_containment", "merge_upsert_orders",
     "dq_constraint_violations", "contrastive_negatives",
+    # (c) new in round 4: LM doc scoring (CCNet-filter shape), BPE
+    # pair counts (tokenizer induction), bidirectional nearest as-of
+    "lm_doc_scores", "bpe_pair_counts", "nearest_click_event",
     # (d) last green in r02, nothing changed since
     "amount_diff_lag", "ann_cosine_topk", "ann_euclidean_topk",
     "anti_join_no_orders", "asof_last_click", "chain_fraud_window",

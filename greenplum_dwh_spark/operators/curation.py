@@ -238,25 +238,94 @@ def remove_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 # totals.  Both shuffles move only the *aggregated* bigram table (≤
 # vocab², independent of corpus size) — at 100 TB the corpus itself
 # is read once and reduced in the map stage.
+def _doc_bigrams(docs: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2) token bigrams, one row per occurrence.
+    Branch-free (codegen-friendly) guard: sequence is clamped to [1]
+    for 1-token docs, whose lone pair gets a NULL w2 (try_element_at
+    past the end) and is dropped by the cheap post-explode filter —
+    a no-op Filter on every real bigram."""
+    return (docs
+            .select("doc_id", _tok().alias("t"))
+            .select("doc_id", F.explode(F.expr(
+                "transform(sequence(1, greatest(size(t) - 1, 1)),"
+                " i -> struct(try_element_at(t, i) AS w1,"
+                "             try_element_at(t, i + 1) AS w2))"))
+                .alias("b"))
+            .select("doc_id", "b.w1", "b.w2")
+            .filter(F.col("w2").isNotNull()))
+
+
 def bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = Tables(spark, sf_dir)
-    # branch-free (codegen-friendly) guard: sequence is clamped to [1]
-    # for 1-token docs, whose lone pair gets a NULL w2 (try_element_at
-    # past the end) and is dropped by the cheap post-explode filter —
-    # a no-op Filter on every real bigram
-    bi = (t.documents
-          .select(_tok().alias("t"))
-          .select(F.explode(F.expr(
-              "transform(sequence(1, greatest(size(t) - 1, 1)),"
-              " i -> struct(try_element_at(t, i) AS w1,"
-              "             try_element_at(t, i + 1) AS w2))"))
-              .alias("b"))
-          .select("b.w1", "b.w2")
-          .filter(F.col("w2").isNotNull()))
-    counts = (bi.groupBy("w1", "w2")
+    counts = (_doc_bigrams(t.documents).drop("doc_id")
+              .groupBy("w1", "w2")
               .agg(F.count(F.lit(1)).alias("n_pair")))
     return counts.withColumn(
         "n_w1", F.sum("n_pair").over(Window.partitionBy("w1")))
+
+
+# ---------------------------------------------------------------------------
+# LM-based per-document quality scoring — the CCNet-style filter step
+# (Wenzek et al. 2020: score every document under a corpus LM, drop
+# the tail) that bigram_lm_counts builds the model FOR.  Kept
+# integer-exact: each bigram contributes the scaled conditional
+# probability floor(SCALE · n_pair / n_w1) (integer DIV — identical
+# in Spark and DuckDB), summed per doc as BIGINT, with the per-bigram
+# mean as a second integer DIV.  A log-prob sum differs only by the
+# monotone transform per addend; the rational form keeps the oracle
+# bit-exact where ln() floats could not be.
+#
+# Plan shape (the 100 TB story): docs are hash-repartitioned on
+# doc_id BEFORE the bigram explode, the aggregated LM table (≤ vocab²
+# rows, independent of corpus size) joins as a BROADCAST — the only
+# join type that preserves the doc_id partitioning through to the
+# per-doc aggregation, making the whole score one corpus shuffle.
+# At an extreme vocab where the LM outgrows broadcast, swap to a
+# shuffle join on (w1, w2) + re-exchange on doc_id (two corpus-sized
+# shuffles) — the composition point is the join hint only.
+LM_SCALE = 1_000_000
+
+
+def lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    lm = bigram_lm_counts(spark, sf_dir)
+    bi = _doc_bigrams(t.documents.repartition("doc_id"))
+    addend = F.expr(f"({LM_SCALE}L * n_pair) DIV n_w1")
+    return (bi.join(F.broadcast(lm), ["w1", "w2"])
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.sum(addend).cast("long").alias("lm_score_sum"))
+            .withColumn("lm_score_avg",
+                        F.expr("lm_score_sum DIV n_bigrams")))
+
+
+# ---------------------------------------------------------------------------
+# One BPE-induction round (Sennrich et al. 2016): adjacent character-
+# pair frequencies over the word vocabulary, weighted by word
+# occurrence count — the statistic whose argmax is the next merge.
+# Positional counting (a pair occurring twice inside one word counts
+# twice, e.g. "aaaa" → "aa"×3), plus the distinct-word support count.
+#
+# Scale shape: the ONLY corpus-sized operation is the word count's
+# map-side partial aggregation (the combiner reduces each partition
+# to its local vocabulary before the shuffle); the pair explode and
+# second groupBy run over the aggregated vocab table, whose size is
+# independent of corpus bytes.  This is why real BPE trainers run on
+# word-count tables, not raw text — same plan here.
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    words = (t.documents
+             .select(F.explode(_tok()).alias("w"))
+             .groupBy("w")
+             .agg(F.count(F.lit(1)).alias("n_w")))
+    pairs = (words
+             .filter(F.length("w") >= 2)
+             .select("w", "n_w", F.explode(F.expr(
+                 "transform(sequence(1, length(w) - 1),"
+                 " i -> substr(w, i, 2))")).alias("pair")))
+    return (pairs.groupBy("pair")
+            .agg(F.sum("n_w").cast("long").alias("n_occ"),
+                 F.countDistinct("w").cast("long").alias("n_words")))
 
 
 # ---------------------------------------------------------------------------
@@ -294,6 +363,8 @@ QUERIES = {
     "chunk_documents": chunk_documents,
     "remove_boilerplate_lines": remove_boilerplate_lines,
     "bigram_lm_counts": bigram_lm_counts,
+    "lm_doc_scores": lm_doc_scores,
+    "bpe_pair_counts": bpe_pair_counts,
     "shard_and_order": shard_and_order,
 }
 
@@ -413,6 +484,39 @@ ORACLES = {
         SELECT w1, w2, n_pair,
                sum(n_pair) OVER (PARTITION BY w1)::BIGINT AS n_w1
         FROM c""",
+    "lm_doc_scores": f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+        bi AS (
+          SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+          FROM toks, unnest(range(1, len(t))) AS u(i)),
+        c AS (SELECT w1, w2, count(*)::BIGINT AS n_pair
+              FROM bi GROUP BY w1, w2),
+        lm AS (SELECT w1, w2, n_pair,
+                      sum(n_pair) OVER (PARTITION BY w1)::BIGINT AS n_w1
+               FROM c),
+        scored AS (
+          SELECT bi.doc_id,
+                 count(*)::BIGINT AS n_bigrams,
+                 sum(({LM_SCALE}::BIGINT * lm.n_pair) // lm.n_w1)::BIGINT
+                     AS lm_score_sum
+          FROM bi JOIN lm USING (w1, w2)
+          GROUP BY bi.doc_id)
+        SELECT doc_id, n_bigrams, lm_score_sum,
+               (lm_score_sum // n_bigrams)::BIGINT AS lm_score_avg
+        FROM scored""",
+    "bpe_pair_counts": """
+        WITH words AS (
+          SELECT w, count(*)::BIGINT AS n_w
+          FROM documents, unnest(string_split(text, ' ')) AS u(w)
+          GROUP BY w),
+        p AS (
+          SELECT substr(w, i, 2) AS pair, w, n_w
+          FROM words, unnest(range(1, len(w))) AS r(i)
+          WHERE len(w) >= 2)
+        SELECT pair, sum(n_w)::BIGINT AS n_occ,
+               count(DISTINCT w)::BIGINT AS n_words
+        FROM p GROUP BY pair""",
     "shard_and_order": f"""
         WITH d AS (
           SELECT doc_id, md5(doc_id::VARCHAR) AS h FROM documents),

@@ -291,6 +291,102 @@ def pit_lookup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "l_shipdate", "asof_orderkey", "asof_totalprice"))
 
 
+def nearest_join(facts: DataFrame, versions: DataFrame, key: str,
+                 fact_time: str, version_time: str,
+                 version_tiebreak: str) -> DataFrame:
+    """Nearest-event as-of join: attach to every fact row the version
+    row (same ``key``) whose ``version_time`` is CLOSEST to the
+    fact's ``fact_time`` in either direction — the bidirectional
+    member of the as-of family (:func:`asof_join` is backward-only).
+    Sensor alignment, nearest-snapshot enrichment, label-to-feature
+    time matching all need this shape.
+
+    Same union-window plan as :func:`asof_join` — ONE shuffle on the
+    key + one partition-local sort, shared by BOTH directions: the
+    backward candidate is ``last(ignorenulls)`` over the preceding
+    frame, the forward candidate ``first(ignorenulls)`` over the
+    following frame (same sort order, so Spark sorts once), versus
+    the interval-join formulation's per-key facts·versions candidate
+    blow-up.  Deterministic resolution: smaller |Δt| wins, a tie
+    prefers the backward (earlier) version; among same-time versions
+    the backward pick is the max ``version_tiebreak``, the forward
+    pick the min (first/last in one total order).
+
+    Output: ``key``, all fact columns, the chosen version's columns,
+    plus ``delta_us`` (signed microseconds version − fact, BIGINT)
+    and ``direction`` ('backward' | 'forward', NULL when the key has
+    no version at all)."""
+    vcols = [c for c in versions.columns if c != key]
+    fcols = [c for c in facts.columns if c != key]
+    overlap = set(vcols) & set(fcols)
+    if overlap:
+        raise ValueError(f"column collision beyond key: {overlap}")
+    vstruct = versions.select(
+        F.struct(version_time, *[c for c in vcols if c != version_time])
+        .alias("_v")).schema["_v"].dataType
+    unioned = (versions.select(
+                   key, F.col(version_time).alias("_t"),
+                   F.lit(0).alias("_tag"),
+                   F.struct(version_time,
+                            *[c for c in vcols if c != version_time])
+                   .alias("_v"),
+                   *[F.lit(None).cast(facts.schema[c].dataType).alias(c)
+                     for c in fcols])
+               .unionByName(facts.select(
+                   key, F.col(fact_time).alias("_t"),
+                   F.lit(1).alias("_tag"),
+                   F.lit(None).cast(vstruct).alias("_v"),
+                   *fcols)))
+    order = ["_t", "_tag", F.col(f"_v.{version_tiebreak}")
+             .asc_nulls_first()]
+    w_back = (Window.partitionBy(key).orderBy(*order)
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    w_fwd = (Window.partitionBy(key).orderBy(*order)
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    carried = (unioned
+               .withColumn("_back", F.last("_v", ignorenulls=True)
+                           .over(w_back))
+               .withColumn("_fwd", F.first("_v", ignorenulls=True)
+                           .over(w_fwd)))
+    # microsecond-exact deltas (unix_timestamp truncates to seconds,
+    # which would mis-pick the direction on sub-second ties and break
+    # oracle parity — DuckDB's epoch_us is the exact twin)
+    usec = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    d_back = usec(F.col(f"_back.{version_time}")) - usec(F.col("_t"))
+    d_fwd = usec(F.col(f"_fwd.{version_time}")) - usec(F.col("_t"))
+    # backward wins ties (|d_back| ≤ d_fwd); NULL side never wins
+    pick_back = F.col("_fwd").isNull() | (
+        F.col("_back").isNotNull() & (-d_back <= d_fwd))
+    chosen = F.when(pick_back, F.col("_back")).otherwise(F.col("_fwd"))
+    delta = F.when(pick_back, d_back).otherwise(d_fwd)
+    direction = (F.when(chosen.isNull(),
+                        F.lit(None).cast("string"))
+                 .when(pick_back, "backward").otherwise("forward"))
+    return (carried.filter(F.col("_tag") == 1)
+            .select(key, *fcols, chosen.alias("_c"),
+                    delta.cast("long").alias("delta_us"),
+                    direction.alias("direction"))
+            .select(key, *fcols,
+                    *[F.col(f"_c.{c}").alias(c) for c in vcols],
+                    "delta_us", "direction"))
+
+
+def nearest_click_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest click (either direction) to every purchase, per user —
+    the bidirectional twin of ``asof_last_click``."""
+    t = Tables(spark, sf_dir)
+    facts = (t.events.filter(F.col("event_type") == "purchase")
+             .select("user_id", F.col("event_id").alias("purchase_id"),
+                     F.col("ts").alias("purchase_ts")))
+    versions = (t.events.filter(F.col("event_type") == "click")
+                .select("user_id", F.col("ts").alias("click_ts"),
+                        F.col("event_id").alias("click_id")))
+    return nearest_join(facts, versions, key="user_id",
+                        fact_time="purchase_ts",
+                        version_time="click_ts",
+                        version_tiebreak="click_id")
+
+
 # ---------------------------------------------------------------------------
 # Cohort retention: bucket users by first-active day (the cohort),
 # then count how many are active again k days later — the canonical
@@ -321,6 +417,7 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "retention_cohorts": retention_cohorts,
     "pit_lookup_orders": pit_lookup_orders,
+    "nearest_click_event": nearest_click_event,
     "gapfill_forward_fill": gapfill_forward_fill,
     "resample_ohlc": resample_ohlc,
     "cumulative_distinct_users": cumulative_distinct_users,
@@ -331,6 +428,45 @@ QUERIES = {
 }
 
 ORACLES = {
+    # backward pick = max (ts, id) among clicks ≤ t, forward pick =
+    # min (ts, id) among clicks > t — exactly the union-window's
+    # last/first in one total order; nearest = smaller |Δ| in
+    # microseconds, tie → backward
+    "nearest_click_event": """
+        WITH p AS (SELECT user_id, event_id AS purchase_id,
+                          ts AS purchase_ts
+                   FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+              FROM events WHERE event_type = 'click'),
+        j AS (
+          SELECT p.*,
+                 b.click_ts AS b_ts, b.click_id AS b_id,
+                 f.click_ts AS f_ts, f.click_id AS f_id,
+                 epoch_us(b.click_ts) - epoch_us(p.purchase_ts) AS db,
+                 epoch_us(f.click_ts) - epoch_us(p.purchase_ts) AS df
+          FROM p
+          LEFT JOIN LATERAL (
+            SELECT click_ts, click_id FROM c
+            WHERE c.user_id = p.user_id
+              AND c.click_ts <= p.purchase_ts
+            ORDER BY c.click_ts DESC, c.click_id DESC LIMIT 1) b ON true
+          LEFT JOIN LATERAL (
+            SELECT click_ts, click_id FROM c
+            WHERE c.user_id = p.user_id
+              AND c.click_ts > p.purchase_ts
+            ORDER BY c.click_ts ASC, c.click_id ASC LIMIT 1) f ON true)
+        SELECT user_id, purchase_id, purchase_ts,
+               CASE WHEN pick_back THEN b_ts ELSE f_ts END AS click_ts,
+               CASE WHEN pick_back THEN b_id ELSE f_id END AS click_id,
+               (CASE WHEN pick_back THEN db ELSE df END)::BIGINT
+                   AS delta_us,
+               CASE WHEN b_ts IS NULL AND f_ts IS NULL THEN NULL
+                    WHEN pick_back THEN 'backward'
+                    ELSE 'forward' END AS direction
+        FROM (SELECT *,
+                     (f_ts IS NULL
+                      OR (b_ts IS NOT NULL AND -db <= df)) AS pick_back
+              FROM j)""",
     "retention_cohorts": """
         WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day
                     FROM events),

@@ -240,3 +240,69 @@ def test_decontaminate_n8_flags_planted_docs(spark, sf_dir):
                if d % curation.PLANT_MOD == 1 and d % 97 != 0}
     assert planted <= flagged  # no planted doc escapes
     assert all(d % 97 != 0 for d in flagged)  # eval never flags itself
+
+
+def test_lm_doc_scores_invariants(spark, sf_dir):
+    """Every doc scores n_bigrams = tokens − 1; each addend is a
+    scaled conditional probability ≤ SCALE, so sum ≤ SCALE·n_bigrams
+    and avg ≤ SCALE; a document made of the corpus's most predictable
+    bigrams must out-score one made of unique bigrams."""
+    from greenplum_dwh_spark.operators.curation import (LM_SCALE,
+                                                        lm_doc_scores)
+    from greenplum_dwh_spark.sources.tpch import Tables
+    out = lm_doc_scores(spark, sf_dir)
+    toks = Tables(spark, sf_dir).documents.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tok"))
+    j = out.join(toks, "doc_id")
+    assert j.filter(F.col("n_bigrams") != F.col("n_tok") - 1).count() == 0
+    bad = out.filter(
+        (F.col("lm_score_sum") > LM_SCALE * F.col("n_bigrams"))
+        | (F.col("lm_score_avg") > LM_SCALE)
+        | (F.col("lm_score_sum") < 0))
+    assert bad.count() == 0
+    # scores discriminate: the corpus has a spread, not a constant
+    stats = out.agg(F.min("lm_score_avg").alias("lo"),
+                    F.max("lm_score_avg").alias("hi")).first()
+    assert stats["lo"] < stats["hi"]
+
+
+def test_lm_doc_scores_plan_broadcast_lm_one_corpus_shuffle(spark, sf_dir):
+    """The LM table joins as a broadcast (the only join preserving the
+    doc_id partitioning), so the corpus-sized side moves through
+    exactly ONE exchange — the explicit doc_id repartition; every
+    other exchange carries the aggregated vocab-sized LM table."""
+    from greenplum_dwh_spark.operators.curation import lm_doc_scores
+    df = lm_doc_scores(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert not checks.has_python_udf(df)
+
+
+def test_bpe_pair_counts_totals(spark, sf_dir):
+    """Positional pair counting: Σ_pairs n_occ = Σ_words
+    (len(w)−1)·n_w over the ≥2-char vocabulary, and support never
+    exceeds occurrences."""
+    from greenplum_dwh_spark.operators.curation import bpe_pair_counts
+    from greenplum_dwh_spark.sources.tpch import Tables
+    out = bpe_pair_counts(spark, sf_dir)
+    got = out.agg(F.sum("n_occ")).first()[0]
+    want = (Tables(spark, sf_dir).documents
+            .select(F.explode(F.split("text", " ")).alias("w"))
+            .filter(F.length("w") >= 2)
+            .agg(F.sum(F.length("w") - 1)).first()[0])
+    assert got == want
+    assert out.filter(F.col("n_words") > F.col("n_occ")).count() == 0
+    assert out.filter(F.length("pair") != 2).count() == 0
+
+
+def test_bpe_pair_counts_shuffles_vocab_not_corpus(spark, sf_dir):
+    """The corpus reduces map-side to the word-count table (partial
+    aggregation before the first exchange); the pair explode runs
+    over the aggregated vocab only — two exchanges total, no joins."""
+    from greenplum_dwh_spark.operators.curation import bpe_pair_counts
+    df = bpe_pair_counts(spark, sf_dir)
+    assert checks.exchange_count(df) == 2
+    plan = checks.physical_plan(df)
+    assert "Join" not in plan
+    assert not checks.has_python_udf(df)

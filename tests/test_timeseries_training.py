@@ -385,3 +385,51 @@ def test_overwrite_partitions_touches_only_affected_days(spark, tmp_path):
     assert files("d2") == d2_before
     # total closure: other days' rows intact
     assert ts.read("t").count() == 2 + 8
+
+
+def test_nearest_join_direction_and_ties(spark):
+    """Crafted cases for the bidirectional as-of join: equal-distance
+    tie → backward; same-ts version → Δ=0 backward; future-only key →
+    forward; no-version key → NULLs; equal-ts tie-breaks (backward
+    pick = max id, forward pick = min id — one total order)."""
+    import datetime as dt
+
+    from greenplum_dwh_spark.operators.timeseries import nearest_join
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    facts = spark.createDataFrame(
+        [(1, 1, T(10)),   # key 1: clicks at 8 and 12 → tie → backward
+         (2, 2, T(10)),   # key 2: click exactly at 10 → Δ=0 backward
+         (3, 3, T(10)),   # key 3: future-only → forward
+         (4, 4, T(10)),   # key 4: no versions at all
+         (5, 5, T(10))],  # key 5: two clicks at 7 (ids 50,51) → id 51
+        "k int, fid int, ft timestamp")
+    versions = spark.createDataFrame(
+        [(1, T(8), 10), (1, T(12), 11),
+         (2, T(10), 20), (2, T(30), 21),
+         (3, T(15), 30), (3, T(15), 31),   # same future ts → min id 30
+         (5, T(7), 50), (5, T(7), 51)],
+        "k int, vt timestamp, vid int")
+    out = {r["k"]: r for r in nearest_join(
+        facts, versions, key="k", fact_time="ft",
+        version_time="vt", version_tiebreak="vid").collect()}
+    assert out[1]["vid"] == 10 and out[1]["direction"] == "backward" \
+        and out[1]["delta_us"] == -2_000_000
+    assert out[2]["vid"] == 20 and out[2]["delta_us"] == 0 \
+        and out[2]["direction"] == "backward"
+    assert out[3]["vid"] == 30 and out[3]["direction"] == "forward" \
+        and out[3]["delta_us"] == 5_000_000
+    assert out[4]["vid"] is None and out[4]["direction"] is None \
+        and out[4]["delta_us"] is None
+    assert out[5]["vid"] == 51 and out[5]["direction"] == "backward"
+
+
+def test_nearest_click_single_shuffle(spark, sf_dir):
+    """Both direction windows share one (key, order) sort, so the
+    whole bidirectional join is ONE exchange on the key — the same
+    shuffle budget as the backward-only asof_join."""
+    from greenplum_dwh_spark.operators.timeseries import (
+        nearest_click_event)
+    from greenplum_dwh_spark.plans import checks
+    df = nearest_click_event(spark, sf_dir)
+    assert checks.exchange_count(df) == 1
+    assert not checks.has_python_udf(df)

@@ -337,8 +337,14 @@ def nearest_join(facts: DataFrame, versions: DataFrame, key: str,
                    F.lit(1).alias("_tag"),
                    F.lit(None).cast(vstruct).alias("_v"),
                    *fcols)))
-    order = ["_t", "_tag", F.col(f"_v.{version_tiebreak}")
-             .asc_nulls_first()]
+    # the tiebreak is projected ONCE (_tb): ordering both windows by
+    # the struct-field expression directly materializes it per window
+    # under distinct attribute ids, which blocks CollapseWindow and
+    # forces a second (redundant) Sort — with a shared column both
+    # frames fuse into ONE Window node over ONE Sort
+    unioned = unioned.withColumn(
+        "_tb", F.col(f"_v.{version_tiebreak}"))
+    order = ["_t", "_tag", F.col("_tb").asc_nulls_first()]
     w_back = (Window.partitionBy(key).orderBy(*order)
               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     w_fwd = (Window.partitionBy(key).orderBy(*order)

@@ -72,6 +72,18 @@ FAMILIES = {
     "contrastive_negatives": ("broadcast anchors; WindowGroupLimit "
                               "prunes to top-K per anchor BEFORE the "
                               "exchange on anchor_id"),
+    "lm_doc_scores": ("the aggregated LM joins as a "
+                      "BroadcastHashJoin (preserving the doc_id "
+                      "partitioning through the bigram Generate); "
+                      "the corpus side crosses ONE Exchange"),
+    "bpe_pair_counts": ("corpus reduces map-side to the word-count "
+                        "table (partial_count before the first "
+                        "Exchange); pair Generate runs over the "
+                        "aggregated vocab; no joins"),
+    "nearest_click_event": ("bidirectional as-of from ONE Exchange + "
+                            "ONE Sort on user_id: last() over the "
+                            "preceding frame and first() over the "
+                            "following frame share the window order"),
 }
 
 

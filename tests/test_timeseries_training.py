@@ -432,4 +432,8 @@ def test_nearest_click_single_shuffle(spark, sf_dir):
     from greenplum_dwh_spark.plans import checks
     df = nearest_click_event(spark, sf_dir)
     assert checks.exchange_count(df) == 1
+    # both frames fuse into ONE Window node over ONE Sort (the shared
+    # _tb tiebreak column makes CollapseWindow fire)
+    plan = checks.physical_plan(df)
+    assert plan.count("Sort ") == 1 and plan.count("Window ") == 1
     assert not checks.has_python_udf(df)

@@ -43,3 +43,23 @@ def test_no_query_name_collisions_across_modules():
     total = sum(len(m.QUERIES) for m in e._modules()) + 1  # chain_fraud_state
     assert total == len(e.queries())
     assert sum(len(m.ORACLES) for m in e._modules()) == len(e.oracle_sql())
+
+
+def test_rotation_lists_are_valid():
+    """_RUN_FIRST/_RUN_LAST are the driver-budget lever (round-3
+    verdict: a mis-ordered list silently starved 13 queries of their
+    first driver check) — every entry must name a real query, no
+    duplicates, and the no-oracle queries must all sit in _RUN_LAST
+    so a rows-only check never displaces an oracle check."""
+    qs = set(QUERIES)
+    listed = entry_mod._RUN_FIRST + entry_mod._RUN_LAST
+    unknown = [q for q in listed if q not in qs]
+    assert not unknown, unknown
+    assert len(listed) == len(set(listed))  # no dups across the lists
+    no_oracle = qs - set(ORACLES)
+    assert no_oracle <= set(entry_mod._RUN_LAST)
+    # ordering actually applied: queries() starts with _RUN_FIRST and
+    # ends with _RUN_LAST
+    order = list(QUERIES)
+    assert order[:len(entry_mod._RUN_FIRST)] == entry_mod._RUN_FIRST
+    assert order[-len(entry_mod._RUN_LAST):] == entry_mod._RUN_LAST

@@ -329,3 +329,26 @@ def test_bench_band_guard_plumbing(spark, sf_dir):
                       "max_band_size"}, m
     assert all(isinstance(v, int) for v in m.values()), m
     assert bench.band_guard_metrics_for("q1_pricing_summary") is None
+
+
+def test_containment_exact_threshold_boundary_pair(spark):
+    """Round-3 ADVICE regression: a pair at containment EXACTLY 0.9
+    whose single unshared gram is the smaller doc's rarest must be
+    found.  Doc A has 10 word-2-grams; doc B shares 9 of them and
+    adds its own tail, so containment = 9/10 = t.  The unshared gram
+    "a0 a1" occurs only in A (df=1 → A's rarest), so under the old
+    float bound (floor(0.1·10)+1 = 1 after 1.0−0.9 =
+    0.09999999999999998) A's probe prefix was just that gram and the
+    pair escaped; the exact integer bound (10 − ⌈0.9·10⌉ + 1 = 2)
+    reaches the first shared gram."""
+    a_words = [f"a{i}" for i in range(11)]          # grams a0a1..a9a10
+    b_words = [f"a{i}" for i in range(1, 11)] \
+        + [f"c{i}" for i in range(12)]              # shares a1a2..a9a10
+    docs = spark.createDataFrame(
+        [(0, " ".join(a_words)), (1, " ".join(b_words))],
+        "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["containment"]
+           for r in dedup.containment_pairs(docs, threshold=0.9)
+           .collect()}
+    assert (0, 1) in got, got
+    assert abs(got[(0, 1)] - 0.9) < 1e-12

@@ -364,6 +364,30 @@ def test_merge_upsert_semantics(spark):
     assert got == {1: ("a", 10), 2: ("B", 200), 9: ("z", 90)}
 
 
+def test_merge_upsert_resolves_conflicting_changes(spark):
+    """Round-3 ADVICE regression: a key carrying BOTH a delete and an
+    upsert must end deleted (delete precedence), and duplicate upsert
+    rows for one key must collapse to ONE deterministic survivor
+    (max payload struct) — the old anti-join+union re-added deleted
+    keys and emitted duplicate keys."""
+    from greenplum_dwh_spark.operators.reconcile import merge_upsert
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20)], "k long, s string, v long")
+    changes = spark.createDataFrame(
+        [(1, "A", 100, "upsert"),     # conflict: upsert AND delete
+         (1, None, None, "delete"),
+         (2, "x", 1, "upsert"),       # duplicate upserts, same key
+         (2, "x", 7, "upsert"),
+         (9, "z", 90, "upsert"),      # duplicate inserts, new key
+         (9, "z", 3, "upsert")],
+        "k long, s string, v long, action string")
+    rows = merge_upsert(target, changes, "k").collect()
+    keys = [r["k"] for r in rows]
+    assert sorted(keys) == [2, 9]            # 1 deleted, no dup keys
+    got = {r["k"]: (r["s"], r["v"]) for r in rows}
+    assert got[2] == ("x", 7) and got[9] == ("z", 90)  # max-struct wins
+
+
 def test_merge_upsert_orders_plants_all_classes(spark, sf_dir):
     """The planted changeset exercises update, delete AND insert, and
     the merged profile reflects them: inserted keys surface as the 'N'

@@ -286,10 +286,16 @@ def bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 LM_SCALE = 1_000_000
 
 
-def lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tables(spark, sf_dir)
-    lm = bigram_lm_counts(spark, sf_dir)
-    bi = _doc_bigrams(t.documents.repartition("doc_id"))
+def lm_score(docs: DataFrame) -> DataFrame:
+    """DataFrame-level core of :func:`lm_doc_scores`: score ``docs``
+    under the bigram LM built from those same docs (the curation
+    funnel composes this on its surviving slice)."""
+    lm = (_doc_bigrams(docs).drop("doc_id")
+          .groupBy("w1", "w2")
+          .agg(F.count(F.lit(1)).alias("n_pair"))
+          .withColumn("n_w1",
+                      F.sum("n_pair").over(Window.partitionBy("w1"))))
+    bi = _doc_bigrams(docs.repartition("doc_id"))
     addend = F.expr(f"({LM_SCALE}L * n_pair) DIV n_w1")
     return (bi.join(F.broadcast(lm), ["w1", "w2"])
             .groupBy("doc_id")
@@ -297,6 +303,10 @@ def lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(addend).cast("long").alias("lm_score_sum"))
             .withColumn("lm_score_avg",
                         F.expr("lm_score_sum DIV n_bigrams")))
+
+
+def lm_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lm_score(Tables(spark, sf_dir).documents)
 
 
 # ---------------------------------------------------------------------------

@@ -3,8 +3,8 @@ training-data team runs between a raw crawl and tokenizer-ready
 shards, composed from the operator library —
 
     exact dedup → near-dup cluster + keep-best → benchmark
-    decontamination → train/holdout split → context-window chunking →
-    shard assignment
+    decontamination → LM quality filter → train/holdout split →
+    context-window chunking → shard assignment
 
 Each stage prints its row count so the funnel is visible; the stages
 are the same tested operators the driver contract exposes (every one
@@ -62,6 +62,18 @@ def run(spark, sf_dir: str) -> dict:
     docs = (docs.filter(F.col("doc_id") % 97 != 0)
             .join(contaminated, "doc_id", "left_anti"))
     stats["after_decontamination"] = docs.count()
+
+    # 3b. LM quality filter (the CCNet step): score survivors under
+    # the bigram LM built FROM the survivors, drop the lowest-scoring
+    # 5% tail (threshold from the exact score distribution)
+    from greenplum_dwh_spark.operators.curation import lm_score
+    scores = lm_score(docs)
+    cut = scores.agg(
+        F.expr("percentile(lm_score_avg, 0.05)")).first()[0]
+    good = (scores.filter(F.col("lm_score_avg") >= cut)
+            .select("doc_id"))
+    docs = docs.join(good, "doc_id")
+    stats["after_lm_quality_filter"] = docs.count()
 
     # 4. reproducible split: chunk/shard only the train partition
     from greenplum_dwh_spark.functions.hashing import md5_bucket

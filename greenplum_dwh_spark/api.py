@@ -36,9 +36,11 @@ Curation / reconciliation::
 
     api.chunk_docs(docs)                 # context-window chunking
     api.shard_order(docs)                # deterministic shard + order
+    api.lm_score(docs)                   # LM quality scoring (CCNet)
     api.table_diff(a, b, key, cols)      # snapshot reconciliation
     api.merge_upsert(target, changes, k) # MERGE INTO semantics
     api.asof_join(facts, versions, ...)  # point-in-time lookup
+    api.nearest_join(facts, versions, .) # bidirectional nearest as-of
     api.incremental_minhash_pairs(...)   # new-vs-corpus dedup
     api.leakage_safe_split(docs)         # cluster-aware splits
     api.source_overlap_matrix(docs)      # cross-source dup audit
@@ -64,6 +66,7 @@ from greenplum_dwh_spark.operators.dedup import (  # noqa: F401
     minhash_pairs, neardup_clusters, simhash_pairs,
     source_overlap_matrix)
 from greenplum_dwh_spark.operators.curation import (chunk_docs,  # noqa: F401
+                                                     lm_score,
                                                      shard_order)
 from greenplum_dwh_spark.operators.packing import (pack_batches,  # noqa: F401
                                                    padding_waste)
@@ -83,7 +86,8 @@ from greenplum_dwh_spark.sources.landing import (load_landing_file,  # noqa: F40
 from greenplum_dwh_spark.sql import (register_testdata,  # noqa: F401
                                      register_warehouse)
 from greenplum_dwh_spark.functions.zorder import zorder_key2  # noqa: F401
-from greenplum_dwh_spark.operators.timeseries import asof_join  # noqa: F401
+from greenplum_dwh_spark.operators.timeseries import (asof_join,  # noqa: F401
+                                                      nearest_join)
 from greenplum_dwh_spark.streaming.mart_stream import (  # noqa: F401
     cdc_apply_foreach_batch, kmv_sketch_foreach_batch,
     stream_chain_detector, stream_decontaminate, stream_dedup,

@@ -390,19 +390,23 @@ def char_jaccard_pairs(docs: DataFrame,
     return _prefix_filtered_pairs(docs, grams, threshold)
 
 
-def _ceil_mul(n, threshold: float):
+def _ceil_mul(n, threshold):
     """``⌈threshold·n⌉`` in exact integer arithmetic.  Float
     multiplication breaks PPJoin completeness bounds at exact
     multiples: 0.9*10 evaluates to 9.000000000000002 in IEEE double,
     whose ceil is 10 — silently shrinking the prefix by one gram and
     letting a pair at containment exactly ``t`` escape (round-3
-    ADVICE).  Express the threshold as a rational p/q and compute
+    ADVICE; the same up-rounding also broke the size-ratio prune
+    ``nb ≥ t·na`` for t ∈ {0.8, 0.9, …}).  Express the threshold as
+    a rational p/q (a ``fractions.Fraction`` is taken exactly — used
+    for the derived PPJoin overlap factor t/(1+t)) and compute
     ``(p·n + q − 1) div q``: the div is done via the modulo identity
     ``(a − a % q) / q`` whose numerator is an exact multiple of q
     (≤ 2⁵³, so the double division is exact) — no epsilon, no float
     comparison anywhere on the bound."""
     from fractions import Fraction
-    fr = Fraction(threshold).limit_denominator(1_000_000)
+    fr = (threshold if isinstance(threshold, Fraction)
+          else Fraction(threshold).limit_denominator(1_000_000))
     p, q = fr.numerator, fr.denominator
     num = F.lit(p) * n + F.lit(q - 1)
     return ((num - num % q) / q).cast("long")
@@ -432,17 +436,22 @@ def _prefix_filtered_pairs(docs: DataFrame, grams: DataFrame,
                       + 1)
               .select("doc_id", "g", "n", "rk")
               .cache())
-    # required overlap; the tiny epsilon makes float rounding err on the
-    # conservative (keep) side
-    t_factor = threshold / (1.0 + threshold)
+    # required overlap α = ⌈t/(1+t)·(|A|+|B|)⌉ — t rational makes
+    # t/(1+t) rational too (p/q → p/(p+q)), so every bound below is
+    # exact integer arithmetic: no epsilon, and no float product that
+    # could round UP across a boundary (t=0.8/0.9 doubles do) and
+    # prune a pair at jaccard exactly t
+    from fractions import Fraction
+    fr = Fraction(threshold).limit_denominator(1_000_000)
+    t_factor = fr / (1 + fr)
     na, nb = F.col("a.n"), F.col("b.n")
     ra, rb = F.col("a.rk"), F.col("b.rk")
-    alpha = F.ceil((na + nb) * t_factor - 1e-9)
+    alpha = _ceil_mul(na + nb, t_factor)
     matches = (prefix.alias("a").join(prefix.alias("b"), "g")
                .filter((F.col("a.doc_id") < F.col("b.doc_id"))
                        # size-ratio prune: j >= t forces t|A| <= |B| <= |A|/t
-                       & (nb >= na * threshold)
-                       & (nb * threshold <= na)
+                       & (nb >= _ceil_mul(na, fr))
+                       & (_ceil_mul(nb, fr) <= na)
                        # token-level positional bound
                        & (F.least(ra, rb) + F.least(na - ra, nb - rb)
                           >= alpha))
@@ -459,8 +468,7 @@ def _prefix_filtered_pairs(docs: DataFrame, grams: DataFrame,
             .filter(F.col("c")
                     + F.least(F.col("na") - F.col("ra"),
                               F.col("nb") - F.col("rb"))
-                    >= F.ceil((F.col("na") + F.col("nb")) * t_factor
-                              - 1e-9))
+                    >= _ceil_mul(F.col("na") + F.col("nb"), t_factor))
             .select("doc_a", "doc_b"))
     return (_pairs_with_jaccard(docs, cand, grams)
             .filter(F.col("jac") >= threshold))

@@ -352,3 +352,22 @@ def test_containment_exact_threshold_boundary_pair(spark):
            .collect()}
     assert (0, 1) in got, got
     assert abs(got[(0, 1)] - 0.9) < 1e-12
+
+
+def test_jaccard_size_ratio_boundary_pair(spark):
+    """Sibling of the containment boundary bug (found by self-audit):
+    the size-ratio prune ``nb ≥ t·na`` computed in floats drops a
+    pair at jaccard EXACTLY t whenever t's double rounds up (0.8·10 =
+    8.000000000000002 > nb = 8).  B's grams ⊂ A's with |B|=8, |A|=10
+    → jaccard = 0.8 = t must be found under the exact integer
+    bounds."""
+    a_words = [f"w{i}" for i in range(11)]      # 10 distinct 2-grams
+    b_words = a_words[:9]                       # 8 grams, all shared
+    docs = spark.createDataFrame(
+        [(0, " ".join(a_words)), (1, " ".join(b_words))],
+        "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["jac"]
+           for r in dedup.jaccard_prefix_pairs(docs, threshold=0.8)
+           .collect()}
+    assert (0, 1) in got, got
+    assert abs(got[(0, 1)] - 0.8) < 1e-12

@@ -44,24 +44,19 @@ def band_guard_metrics_for(name: str) -> dict | None:
     return last_band_guard_metrics()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
-
+def bench_queries() -> dict:
+    """The headline query set, importable WITHOUT a SparkSession —
+    `scripts/driver_sim.py --counts` len()s this directly (the old
+    source-regex count silently dropped reformatted entries, the
+    exact drift class the counts helper exists to prevent)."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from greenplum_dwh_spark.session import get_spark
     from greenplum_dwh_spark.operators import (curation, dedup, packing,
                                                quality, reconcile,
                                                relational, retrieval,
                                                sessions, similarity,
                                                text_analysis, timeseries,
                                                training_data)
-
-    spark = get_spark("bench", extra_conf={"spark.ui.enabled": "false"})
-    spark.sparkContext.setLogLevel("ERROR")
-
-    bench_queries = {
+    return {
         "q1_pricing_summary": relational.q1_pricing_summary,
         "q3_segment_revenue": relational.q3_segment_revenue,
         "q5_nation_revenue": relational.q5_nation_revenue,
@@ -124,6 +119,17 @@ def main() -> None:
         "padding_waste_by_order": packing.padding_waste_by_order,
     }
 
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    queries = bench_queries()
+    from greenplum_dwh_spark.session import get_spark
+    spark = get_spark("bench", extra_conf={"spark.ui.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
     # untimed warm-up: touch every input table once so per-query numbers
     # measure steady-state execution, not first-scan footer reads / JVM
     # codegen JIT (standard bench discipline; total still reflects the
@@ -138,7 +144,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     band_guard: dict[str, dict] = {}
-    for name, fn in bench_queries.items():
+    for name, fn in queries.items():
         best = float("inf")
         for _ in range(2):
             t0 = time.time()

@@ -116,12 +116,22 @@ def merge_upsert(target: DataFrame, changes: DataFrame,
     operator is the pure semantics both share."""
     payload_cols = [c for c in changes.columns
                     if c not in (key, "action")]
+    # unknown/NULL actions error LOUDLY at execution (raise_error in
+    # the otherwise-branch — plan-level, no extra job): the old form
+    # silently treated them as deletes (anti-joined out, never
+    # re-upserted), which is exactly the silent non-MERGE behavior
+    # real engines reject at runtime
+    payload = (F.when(F.col("action") == "upsert",
+                      F.struct(*payload_cols))
+               .when(F.col("action") == "delete",
+                     F.lit(None))
+               .otherwise(F.raise_error(F.concat(
+                   F.lit("merge_upsert: unknown action "),
+                   F.coalesce(F.col("action"), F.lit("NULL"))))))
     resolved = (changes.groupBy(key).agg(
         F.max(F.when(F.col("action") == "delete", 1).otherwise(0))
         .alias("_has_delete"),
-        F.max(F.when(F.col("action") == "upsert",
-                     F.struct(*payload_cols)))
-        .alias("_up")))
+        F.max(payload).alias("_up")))
     survivors = target.join(resolved.select(key), key, "left_anti")
     upserts = (resolved
                .filter((F.col("_has_delete") == 0)

@@ -245,6 +245,11 @@ def asof_join(facts: DataFrame, versions: DataFrame, key: str,
     overlap = set(vcols) & set(fcols)
     if overlap:
         raise ValueError(f"column collision beyond key: {overlap}")
+    reserved = {"_t", "_tag", "_v", "_last"}
+    clash = reserved & set(facts.columns) | reserved & set(versions.columns)
+    if clash:
+        raise ValueError(
+            f"columns collide with asof_join internals: {clash}")
     vstruct = versions.select(
         F.struct(*vcols).alias("_v")).schema["_v"].dataType
     unioned = (versions.select(
@@ -315,12 +320,21 @@ def nearest_join(facts: DataFrame, versions: DataFrame, key: str,
     Output: ``key``, all fact columns, the chosen version's columns,
     plus ``delta_us`` (signed microseconds version − fact, BIGINT)
     and ``direction`` ('backward' | 'forward', NULL when the key has
-    no version at all)."""
+    no version at all).  NULL times never match: a version with NULL
+    ``version_time`` is excluded, and a fact with NULL ``fact_time``
+    comes back with NULL version columns/delta/direction — the ASOF
+    convention and what the SQL oracle's range predicates do."""
     vcols = [c for c in versions.columns if c != key]
     fcols = [c for c in facts.columns if c != key]
     overlap = set(vcols) & set(fcols)
     if overlap:
         raise ValueError(f"column collision beyond key: {overlap}")
+    reserved = {"_t", "_tag", "_v", "_tb", "_back", "_fwd", "_c"}
+    clash = reserved & set(facts.columns) | reserved & set(versions.columns)
+    if clash:
+        raise ValueError(
+            f"columns collide with nearest_join internals: {clash}")
+    versions = versions.filter(F.col(version_time).isNotNull())
     vstruct = versions.select(
         F.struct(version_time, *[c for c in vcols if c != version_time])
         .alias("_v")).schema["_v"].dataType
@@ -360,11 +374,16 @@ def nearest_join(facts: DataFrame, versions: DataFrame, key: str,
     usec = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
     d_back = usec(F.col(f"_back.{version_time}")) - usec(F.col("_t"))
     d_fwd = usec(F.col(f"_fwd.{version_time}")) - usec(F.col("_t"))
-    # backward wins ties (|d_back| ≤ d_fwd); NULL side never wins
+    # backward wins ties (|d_back| ≤ d_fwd); NULL side never wins;
+    # a NULL-time fact matches NOTHING (its row sorts nulls-first, so
+    # _back is null but _fwd would otherwise grab the earliest version)
+    null_fact = F.col("_t").isNull()
     pick_back = F.col("_fwd").isNull() | (
         F.col("_back").isNotNull() & (-d_back <= d_fwd))
-    chosen = F.when(pick_back, F.col("_back")).otherwise(F.col("_fwd"))
-    delta = F.when(pick_back, d_back).otherwise(d_fwd)
+    chosen = (F.when(null_fact, F.lit(None).cast(vstruct))
+              .when(pick_back, F.col("_back")).otherwise(F.col("_fwd")))
+    delta = F.when(null_fact, F.lit(None).cast("long")) \
+        .when(pick_back, d_back).otherwise(d_fwd)
     direction = (F.when(chosen.isNull(),
                         F.lit(None).cast("string"))
                  .when(pick_back, "backward").otherwise("forward"))

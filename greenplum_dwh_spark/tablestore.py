@@ -108,34 +108,41 @@ class TableStore:
         slot-in point.  Returns the distinct partition values
         replaced.
 
-        The input is cut from its lineage with an EAGER
-        ``localCheckpoint`` before anything touches the target,
-        because the advertised use case (a backfill recomputed FROM
-        the same table) is a read-your-own-write hazard:
-        ``persist()`` is not a durable barrier — a cached block lost
-        to eviction or executor failure is recomputed from the
-        original lineage, which mid-write would read a
-        partially-overwritten source and corrupt the output (round-3
-        ADVICE).  Checkpointed partitions have NO lineage to replay;
-        a lost block fails the job loudly instead of corrupting it
-        (and a real deployment writes to a temp path + atomic swap,
-        which Delta/Iceberg's transaction log gives for free at this
-        same slot-in point).  The checkpoint also serves the
+        The input is materialized to a STAGING PATH before anything
+        touches the target, because the advertised use case (a
+        backfill recomputed FROM the same table) is a
+        read-your-own-write hazard: ``persist()`` is not a durable
+        barrier — a cached block lost to eviction or executor failure
+        is recomputed from the original lineage, which mid-write would
+        read a partially-overwritten source and corrupt the output
+        (round-3 ADVICE).  ``localCheckpoint`` cuts the lineage but
+        pins the whole frame in executor storage with no clean
+        release API (a backfill loop would accumulate block sets), so
+        the barrier is a parquet round-trip: write the fix frame to a
+        sibling temp dir, re-read it (source files can no longer be
+        touched by the overwrite), then dynamic-overwrite the target
+        from the copy and delete the staging dir.  Also serves the
         run-once need: the partition listing and the write both read
-        the materialized blocks, not the (possibly nondeterministic)
-        recompute."""
-        df = df.localCheckpoint(eager=True)
-        vals = [r[0] for r in df.select(partition_col).distinct()
-                .collect()]
-        conf = "spark.sql.sources.partitionOverwriteMode"
-        prev = self.spark.conf.get(conf, "static")
-        self.spark.conf.set(conf, "dynamic")
+        the staged files, never the (possibly nondeterministic)
+        recompute.  Delta/Iceberg's transaction log replaces this
+        whole dance at the same slot-in point."""
+        stage = self._path(name).rstrip("/") + "__backfill_stage"
+        df.write.mode("overwrite").parquet(stage)
         try:
-            (df.write.mode("overwrite")
-             .partitionBy(partition_col)
-             .parquet(self._path(name)))
+            staged = self.spark.read.parquet(stage)
+            vals = [r[0] for r in staged.select(partition_col)
+                    .distinct().collect()]
+            conf = "spark.sql.sources.partitionOverwriteMode"
+            prev = self.spark.conf.get(conf, "static")
+            self.spark.conf.set(conf, "dynamic")
+            try:
+                (staged.write.mode("overwrite")
+                 .partitionBy(partition_col)
+                 .parquet(self._path(name)))
+            finally:
+                self.spark.conf.set(conf, prev)
         finally:
-            self.spark.conf.set(conf, prev)
+            shutil.rmtree(stage, ignore_errors=True)
         return {"replaced_partitions": sorted(map(str, vals))}
 
     def compact_append(self, name: str, target_files: int = 1,

@@ -65,14 +65,19 @@ def run(spark, sf_dir: str) -> dict:
 
     # 3b. LM quality filter (the CCNet step): score survivors under
     # the bigram LM built FROM the survivors, drop the lowest-scoring
-    # 5% tail (threshold from the exact score distribution)
+    # 5% tail (threshold from the exact score distribution).  Docs too
+    # short to produce a bigram have no score row — they are KEPT
+    # (anti-join on the scored tail, never an inner join on the scored
+    # set), and an empty score table (all-short corpus → cut is NULL)
+    # makes the stage a no-op instead of dropping everything.
     from greenplum_dwh_spark.operators.curation import lm_score
     scores = lm_score(docs)
     cut = scores.agg(
         F.expr("percentile(lm_score_avg, 0.05)")).first()[0]
-    good = (scores.filter(F.col("lm_score_avg") >= cut)
-            .select("doc_id"))
-    docs = docs.join(good, "doc_id")
+    if cut is not None:
+        tail = (scores.filter(F.col("lm_score_avg") < cut)
+                .select("doc_id"))
+        docs = docs.join(tail, "doc_id", "left_anti")
     stats["after_lm_quality_filter"] = docs.count()
 
     # 4. reproducible split: chunk/shard only the train partition

@@ -22,19 +22,12 @@ def counts() -> dict:
     README.md / COVERAGE.md (round-3 verdict item 8: the numbers were
     drifting across three hand-edited places).  Regenerate with
     ``python scripts/driver_sim.py --counts`` and paste once."""
-    import inspect
-    import re
-
     import __spark_entry__ as e
     import bench
     qs, oracles = e.queries(), e.oracle_sql()
-    # bench_queries keys, counted from source (building the dict needs
-    # a SparkSession; --counts must stay instant)
-    n_bench = len(re.findall(r'^        "\w+": \w+\.\w+,$',
-                             inspect.getsource(bench), flags=re.M))
     return {"queries": len(qs), "oracles": len(oracles),
             "no_oracle": len(qs) - len(oracles),
-            "bench_headline": n_bench}
+            "bench_headline": len(bench.bench_queries())}
 
 
 def main() -> None:

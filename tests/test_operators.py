@@ -452,3 +452,17 @@ def test_constraint_violations_one_pass_and_exact(spark):
                unique_key="k").collect()}
     assert got == {"null_v": 1, "negative_v": 1, "huge_v": 0,
                    "unique_k": 2}
+
+
+def test_merge_upsert_rejects_unknown_action(spark):
+    """Code-review regression: an unrecognized or NULL action must
+    error loudly at execution, not silently delete the key."""
+    import pytest
+
+    from greenplum_dwh_spark.operators.reconcile import merge_upsert
+    target = spark.createDataFrame([(1, "a")], "k long, s string")
+    for bad in ["update", None]:
+        changes = spark.createDataFrame([(1, "A", bad)],
+                                        "k long, s string, action string")
+        with pytest.raises(Exception, match="unknown action"):
+            merge_upsert(target, changes, "k").collect()

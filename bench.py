@@ -117,6 +117,11 @@ def bench_queries() -> dict:
         "mixture_sampling_rates": training_data.mixture_sampling_rates,
         "shard_and_order": curation.shard_and_order,
         "padding_waste_by_order": packing.padding_waste_by_order,
+        # round-4 operator families (LM scoring, BPE induction,
+        # bidirectional nearest as-of)
+        "lm_doc_scores": curation.lm_doc_scores,
+        "bpe_pair_counts": curation.bpe_pair_counts,
+        "nearest_click_event": timeseries.nearest_click_event,
     }
 
 

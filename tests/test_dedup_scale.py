@@ -371,3 +371,27 @@ def test_jaccard_size_ratio_boundary_pair(spark):
            .collect()}
     assert (0, 1) in got, got
     assert abs(got[(0, 1)] - 0.8) < 1e-12
+
+
+def test_ceil_mul_exhaustive_vs_fraction_math(spark):
+    """_ceil_mul must equal Fraction-exact ⌈t·n⌉ for EVERY (n, t)
+    combination in the realistic range — one Spark job sweeps n ∈
+    [1, 400] × the dedup thresholds plus the adversarial decimals
+    whose doubles round up (the class behind both round-3/4 bugs)."""
+    from fractions import Fraction
+
+    from greenplum_dwh_spark.operators.dedup import _ceil_mul
+    thresholds = [0.1, 0.3, 0.5, 0.6, 0.7, 0.8, 0.9, 0.95, 0.99,
+                  Fraction(2, 3), Fraction(9, 19)]
+    n_df = spark.range(1, 401).withColumnRenamed("id", "n")
+    cols = [_ceil_mul(F.col("n"), t).alias(f"c{i}")
+            for i, t in enumerate(thresholds)]
+    rows = n_df.select("n", *cols).collect()
+    import math
+    for r in rows:
+        n = r["n"]
+        for i, t in enumerate(thresholds):
+            fr = (t if isinstance(t, Fraction)
+                  else Fraction(t).limit_denominator(1_000_000))
+            want = math.ceil(fr * n)
+            assert r[f"c{i}"] == want, (n, t, r[f"c{i}"], want)

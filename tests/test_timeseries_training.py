@@ -467,3 +467,48 @@ def test_nearest_join_null_times_never_match(spark):
         nearest_join(facts.withColumnRenamed("fid", "_tb"), versions,
                      key="k", fact_time="ft", version_time="vt",
                      version_tiebreak="vid")
+
+
+def test_nearest_join_equals_bruteforce_on_seeded_data(spark):
+    """nearest_join ≡ an independent brute-force model on a seeded
+    400-fact / 300-version dataset with colliding timestamps, sparse
+    keys, and version-free keys — every (choice, delta, direction)
+    must match the model's smaller-|Δ|-tie-backward rule with the
+    max/min-id equal-time tie-breaks."""
+    import datetime as dt
+    import random
+
+    from greenplum_dwh_spark.operators.timeseries import nearest_join
+    rng = random.Random(42)
+    base = dt.datetime(2024, 1, 1)
+    T = lambda s: base + dt.timedelta(seconds=s)  # noqa: E731
+    facts = [(rng.randrange(40), i,
+              T(rng.randrange(0, 500)))          # coarse → collisions
+             for i in range(400)]
+    versions = [(rng.randrange(50), T(rng.randrange(0, 500)), 1000 + j)
+                for j in range(300)]
+    fdf = spark.createDataFrame(facts, "k int, fid int, ft timestamp")
+    vdf = spark.createDataFrame(versions,
+                                "k int, vt timestamp, vid int")
+    got = {r["fid"]: (r["vid"], r["delta_us"], r["direction"])
+           for r in nearest_join(fdf, vdf, key="k", fact_time="ft",
+                                 version_time="vt",
+                                 version_tiebreak="vid").collect()}
+    by_key: dict = {}
+    for k, vt, vid in versions:
+        by_key.setdefault(k, []).append((vt, vid))
+    for k, fid, ft in facts:
+        vs = by_key.get(k, [])
+        back = max(((vt, vid) for vt, vid in vs if vt <= ft),
+                   default=None)
+        fwd = min(((vt, vid) for vt, vid in vs if vt > ft),
+                  default=None)
+        us = lambda a, b: int((a - b).total_seconds() * 1_000_000)  # noqa: E731
+        if back is None and fwd is None:
+            want = (None, None, None)
+        elif fwd is None or (back is not None
+                             and -us(back[0], ft) <= us(fwd[0], ft)):
+            want = (back[1], us(back[0], ft), "backward")
+        else:
+            want = (fwd[1], us(fwd[0], ft), "forward")
+        assert got[fid] == want, (k, fid, ft, got[fid], want)

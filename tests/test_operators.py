@@ -466,3 +466,43 @@ def test_merge_upsert_rejects_unknown_action(spark):
                                         "k long, s string, action string")
         with pytest.raises(Exception, match="unknown action"):
             merge_upsert(target, changes, "k").collect()
+
+
+def test_merge_upsert_equals_dict_model_on_seeded_changes(spark):
+    """merge_upsert ≡ an independent dict-model MERGE on seeded data:
+    random target keys, a changeset with conflicts (delete+upsert on
+    one key), duplicate upserts, and pure inserts — final table must
+    equal the model exactly (delete wins; max payload struct among
+    duplicate upserts)."""
+    import random
+
+    from greenplum_dwh_spark.operators.reconcile import merge_upsert
+    rng = random.Random(7)
+    target_rows = [(k, f"s{k}", k * 10) for k in range(30)]
+    changes_rows = []
+    for _ in range(60):
+        k = rng.randrange(45)
+        if rng.random() < 0.3:
+            changes_rows.append((k, None, None, "delete"))
+        else:
+            changes_rows.append((k, f"u{rng.randrange(5)}",
+                                 rng.randrange(100), "upsert"))
+    t = spark.createDataFrame(target_rows, "k long, s string, v long")
+    c = spark.createDataFrame(changes_rows,
+                              "k long, s string, v long, action string")
+    got = sorted(tuple(r) for r in merge_upsert(t, c, "k").collect())
+    # model: delete beats upsert; among upserts max (s, v) tuple wins
+    # (None sorts lowest, matching Spark struct max's null ordering)
+    model = {k: (s, v) for k, s, v in target_rows}
+    per_key: dict = {}
+    for k, s, v, a in changes_rows:
+        per_key.setdefault(k, []).append((s, v, a))
+    for k, chs in per_key.items():
+        model.pop(k, None)
+        if any(a == "delete" for _, _, a in chs):
+            continue
+        ups = [(s, v) for s, v, a in chs if a == "upsert"]
+        if ups:
+            model[k] = max(ups)
+    want = sorted((k, s, v) for k, (s, v) in model.items())
+    assert got == want

@@ -512,3 +512,27 @@ def test_nearest_join_equals_bruteforce_on_seeded_data(spark):
         else:
             want = (fwd[1], us(fwd[0], ft), "forward")
         assert got[fid] == want, (k, fid, ft, got[fid], want)
+
+
+def test_overwrite_partitions_staging_dir_cleaned(spark, tmp_path):
+    """The durable-barrier staging dir must not leak after a
+    successful backfill (a loop of backfills would otherwise
+    accumulate full copies)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from greenplum_dwh_spark.tablestore import TableStore
+    ts = TableStore(spark, str(tmp_path / "store"))
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("day", T.StringType())])
+    ts.init_append("t", schema, partition_cols=["day"])
+    ts.append("t", spark.createDataFrame(
+        [(i, f"d{i % 3}") for i in range(9)], schema),
+        partition_cols=["day"])
+    fix = spark.createDataFrame([(100, "d1"), (101, "d1")], schema)
+    out = ts.overwrite_partitions("t", fix, "day")
+    assert out["replaced_partitions"] == ["d1"]
+    leftovers = [d for d in os.listdir(str(tmp_path / "store"))
+                 if "stage" in d]
+    assert leftovers == []

@@ -30,7 +30,8 @@ Streaming::
     api.stream_landing / api.stream_expired_rules /
     api.stream_sessionize / api.stream_chain_detector /
     api.stream_tumbling_counts / api.run_streaming_mart /
-    api.stream_dedup / api.stream_decontaminate
+    api.stream_dedup / api.stream_decontaminate /
+    api.asof_enrich_foreach_batch (streaming PIT enrichment)
 
 Curation / reconciliation::
 
@@ -89,7 +90,8 @@ from greenplum_dwh_spark.functions.zorder import zorder_key2  # noqa: F401
 from greenplum_dwh_spark.operators.timeseries import (asof_join,  # noqa: F401
                                                       nearest_join)
 from greenplum_dwh_spark.streaming.mart_stream import (  # noqa: F401
-    cdc_apply_foreach_batch, kmv_sketch_foreach_batch,
+    asof_enrich_foreach_batch, cdc_apply_foreach_batch,
+    kmv_sketch_foreach_batch,
     stream_chain_detector, stream_decontaminate, stream_dedup,
     stream_expired_rules, stream_landing, stream_sessionize,
     stream_tumbling_counts)

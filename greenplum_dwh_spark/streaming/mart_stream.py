@@ -370,6 +370,40 @@ def cdc_apply_foreach_batch(store, table: str, key: str, seq: str):
     return handle
 
 
+def asof_enrich_foreach_batch(store, out_table: str,
+                              versions: DataFrame, key: str,
+                              fact_time: str, version_time: str,
+                              version_tiebreak: str):
+    """foreachBatch handler enriching a streaming fact with its as-of
+    dimension version — the streaming face of the PIT lookup
+    (:func:`~greenplum_dwh_spark.operators.timeseries.asof_join`):
+    every micro-batch of facts is joined to the newest ``versions``
+    row effective at each fact's event time and appended to
+    ``out_table``.  Because the as-of decision is a pure per-fact
+    function of the STATIC version table, stream output ≡ running the
+    batch operator over the full fact set regardless of how facts are
+    split across micro-batches (pinned by the stream≡batch test, like
+    the CDC/KMV/rollup siblings).
+
+    Scale notes: per batch this is asof_join's one exchange on the
+    key over batch-sized data — state never accumulates in the
+    streaming engine (the version table carries all history), which
+    is why this composes as foreachBatch rather than a stateful
+    operator."""
+    from greenplum_dwh_spark.operators.timeseries import asof_join
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        store.append(out_table,
+                     asof_join(batch_df, versions, key=key,
+                               fact_time=fact_time,
+                               version_time=version_time,
+                               version_tiebreak=version_tiebreak))
+
+    return handle
+
+
 def kmv_sketch_foreach_batch(store, table: str, group_col: str,
                              value_col: str, k: int = 64):
     """foreachBatch handler maintaining a per-group KMV

@@ -582,3 +582,70 @@ def test_stream_kmv_sketch_equals_batch_sketch(spark, tmp_path):
     truth = {"a": 200, "b": 7, "c": 3}
     assert est["b"] == 7.0 and est["c"] == 3.0   # below-k groups exact
     assert abs(est["a"] - truth["a"]) / truth["a"] < 0.5  # ~1/sqrt(k)
+
+
+def test_stream_asof_enrich_matches_batch(spark, tmp_path):
+    """Streaming PIT enrichment ≡ batch asof_join regardless of how
+    facts split across micro-batches: two fact files drained through
+    asof_enrich_foreach_batch against a static version table produce
+    exactly the batch operator's output over the full fact set."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from greenplum_dwh_spark.operators.timeseries import asof_join
+    from greenplum_dwh_spark.streaming.mart_stream import (
+        asof_enrich_foreach_batch)
+    from greenplum_dwh_spark.tablestore import TableStore
+
+    B = dt.datetime(2024, 1, 1)
+    TS = lambda s: B + dt.timedelta(seconds=s)  # noqa: E731
+    versions = spark.createDataFrame(
+        [(1, TS(0), 100), (1, TS(50), 101), (2, TS(20), 200)],
+        "k int, vt timestamp, price long")
+    facts = [(1, i, TS(i * 7)) for i in range(10)] \
+        + [(2, 100 + i, TS(i * 9)) for i in range(10)] \
+        + [(3, 777, TS(5))]                 # key with no versions
+    fact_schema = "k int, fid int, ft timestamp"
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    out_schema = T.StructType([
+        T.StructField("k", T.IntegerType()),
+        T.StructField("fid", T.IntegerType()),
+        T.StructField("ft", T.TimestampType()),
+        T.StructField("vt", T.TimestampType()),
+        T.StructField("price", T.LongType())])
+    store.init_append("enriched", out_schema)
+    src = tmp_path / "asof_src"
+    src.mkdir()
+    handler = asof_enrich_foreach_batch(
+        store, "enriched", versions, key="k", fact_time="ft",
+        version_time="vt", version_tiebreak="price")
+    ckpt = str(tmp_path / "asof_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(fact_schema).parquet(
+            str(src) + "/*.parquet")
+        q = (stream.writeStream.foreachBatch(handler)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    half = len(facts) // 2
+    for i, rows in enumerate([facts[:half], facts[half:]]):
+        spark.createDataFrame(rows, fact_schema).coalesce(1) \
+            .write.parquet(str(src / f"f{i}.parquet"))
+        drain()
+
+    got = sorted(tuple(r) for r in store.read("enriched").collect())
+    want = sorted(tuple(r) for r in asof_join(
+        spark.createDataFrame(facts, fact_schema), versions,
+        key="k", fact_time="ft", version_time="vt",
+        version_tiebreak="price").select(*out_schema.names).collect())
+    assert got == want and len(got) == len(facts)
+    # spot semantics: key 3 enriched with NULLs, key 1 fact at t=49
+    # carries the t=0 version, at t=63 the t=50 version
+    by_fid = {r[1]: r for r in got}
+    assert by_fid[777][3] is None and by_fid[777][4] is None
+    assert by_fid[7][4] == 100     # t=49 → version @0
+    assert by_fid[9][4] == 101     # t=63 → version @50

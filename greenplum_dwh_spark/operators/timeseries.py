@@ -250,6 +250,12 @@ def asof_join(facts: DataFrame, versions: DataFrame, key: str,
     if clash:
         raise ValueError(
             f"columns collide with asof_join internals: {clash}")
+    # NULL times never match (ASOF convention, same as nearest_join):
+    # an unfiltered NULL version_time would sort nulls-FIRST and be
+    # carried onto every fact with no real earlier version; with the
+    # filter, a NULL fact_time row's preceding frame holds no version
+    # at all, so it comes back version-less automatically
+    versions = versions.filter(F.col(version_time).isNotNull())
     vstruct = versions.select(
         F.struct(*vcols).alias("_v")).schema["_v"].dataType
     unioned = (versions.select(
@@ -329,7 +335,8 @@ def nearest_join(facts: DataFrame, versions: DataFrame, key: str,
     overlap = set(vcols) & set(fcols)
     if overlap:
         raise ValueError(f"column collision beyond key: {overlap}")
-    reserved = {"_t", "_tag", "_v", "_tb", "_back", "_fwd", "_c"}
+    reserved = {"_t", "_tag", "_v", "_tb", "_back", "_fwd", "_c",
+                "delta_us", "direction"}  # last two: output columns
     clash = reserved & set(facts.columns) | reserved & set(versions.columns)
     if clash:
         raise ValueError(

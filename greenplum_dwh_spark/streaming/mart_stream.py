@@ -385,6 +385,15 @@ def asof_enrich_foreach_batch(store, out_table: str,
     split across micro-batches (pinned by the stream≡batch test, like
     the CDC/KMV/rollup siblings).
 
+    REPLAY-IDEMPOTENT: foreachBatch is at-least-once, so a plain
+    append would duplicate rows when a batch re-runs after a crash
+    between the write and the checkpoint commit.  The output lands as
+    a ``_batch_id``-partitioned dynamic overwrite instead — replaying
+    batch N overwrites partition ``_batch_id=N`` with identical
+    content, the same dedup-by-batch-key recipe Spark's docs
+    prescribe for foreachBatch sinks (the CDC/KMV siblings get the
+    equivalent guarantee from idempotent merge re-application).
+
     Scale notes: per batch this is asof_join's one exchange on the
     key over batch-sized data — state never accumulates in the
     streaming engine (the version table carries all history), which
@@ -395,11 +404,14 @@ def asof_enrich_foreach_batch(store, out_table: str,
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        store.append(out_table,
-                     asof_join(batch_df, versions, key=key,
-                               fact_time=fact_time,
-                               version_time=version_time,
-                               version_tiebreak=version_tiebreak))
+        enriched = asof_join(batch_df, versions, key=key,
+                             fact_time=fact_time,
+                             version_time=version_time,
+                             version_tiebreak=version_tiebreak)
+        store.overwrite_partitions(
+            out_table,
+            enriched.withColumn("_batch_id", F.lit(int(batch_id))),
+            "_batch_id")
 
     return handle
 

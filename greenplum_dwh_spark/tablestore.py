@@ -126,9 +126,14 @@ class TableStore:
         the staged files, never the (possibly nondeterministic)
         recompute.  Delta/Iceberg's transaction log replaces this
         whole dance at the same slot-in point."""
-        stage = self._path(name).rstrip("/") + "__backfill_stage"
-        df.write.mode("overwrite").parquet(stage)
+        import uuid
+        # unique per call: a fixed name would leak a partial dir if the
+        # staging write itself failed outside a cleanup scope, and two
+        # concurrent backfills of one table would clobber each other
+        stage = (self._path(name).rstrip("/")
+                 + f"__backfill_stage_{uuid.uuid4().hex}")
         try:
+            df.write.mode("overwrite").parquet(stage)
             staged = self.spark.read.parquet(stage)
             vals = [r[0] for r in staged.select(partition_col)
                     .distinct().collect()]

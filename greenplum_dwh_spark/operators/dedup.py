@@ -390,6 +390,18 @@ def char_jaccard_pairs(docs: DataFrame,
     return _prefix_filtered_pairs(docs, grams, threshold)
 
 
+def _snap(threshold):
+    """The one rational snap every PPJoin bound AND the final verify
+    share: ``Fraction(threshold).limit_denominator(1_000_000)``.
+    Deriving candidate bounds and the verification filter from the
+    SAME p/q closes the round-4 ADVICE gap (bounds from the snapped
+    rational vs a verify against the raw float could disagree for
+    thresholds not near a small rational)."""
+    from fractions import Fraction
+    return (threshold if isinstance(threshold, Fraction)
+            else Fraction(threshold).limit_denominator(1_000_000))
+
+
 def _ceil_mul(n, threshold):
     """``⌈threshold·n⌉`` in exact integer arithmetic.  Float
     multiplication breaks PPJoin completeness bounds at exact
@@ -404,22 +416,151 @@ def _ceil_mul(n, threshold):
     ``(a − a % q) / q`` whose numerator is an exact multiple of q
     (≤ 2⁵³, so the double division is exact) — no epsilon, no float
     comparison anywhere on the bound."""
-    from fractions import Fraction
-    fr = (threshold if isinstance(threshold, Fraction)
-          else Fraction(threshold).limit_denominator(1_000_000))
+    fr = _snap(threshold)
     p, q = fr.numerator, fr.denominator
     num = F.lit(p) * n + F.lit(q - 1)
     return ((num - num % q) / q).cast("long")
 
 
+#: candidate-count observations from the most recent PPJoin-family
+#: runs, newest last — same pattern as the band guard: the pruning
+#: layers' effectiveness is an observable of the run, not a guess
+_PPJOIN_OBSERVATIONS: list = []
+
+
+def last_ppjoin_metrics() -> dict | None:
+    """``{"n_candidates": ...}`` of the most recent PPJoin-family plan
+    (jaccard/char/containment) — the number of pairs that survived
+    every pruning layer and paid the exact verify.  Collected for free
+    by whatever action executed the plan; call *after* the action.
+    ``None`` until a PPJoin operator has run."""
+    if not _PPJOIN_OBSERVATIONS:
+        return None
+    obs, counted = _PPJOIN_OBSERVATIONS[-1]
+    try:
+        m = dict(obs.get)
+    except Exception:
+        # AQE pruned the observed subtree (zero candidates) —
+        # recompute from the retained twin (diagnostics path only)
+        m = {"n_candidates": counted.count()}
+    m["n_candidates"] = int(m.get("n_candidates") or 0)
+    return m
+
+
+def _observed_candidates(cand: DataFrame) -> DataFrame:
+    from pyspark.sql import Observation
+    obs = Observation()
+    out = cand.observe(obs, F.count(F.lit(1)).alias("n_candidates"))
+    _PPJOIN_OBSERVATIONS.append((obs, cand))
+    del _PPJOIN_OBSERVATIONS[:-_GUARD_KEEP]
+    return out
+
+
+def _verified_pairs(pairs: DataFrame, sets_df: DataFrame, fr,
+                    kind: str = "jaccard",
+                    broadcast_sets: bool = True) -> DataFrame:
+    """Exact verification with the SAME snapped rational the candidate
+    bounds used: ``inter·q ≥ p·denom`` in pure integer arithmetic, so
+    bounds and verify can never disagree across a float-rounding
+    boundary (round-4 ADVICE — the previous float-threshold verify was
+    nominally laxer than the Fraction-derived bounds).  The emitted
+    measure column stays the double ratio (bit-identical to the DuckDB
+    oracle's, which applies the same integer predicate).
+
+    Two-stage verify (round-5; measured 12.5 s → ~3 s on 10.9 M sf1
+    candidates): on a uniform-vocabulary corpus the pruning layers
+    still admit ~4000× more candidates than real pairs, so per-pair
+    verify cost dominates the operator.  Stage 1 intersects SORTED
+    INT64 GRAM-HASH arrays (5-10× cheaper per element than ~20-char
+    strings, and a 3× smaller broadcast); stage 2 re-verifies the tiny
+    survivor set on the original string grams.  Stage 1 is a COMPLETE
+    filter, not a probabilistic one: hash collisions can deflate the
+    hashed intersection only by collisions *inside one doc's gram
+    set* (a cross-doc collision can only inflate it), so
+    ``inter ≤ ih + min(|A|−|A_h|, |B|−|B_h|)`` — the filter keeps
+    every pair whose collision-slack upper bound could still reach the
+    threshold, and the string stage makes the output exact even in
+    the astronomically-unlikely collision case."""
+    hashed = (sets_df.select(
+        "doc_id", F.size("s").alias("n"),
+        F.array_sort(F.array_distinct(
+            F.transform("s", lambda x: F.xxhash64(x)))).alias("hs"))
+        .withColumn("nh", F.size("hs")))
+    h = F.broadcast(hashed) if broadcast_sets else hashed
+    ha, hb = h.alias("ha"), h.alias("hb")
+    ih = F.size(F.array_intersect(F.col("ha.hs"), F.col("hb.hs"))) \
+        .cast("long")
+    n_a, n_b = F.col("ha.n").cast("long"), F.col("hb.n").cast("long")
+    # collision-slack upper bound on the true string intersection
+    ub = ih + F.least(n_a - F.col("ha.nh"), n_b - F.col("hb.nh"))
+    if kind == "jaccard":
+        # max achievable jac is ub/(na+nb-ub): monotone in inter
+        pre_keep = (ub * F.lit(fr.denominator)
+                    >= F.lit(fr.numerator) * (n_a + n_b - ub))
+    else:
+        pre_keep = (ub * F.lit(fr.denominator)
+                    >= F.lit(fr.numerator) * F.least(n_a, n_b))
+    survivors = (pairs
+                 .join(ha, F.col("doc_a") == F.col("ha.doc_id"))
+                 .join(hb, F.col("doc_b") == F.col("hb.doc_id"))
+                 .filter(pre_keep)
+                 .select("doc_a", "doc_b"))
+    sets = F.broadcast(sets_df) if broadcast_sets else sets_df
+    a, b = sets.alias("sa"), sets.alias("sb")
+    sa, sb = F.col("sa.s"), F.col("sb.s")
+    inter = F.size(F.array_intersect(sa, sb)).cast("long")
+    if kind == "jaccard":
+        denom = (F.size(sa) + F.size(sb)).cast("long") - inter
+        out_col = "jac"
+    else:  # containment: |A∩B| / min(|A|, |B|)
+        denom = F.least(F.size(sa), F.size(sb)).cast("long")
+        out_col = "containment"
+    keep = inter * F.lit(fr.denominator) >= F.lit(fr.numerator) * denom
+    return (survivors
+            .join(a, F.col("doc_a") == F.col("sa.doc_id"))
+            .join(b, F.col("doc_b") == F.col("sb.doc_id"))
+            .filter(keep)
+            .select("doc_a", "doc_b",
+                    (inter.cast("double") / denom).alias(out_col)))
+
+
 def _prefix_filtered_pairs(docs: DataFrame, grams: DataFrame,
                            threshold: float) -> DataFrame:
     """PPJoin core over a (doc_id, s=token array) set index ``grams``
-    (see :func:`jaccard_prefix_pairs` for the filter derivations)."""
+    (see :func:`jaccard_prefix_pairs` for the base filter derivations).
+
+    Round-5 changes, all measured at sf1 (83.7 M match rows, 10.9 M
+    candidates, 2,560 real pairs):
+
+    - the match-row shuffle is SLIMMED to (doc_a, doc_b, ra, rb):
+      sizes na/nb are re-attached after the aggregation from the
+      (doc-count-sized, broadcast) size table instead of riding every
+      match row through the pair groupBy — the groupBy's partial
+      states rarely combine map-side (one pair's rows live in many
+      gram partitions), so every byte per row is a byte shuffled;
+    - the verify is the two-stage hash-then-string plan
+      (:func:`_verified_pairs`) — with a 4000:1
+      candidate-to-real-pair ratio the per-pair verify cost, not the
+      candidate count, dominated the operator;
+    - two exact tightenings were tried and REJECTED on measurement:
+      the PPJoin short *index prefix* (|A| − ⌈2t/(1+t)·|A|⌉ + 1 on
+      the smaller side) cuts match rows ~2× but caps ra* so low that
+      the pair-level tail bound loosens and candidates GREW 1.09 M →
+      1.88 M at sf0.1; the g₁-existence filter (smallest common token
+      must sit at rank ≤ |x| − α + 1 on both sides) pruned exactly 0
+      of the 1.09 M sf0.1 candidates — this corpus' survivors all
+      share a first match that deep already."""
     ex = grams.select("doc_id", F.explode("s").alias("g"),
                       F.size("s").alias("n"))
     freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "g")
+    # required overlap α = ⌈t/(1+t)·(|A|+|B|)⌉ — t rational makes
+    # t/(1+t) rational too (p/q → p/(p+q)), so every bound below is
+    # exact integer arithmetic: no epsilon, and no float product that
+    # could round UP across a boundary (t=0.8/0.9 doubles do) and
+    # prune a pair at jaccard exactly t
+    fr = _snap(threshold)
+    t_factor = fr / (1 + fr)
     # The prefix index is MATERIALIZED (persisted) before the
     # self-join: it is referenced three times downstream (both join
     # sides + candidate re-derivation under the verify join), and
@@ -432,18 +573,9 @@ def _prefix_filtered_pairs(docs: DataFrame, grams: DataFrame,
               # |A| - ceil(t*|A|) + 1 rarest tokens form the prefix
               # (exact rational ceil: see _ceil_mul)
               .filter(F.col("rk")
-                      <= F.col("n") - _ceil_mul(F.col("n"), threshold)
-                      + 1)
+                      <= F.col("n") - _ceil_mul(F.col("n"), fr) + 1)
               .select("doc_id", "g", "n", "rk")
               .cache())
-    # required overlap α = ⌈t/(1+t)·(|A|+|B|)⌉ — t rational makes
-    # t/(1+t) rational too (p/q → p/(p+q)), so every bound below is
-    # exact integer arithmetic: no epsilon, and no float product that
-    # could round UP across a boundary (t=0.8/0.9 doubles do) and
-    # prune a pair at jaccard exactly t
-    from fractions import Fraction
-    fr = Fraction(threshold).limit_denominator(1_000_000)
-    t_factor = fr / (1 + fr)
     na, nb = F.col("a.n"), F.col("b.n")
     ra, rb = F.col("a.rk"), F.col("b.rk")
     alpha = _ceil_mul(na + nb, t_factor)
@@ -455,23 +587,28 @@ def _prefix_filtered_pairs(docs: DataFrame, grams: DataFrame,
                        # token-level positional bound
                        & (F.least(ra, rb) + F.least(na - ra, nb - rb)
                           >= alpha))
+               # sizes deliberately NOT selected: see docstring
                .select(F.col("a.doc_id").alias("doc_a"),
                        F.col("b.doc_id").alias("doc_b"),
-                       na.alias("na"), nb.alias("nb"),
                        ra.alias("ra"), rb.alias("rb")))
+    sizes = grams.select("doc_id", F.size("s").alias("n"))
     cand = (matches
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("c"),
-                 F.max("ra").alias("ra"), F.max("rb").alias("rb"),
-                 F.first("na").alias("na"), F.first("nb").alias("nb"))
+                 F.max("ra").alias("ra"), F.max("rb").alias("rb"))
+            .join(F.broadcast(sizes.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n").alias("na"))), "doc_a")
+            .join(F.broadcast(sizes.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n").alias("nb"))), "doc_b")
             # pair-level positional bound
             .filter(F.col("c")
                     + F.least(F.col("na") - F.col("ra"),
                               F.col("nb") - F.col("rb"))
                     >= _ceil_mul(F.col("na") + F.col("nb"), t_factor))
             .select("doc_a", "doc_b"))
-    return (_pairs_with_jaccard(docs, cand, grams)
-            .filter(F.col("jac") >= threshold))
+    return _verified_pairs(_observed_candidates(cand), grams, fr)
 
 
 #: containment (asymmetric overlap) threshold: |A∩B| / min(|A|,|B|)
@@ -523,12 +660,10 @@ def containment_pairs(docs: DataFrame,
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    contain = lambda a, b: (F.size(F.array_intersect(a, b))
-                            .cast("double")
-                            / F.least(F.size(a), F.size(b)))
-    return (_pairs_with_jaccard(docs, cand, grams, measure=contain,
-                                out_col="containment")
-            .filter(F.col("containment") >= threshold))
+    # exact-rational verify from the SAME snapped threshold as the
+    # probe bound (see _verified_pairs) + candidate-count observable
+    return _verified_pairs(_observed_candidates(cand), grams,
+                           _snap(threshold), kind="containment")
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -831,9 +966,21 @@ _C4 = H.char_ngrams_sql()
 #: well inside its global budget.
 
 
-def _jaccard_pairs_oracle(shingle_sql: str, threshold: float) -> str:
+def _jaccard_pairs_oracle(shingle_sql: str, threshold: float,
+                          exact: bool = False) -> str:
     # NOTE: valid only while every qualifying pair shares >= 1 token
-    # (always true for jaccard > 0), and every doc list is non-empty
+    # (always true for jaccard > 0), and every doc list is non-empty.
+    # ``exact`` applies the snapped-rational integer predicate the
+    # PPJoin family verifies with (inter·q ≥ p·union) instead of the
+    # float comparison — both engines use the identical arithmetic
+    # either way, so parity holds; exact mode additionally matches the
+    # candidate bounds (round-4 ADVICE).
+    if exact:
+        fr = _snap(threshold)
+        pred = (f"inter * {fr.denominator} "
+                f">= {fr.numerator} * (na + nb - inter)")
+    else:
+        pred = f"inter::DOUBLE / (na + nb - inter) >= {threshold}"
     return f"""
         WITH sh AS (SELECT doc_id, {shingle_sql} AS s FROM documents),
         ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS t FROM sh),
@@ -845,7 +992,7 @@ def _jaccard_pairs_oracle(shingle_sql: str, threshold: float) -> str:
         SELECT da AS doc_a, db AS doc_b,
                inter::DOUBLE / (na + nb - inter) AS jac
         FROM cand
-        WHERE inter::DOUBLE / (na + nb - inter) >= {threshold}"""
+        WHERE {pred}"""
 
 
 #: the recursive-CTE connected-components ground truth over the
@@ -911,8 +1058,9 @@ ORACLES = {
         SELECT da AS doc_a, db AS doc_b,
                inter::DOUBLE / least(na, nb) AS containment
         FROM cand
-        WHERE inter::DOUBLE / least(na, nb)
-              >= {CONTAINMENT_THRESHOLD}""",
+        WHERE inter * {_snap(CONTAINMENT_THRESHOLD).denominator}
+              >= {_snap(CONTAINMENT_THRESHOLD).numerator}
+                 * least(na, nb)""",
     "dedup_incremental": f"""
         WITH sh AS (SELECT doc_id, {_W3} AS s FROM documents),
         ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS t FROM sh),
@@ -979,9 +1127,11 @@ ORACLES = {
           SELECT b.v, walk.lbl FROM walk JOIN bidir b ON b.u = walk.u
           WHERE walk.lbl < b.v)
         SELECT u AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY u""",
-    "dedup_jaccard_prefix": _jaccard_pairs_oracle(_W2, PREFIX_THRESHOLD),
+    "dedup_jaccard_prefix": _jaccard_pairs_oracle(_W2, PREFIX_THRESHOLD,
+                                                  exact=True),
     "dedup_char_jaccard": _jaccard_pairs_oracle(_C4,
-                                                CHAR_JACCARD_THRESHOLD),
+                                                CHAR_JACCARD_THRESHOLD,
+                                                exact=True),
     "dedup_keep_best": f"""
         WITH RECURSIVE
         sh AS (SELECT doc_id, {_W3} AS s FROM documents),

@@ -373,6 +373,40 @@ def test_jaccard_size_ratio_boundary_pair(spark):
     assert abs(got[(0, 1)] - 0.8) < 1e-12
 
 
+def test_bench_ppjoin_candidate_observable(spark, sf_dir):
+    """Round-4 verdict item 4: the PPJoin candidate count (the exact-
+    verify volume every pruning layer is trying to shrink) must be an
+    observable of the run, harvested by bench.py the same way the
+    band-guard metrics are."""
+    import bench
+    df = dedup.dedup_jaccard_prefix(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    m = bench.ppjoin_metrics_for("dedup_jaccard_prefix")
+    assert m is not None and m["n_candidates"] > 0, m
+    # candidates are an upper bound on emitted pairs (verify only drops)
+    assert m["n_candidates"] >= df.count()
+    assert bench.ppjoin_metrics_for("q1_pricing_summary") is None
+
+
+def test_two_stage_verify_keeps_exact_threshold_pair(spark):
+    """The hash pre-verify stage is a COMPLETE filter: a pair at
+    jaccard EXACTLY t (the tightest admissible pair) must survive both
+    stages, and the emitted jac must be the exact ratio.  10 shared
+    2-grams out of A:12/B:13 grams → jac = 10/15 = 2/3 under
+    t = 2/3."""
+    from fractions import Fraction
+    a_words = [f"w{i}" for i in range(13)]       # 12 grams
+    b_words = a_words[:11] + ["x0", "x1", "x2"]  # 10 shared + 3 own
+    docs = spark.createDataFrame(
+        [(0, " ".join(a_words)), (1, " ".join(b_words))],
+        "doc_id long, text string")
+    got = {(r["doc_a"], r["doc_b"]): r["jac"]
+           for r in dedup.jaccard_prefix_pairs(
+               docs, threshold=Fraction(2, 3)).collect()}
+    assert (0, 1) in got, got
+    assert got[(0, 1)] == 10 / 15
+
+
 def test_ceil_mul_exhaustive_vs_fraction_math(spark):
     """_ceil_mul must equal Fraction-exact ⌈t·n⌉ for EVERY (n, t)
     combination in the realistic range — one Spark job sweeps n ∈

@@ -309,6 +309,21 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     return agg.select("doc_id", fp.alias("fp"))
 
 
+def _simhash_bands(fps: DataFrame) -> DataFrame:
+    """(doc_id, band) rows from a fingerprint table — 10×6-bit bands,
+    shared by the self-join and the band-guard recall probe."""
+    n_bands = H.SIMHASH_BITS // H.SIMHASH_BAND_BITS
+    mask = (1 << H.SIMHASH_BAND_BITS) - 1
+    return fps.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(str(b)),
+                        F.shiftright(F.col("fp"),
+                                     b * H.SIMHASH_BAND_BITS)
+                        .bitwiseAND(mask).cast("string"))
+            for b in range(n_bands)])).alias("band"))
+
+
 def simhash_pairs(docs: DataFrame,
                   max_dist: int = SIMHASH_MAX_DIST,
                   band_cap: int = BAND_CAP) -> DataFrame:
@@ -317,16 +332,7 @@ def simhash_pairs(docs: DataFrame,
     see :data:`BAND_CAP` — is the only recall trade, and only fires on
     degenerate buckets)."""
     fps = simhash_fingerprints(docs).cache()
-    n_bands = H.SIMHASH_BITS // H.SIMHASH_BAND_BITS
-    mask = (1 << H.SIMHASH_BAND_BITS) - 1
-    bands = fps.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.concat_ws(":", F.lit(str(b)),
-                        F.shiftright(F.col("fp"),
-                                     b * H.SIMHASH_BAND_BITS)
-                        .bitwiseAND(mask).cast("string"))
-            for b in range(n_bands)])).alias("band"))
+    bands = _simhash_bands(fps)
     # 6-bit band alphabets collide often on random fingerprints
     # (~n²/2⁷ candidate rows per band), so verify-then-distinct: the
     # hamming check is one XOR+popcount against the (doc-count-sized)
@@ -344,6 +350,88 @@ def simhash_pairs(docs: DataFrame,
                     .cast("int").alias("hamming"))
             .filter(F.col("hamming") <= max_dist)
             .distinct())
+
+
+def simhash_band_guard_probe(docs: DataFrame,
+                             max_dist: int = SIMHASH_MAX_DIST,
+                             band_cap: int = BAND_CAP,
+                             sample_mod: int = 4,
+                             count_emitted: bool = True) -> dict:
+    """Grade the hot-band guard's recall loss instead of only counting
+    it (round-4 verdict item 2: at sf1 the cap drops 58k rows and
+    nobody knew how many true pairs that cost).
+
+    Estimator: deterministically hash-sample DOCS at rate 1/``sample_mod``
+    (``pmod(xxhash64(doc_id), mod) = 0`` — partitioning-independent),
+    take all sampled-member pairs *within each over-cap bucket*, dedupe
+    across buckets, verify exactly (hamming ≤ ``max_dist``), and drop
+    pairs that also share an under-cap band (those are NOT lost — the
+    guarded join still emits them).  Because sampling is per-doc, a
+    lost pair enters the sample iff BOTH endpoints are sampled —
+    probability 1/mod² regardless of how many hot buckets it collides
+    in — so ``sampled_lost · mod²`` is an unbiased estimate of the
+    true pairs the guard cost.  Work is O(Σ hot_bucket² / mod²) +
+    one fingerprint build: a diagnostics pass over exactly the buckets
+    the production plan refuses to join.
+
+    Returns ``{dropped_rows, dropped_buckets, max_band_size,
+    sampled_lost_pairs, est_pairs_lost, sample_mod[, emitted_pairs,
+    est_recall]}``; ``count_emitted=True`` additionally runs the
+    guarded operator to turn the estimate into a recall floor
+    ``emitted / (emitted + est_lost)``."""
+    fps = simhash_fingerprints(docs).cache()
+    bands = _simhash_bands(fps)
+    w = Window.partitionBy("band")
+    counted = bands.withColumn("_bn", F.count(F.lit(1)).over(w)).cache()
+    hot = counted.filter(F.col("_bn") > band_cap)
+    stats = counted.agg(
+        F.sum(F.when(F.col("_bn") > band_cap, 1).otherwise(0))
+        .alias("dropped_rows"),
+        F.sum(F.when(F.col("_bn") > band_cap, 1.0 / F.col("_bn"))
+              .otherwise(0.0)).alias("dropped_buckets_frac"),
+        F.max("_bn").alias("max_band_size")).first()
+    out = {"dropped_rows": int(stats["dropped_rows"] or 0),
+           "dropped_buckets": int(round(
+               stats["dropped_buckets_frac"] or 0.0)),
+           "max_band_size": int(stats["max_band_size"] or 0),
+           "sample_mod": sample_mod}
+    sampled = (hot.filter(
+        F.pmod(F.xxhash64("doc_id"), F.lit(sample_mod)) == 0)
+        .select("doc_id", "band"))
+    cand = (sampled.alias("a").join(sampled.alias("b"), "band")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    fa = fps.select(F.col("doc_id").alias("doc_a"),
+                    F.col("fp").alias("fp_a"))
+    fb = fps.select(F.col("doc_id").alias("doc_b"),
+                    F.col("fp").alias("fp_b"))
+    verified = (cand.join(fa, "doc_a").join(fb, "doc_b")
+                .filter(F.bit_count(F.col("fp_a")
+                                    .bitwiseXOR(F.col("fp_b")))
+                        <= max_dist)
+                .select("doc_a", "doc_b"))
+    cool = (counted.filter(F.col("_bn") <= band_cap)
+            .select("doc_id", "band"))
+    escaped = (verified
+               .join(cool.select(F.col("doc_id").alias("doc_a"),
+                                 "band"), "doc_a")
+               .join(cool.select(F.col("doc_id").alias("doc_b"),
+                                 "band"), ["doc_b", "band"])
+               .select("doc_a", "doc_b").distinct())
+    sampled_lost = (verified.join(escaped, ["doc_a", "doc_b"],
+                                  "left_anti").count())
+    out["sampled_lost_pairs"] = int(sampled_lost)
+    out["est_pairs_lost"] = int(sampled_lost * sample_mod * sample_mod)
+    if count_emitted:
+        emitted = simhash_pairs(docs, max_dist, band_cap).count()
+        out["emitted_pairs"] = int(emitted)
+        denom = emitted + out["est_pairs_lost"]
+        out["est_recall"] = (1.0 if denom == 0
+                             else round(emitted / denom, 6))
+    counted.unpersist()
+    return out
 
 
 def jaccard_prefix_pairs(docs: DataFrame,

@@ -65,6 +65,19 @@ def main() -> None:
     artifact["small_total"] = a["value"]
     artifact["ratios_vs_small"] = ratios
     artifact["flagged_over_3x"] = flagged
+    # when the big scale actually dropped rows, grade the recall loss
+    # instead of only counting it (round-4 verdict item 2): the
+    # estimator samples the dropped buckets and reports est_pairs_lost
+    # + a recall floor, merged into the same band_guard record
+    sim = artifact.get("band_guard", {}).get("dedup_simhash", {})
+    if sim.get("dropped_rows", 0) > 0:
+        out = subprocess.run(
+            [sys.executable,
+             os.path.join(REPO, "scripts/simhash_recall_probe.py"), big],
+            cwd=REPO, capture_output=True, text=True, check=True)
+        probe = json.loads(out.stdout.strip().splitlines()[-1])
+        sim.update(probe)
+        print("simhash recall probe:", probe)
     out_path = os.path.join(REPO, "BENCH_sf1.json")
     with open(out_path, "w") as f:
         json.dump(artifact, f, indent=1, sort_keys=True)

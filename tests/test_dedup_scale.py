@@ -407,6 +407,49 @@ def test_two_stage_verify_keeps_exact_threshold_pair(spark):
     assert got[(0, 1)] == 10 / 15
 
 
+def test_simhash_guard_probe_on_planted_hot_buckets(spark):
+    """Round-4 verdict item 2: the recall estimator, pinned on a
+    corpus where the loss is computable exactly.  200 identical docs
+    (one fingerprint → every band one 200+-member bucket) under a cap
+    of 50 lose ALL C(200,2)=19900 pairs; the probe must report
+    sampled_lost = C(|S|,2) for the deterministic hash-sample S and
+    est = sampled_lost·mod², which lands near the truth for mod=2."""
+    group = [(i, "the same boilerplate text repeated again and again "
+                 "for every mirror of this page") for i in range(200)]
+    normal = [(1000 + i, f"unique doc {i} with its own words "
+                         f"number{i} alpha{i} beta{i} gamma{i}")
+              for i in range(30)]
+    docs = spark.createDataFrame(group + normal,
+                                 "doc_id long, text string")
+    probe = dedup.simhash_band_guard_probe(docs, band_cap=50,
+                                           sample_mod=2)
+    assert probe["dropped_rows"] >= 200 * 10  # 10 bands, all hot
+    # deterministic sample size of the planted group
+    n_s = (spark.range(200)
+           .filter(F.pmod(F.xxhash64(F.col("id")), F.lit(2)) == 0)
+           .count())
+    want_sampled = n_s * (n_s - 1) // 2
+    assert probe["sampled_lost_pairs"] == want_sampled
+    assert probe["est_pairs_lost"] == want_sampled * 4
+    true_lost = 200 * 199 // 2
+    assert 0.5 * true_lost <= probe["est_pairs_lost"] <= 2.0 * true_lost
+    # all pairs lost -> the guarded operator emits none of them
+    assert probe["emitted_pairs"] == 0
+    assert probe["est_recall"] == 0.0
+
+
+def test_simhash_guard_probe_clean_corpus_reports_no_loss(spark):
+    """No over-cap buckets → zero estimated loss and recall 1.0 (the
+    sf0.1 steady state the bench artifact records)."""
+    texts = _neardup_corpus(n=30, seed=3)
+    docs = _docs_df(spark, texts)
+    probe = dedup.simhash_band_guard_probe(docs)
+    assert probe["dropped_rows"] == 0
+    assert probe["est_pairs_lost"] == 0
+    assert probe["est_recall"] == 1.0
+    assert probe["emitted_pairs"] > 0  # planted near-dups still found
+
+
 def test_ceil_mul_exhaustive_vs_fraction_math(spark):
     """_ceil_mul must equal Fraction-exact ⌈t·n⌉ for EVERY (n, t)
     combination in the realistic range — one Spark job sweeps n ∈

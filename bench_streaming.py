@@ -1,0 +1,202 @@
+"""Streaming benchmark (round-4 verdict item 6): measure the two
+production streaming paths and write BENCH_stream_r{N}.json.
+
+1. **Daily-file mart stream** — the reference's load→normalize→mart
+   cadence as a file-source stream: the 3-day bank fixture is batch-
+   ETL'd once (dims need SCD history), then the landing files are
+   replayed ×N through the stream_expired_rules foreachBatch pipeline
+   (one file per trigger, the daily-extract discipline).  Per-batch
+   wall is dominated by micro-batch overhead at fixture size — that
+   IS the relevant number for a daily-cadence stream (throughput
+   scales with file size; the fixed cost per trigger is what a
+   deployment must budget).
+
+2. **CDC apply** — a seeded versioned table + N parquet change files
+   drained one file per trigger through cdc_apply_foreach_batch
+   (within-batch winner by seq → merge_upsert → copy-on-write
+   commit).  Rows/s here measures the full merge+commit path, not
+   just the stream plumbing.
+
+Prints ONE JSON line and writes BENCH_stream_r05.json; per-batch
+walls are recorded so a regression in either the fixed trigger cost
+or the per-row merge cost is visible separately.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+
+MART_REPLAYS = int(os.environ.get("STREAM_BENCH_REPLAYS", "7"))
+CDC_BATCHES = int(os.environ.get("STREAM_BENCH_CDC_BATCHES", "8"))
+CDC_BASE_ROWS = 100_000
+CDC_ROWS_PER_BATCH = 10_000
+
+OUT_PATH = os.path.join(REPO, "BENCH_stream_r05.json")
+
+
+def _timed(handler, walls: list):
+    def h(df, bid):
+        t0 = time.time()
+        handler(df, bid)
+        walls.append(round(time.time() - t0, 3))
+    return h
+
+
+def bench_mart_stream(spark, tmp: str) -> dict:
+    import bank_fixture as bf
+
+    from greenplum_dwh_spark.etl import normalize_transactions
+    from greenplum_dwh_spark.mart import add_report_data
+    from greenplum_dwh_spark.sources import load_landing_file
+    from greenplum_dwh_spark.sources.landing import last_day_filter
+    from greenplum_dwh_spark.streaming.mart_stream import (
+        stream_expired_rules, stream_landing)
+    from greenplum_dwh_spark.streaming.pipeline import current_dims
+    from greenplum_dwh_spark.warehouse import Warehouse
+
+    wh = Warehouse(spark, os.path.join(tmp, "wh"))
+    paths = bf.write_extracts(spark, os.path.join(tmp, "extracts"))
+    # batch ETL pass: dims need their SCD history before the stream
+    for i, p in enumerate(paths):
+        load_landing_file(wh, p)
+        normalize_transactions(wh)
+        add_report_data(wh, "scd2",
+                        run_ts=dt.datetime(2020, 5, 2 + i, 23, 0))
+    landing = os.path.join(tmp, "landing")
+    os.makedirs(landing)
+    for j in range(MART_REPLAYS):
+        for p in paths:
+            shutil.copy(p, os.path.join(landing,
+                                        f"r{j}_{os.path.basename(p)}"))
+    n_rows = spark.read.parquet(landing).count()
+    out_dir = os.path.join(tmp, "stream_out")
+    run_ts = dt.datetime(2020, 5, 4, 23, 0)
+    walls: list = []
+
+    def handle(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        scoped = last_day_filter(batch_df)
+        out = stream_expired_rules(scoped, current_dims(wh), run_ts)
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}"))
+
+    stream = stream_landing(spark, landing)
+    t0 = time.time()
+    q = (stream.writeStream
+         .foreachBatch(_timed(handle, walls))
+         .option("checkpointLocation", os.path.join(out_dir, "_ckpt"))
+         .outputMode("append")
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    wall = time.time() - t0
+    return {
+        "replays": MART_REPLAYS,
+        "batches": len(walls),
+        "input_rows": n_rows,
+        "wall_sec": round(wall, 3),
+        "rows_per_sec": round(n_rows / wall, 1),
+        "batch_wall_sec": {
+            "mean": round(sum(walls) / max(len(walls), 1), 3),
+            "max": round(max(walls), 3) if walls else None,
+            "min": round(min(walls), 3) if walls else None,
+        },
+    }
+
+
+def bench_cdc_apply(spark, tmp: str) -> dict:
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from greenplum_dwh_spark.streaming.mart_stream import (
+        cdc_apply_foreach_batch)
+    from greenplum_dwh_spark.tablestore import TableStore
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("s", T.StringType()),
+        T.StructField("v", T.LongType())])
+    store = TableStore(spark, os.path.join(tmp, "store"))
+    store.init_versioned("t", schema, key_col="k")
+    base = spark.range(CDC_BASE_ROWS).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("s"), F.col("id")).alias("s"),
+        (F.col("id") * 10).alias("v"))
+    store.overwrite_versioned("t", base)
+    src = os.path.join(tmp, "cdc_src")
+    os.makedirs(src)
+    ch_schema = "k long, s string, v long, action string, seq long"
+    n_rows = 0
+    for b in range(CDC_BATCHES):
+        # deterministic mixed batch: ~90% updates on a rotating key
+        # slice, ~10% deletes, plus inserts beyond the base key range
+        ch = spark.range(CDC_ROWS_PER_BATCH).select(
+            ((F.col("id") * 97 + b * 31) % (CDC_BASE_ROWS + b * 500))
+            .alias("k"),
+            F.concat(F.lit(f"b{b}_"), F.col("id")).alias("s"),
+            (F.col("id") + b).alias("v"),
+            F.when(F.col("id") % 10 == 0, "delete")
+            .otherwise("upsert").alias("action"),
+            (F.col("id") + b * CDC_ROWS_PER_BATCH).alias("seq"))
+        ch.coalesce(1).write.parquet(os.path.join(src, f"b{b}.parquet"))
+        n_rows += CDC_ROWS_PER_BATCH
+    walls: list = []
+    handler = cdc_apply_foreach_batch(store, "t", "k", "seq")
+    stream = (spark.readStream.schema(ch_schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/*.parquet"))
+    t0 = time.time()
+    q = (stream.writeStream
+         .foreachBatch(_timed(handler, walls))
+         .option("checkpointLocation", os.path.join(tmp, "cdc_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    wall = time.time() - t0
+    final_rows = store.read("t").count()
+    return {
+        "batches": len(walls),
+        "change_rows": n_rows,
+        "base_rows": CDC_BASE_ROWS,
+        "final_rows": final_rows,
+        "wall_sec": round(wall, 3),
+        "change_rows_per_sec": round(n_rows / wall, 1),
+        "batch_wall_sec": {
+            "mean": round(sum(walls) / max(len(walls), 1), 3),
+            "max": round(max(walls), 3) if walls else None,
+            "min": round(min(walls), 3) if walls else None,
+        },
+    }
+
+
+def main() -> None:
+    from greenplum_dwh_spark.session import get_spark
+    spark = get_spark("bench_streaming",
+                      extra_conf={"spark.ui.enabled": "false",
+                                  "spark.sql.shuffle.partitions": "8"})
+    spark.sparkContext.setLogLevel("ERROR")
+    tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        result = {
+            "metric": "streaming_paths",
+            "mart_stream": bench_mart_stream(spark, tmp),
+            "cdc_apply": bench_cdc_apply(spark, tmp),
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    with open(OUT_PATH, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

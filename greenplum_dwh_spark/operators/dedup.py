@@ -544,9 +544,39 @@ def _observed_candidates(cand: DataFrame) -> DataFrame:
     return out
 
 
+#: gram-signature width for the verify pre-filter: 8 longs = 512 bits
+SIG_LONGS = 8
+SIG_BITS = SIG_LONGS * 64
+
+
+def _gram_signatures(sets_df: DataFrame) -> DataFrame:
+    """(doc_id, n, bm) — per-doc 512-bit bitmap of gram hashes plus
+    the exact distinct-gram count.  Fixed 64 bytes per doc no matter
+    how long the document is: the index broadcasts at corpus sizes
+    where the gram-array index is far past any broadcast limit."""
+    hs = F.transform("s", lambda x: F.pmod(F.xxhash64(x),
+                                           F.lit(SIG_BITS)))
+    bm = F.array(*[
+        F.aggregate(
+            hs, F.lit(0).cast("long"),
+            lambda acc, i: acc.bitwiseOR(
+                F.when((i >= k * 64) & (i < (k + 1) * 64),
+                       # shiftleft via call_function: the Python
+                       # wrapper only takes a literal shift amount
+                       F.call_function(
+                           "shiftleft", F.lit(1).cast("long"),
+                           (i % 64).cast("int")))
+                .otherwise(F.lit(0).cast("long"))))
+        for k in range(SIG_LONGS)])
+    return sets_df.select("doc_id", F.size("s").alias("n"),
+                          bm.alias("bm"))
+
+
 def _verified_pairs(pairs: DataFrame, sets_df: DataFrame, fr,
                     kind: str = "jaccard",
-                    broadcast_sets: bool = True) -> DataFrame:
+                    broadcast_sigs: bool = True,
+                    dedupe_survivors: bool = False,
+                    observe: bool = False) -> DataFrame:
     """Exact verification with the SAME snapped rational the candidate
     bounds used: ``inter·q ≥ p·denom`` in pure integer arithmetic, so
     bounds and verify can never disagree across a float-rounding
@@ -555,32 +585,48 @@ def _verified_pairs(pairs: DataFrame, sets_df: DataFrame, fr,
     measure column stays the double ratio (bit-identical to the DuckDB
     oracle's, which applies the same integer predicate).
 
-    Two-stage verify (round-5; measured 12.5 s → ~3 s on 10.9 M sf1
-    candidates): on a uniform-vocabulary corpus the pruning layers
-    still admit ~4000× more candidates than real pairs, so per-pair
-    verify cost dominates the operator.  Stage 1 intersects SORTED
-    INT64 GRAM-HASH arrays (5-10× cheaper per element than ~20-char
-    strings, and a 3× smaller broadcast); stage 2 re-verifies the tiny
-    survivor set on the original string grams.  Stage 1 is a COMPLETE
-    filter, not a probabilistic one: hash collisions can deflate the
-    hashed intersection only by collisions *inside one doc's gram
-    set* (a cross-doc collision can only inflate it), so
-    ``inter ≤ ih + min(|A|−|A_h|, |B|−|B_h|)`` — the filter keeps
-    every pair whose collision-slack upper bound could still reach the
-    threshold, and the string stage makes the output exact even in
-    the astronomically-unlikely collision case."""
-    hashed = (sets_df.select(
-        "doc_id", F.size("s").alias("n"),
-        F.array_sort(F.array_distinct(
-            F.transform("s", lambda x: F.xxhash64(x)))).alias("hs"))
-        .withColumn("nh", F.size("hs")))
-    h = F.broadcast(hashed) if broadcast_sets else hashed
-    ha, hb = h.alias("ha"), h.alias("hb")
-    ih = F.size(F.array_intersect(F.col("ha.hs"), F.col("hb.hs"))) \
-        .cast("long")
-    n_a, n_b = F.col("ha.n").cast("long"), F.col("hb.n").cast("long")
-    # collision-slack upper bound on the true string intersection
-    ub = ih + F.least(n_a - F.col("ha.nh"), n_b - F.col("hb.nh"))
+    Two-stage verify, both stages scale-safe (round-5; the
+    second-decade probe at sf10 = 500 k docs killed the previous
+    design's full-gram-array broadcast with
+    notEnoughMemoryToBuildAndBroadcastTableError):
+
+    1. **signature pre-filter** — every candidate pair is scored
+       against a broadcast index of fixed 64-byte gram signatures
+       (:func:`_gram_signatures`).  The bound is EXACT, not
+       probabilistic: a gram of A whose bit is absent from B's bitmap
+       cannot be in B, and each such bit carries ≥ 1 gram, so
+       ``inter ≤ n_a − popcount(bm_a & ~bm_b)`` (and symmetrically);
+       a pair is dropped only when even that upper bound cannot reach
+       the threshold.  Collisions only *loosen* the bound, never
+       cause a false reject.  Cost per pair: 8 AND-NOT-popcounts versus a
+       ~200-element array intersection (measured 12.5 s → ~2 s on
+       10.9 M sf1 candidates), and the broadcast is docs × 64 B.
+    2. **exact string verify** — the tiny survivor set (≈ true pairs)
+       joins the full gram arrays by SHUFFLE join: the array index is
+       shuffled once (one row per doc), survivors are few, and no
+       broadcast of the array index ever happens — the sf10 cliff is
+       structurally gone.
+
+    ``pairs`` may be a MULTISET (the raw prefix-match rows):
+    ``dedupe_survivors=True`` distincts *after* the signature filter,
+    so the dedup shuffle only ever sees the ~true-pair-sized survivor
+    multiset instead of building keyed state over every candidate row
+    (the sf10 probe measured 375 s of the 500 s stage total in the
+    old pre-distinct pair aggregation).  ``observe=True`` counts the
+    surviving distinct pairs into :func:`last_ppjoin_metrics` — the
+    exact-verify volume is the number every pruning layer exists to
+    shrink."""
+    sigs = _gram_signatures(sets_df)
+    sg = F.broadcast(sigs) if broadcast_sigs else sigs
+    ga, gb = sg.alias("ga"), sg.alias("gb")
+    only = lambda x, y: F.aggregate(
+        F.zip_with(x, y, lambda a, b:
+                   F.bit_count(a.bitwiseAND(F.bitwise_not(b)))
+                   .cast("long")),
+        F.lit(0).cast("long"), lambda acc, v: acc + v)
+    n_a, n_b = F.col("ga.n").cast("long"), F.col("gb.n").cast("long")
+    ub = F.least(n_a - only(F.col("ga.bm"), F.col("gb.bm")),
+                 n_b - only(F.col("gb.bm"), F.col("ga.bm")))
     if kind == "jaccard":
         # max achievable jac is ub/(na+nb-ub): monotone in inter
         pre_keep = (ub * F.lit(fr.denominator)
@@ -589,12 +635,15 @@ def _verified_pairs(pairs: DataFrame, sets_df: DataFrame, fr,
         pre_keep = (ub * F.lit(fr.denominator)
                     >= F.lit(fr.numerator) * F.least(n_a, n_b))
     survivors = (pairs
-                 .join(ha, F.col("doc_a") == F.col("ha.doc_id"))
-                 .join(hb, F.col("doc_b") == F.col("hb.doc_id"))
+                 .join(ga, F.col("doc_a") == F.col("ga.doc_id"))
+                 .join(gb, F.col("doc_b") == F.col("gb.doc_id"))
                  .filter(pre_keep)
                  .select("doc_a", "doc_b"))
-    sets = F.broadcast(sets_df) if broadcast_sets else sets_df
-    a, b = sets.alias("sa"), sets.alias("sb")
+    if dedupe_survivors:
+        survivors = survivors.distinct()
+    if observe:
+        survivors = _observed_candidates(survivors)
+    a, b = sets_df.alias("sa"), sets_df.alias("sb")
     sa, sb = F.col("sa.s"), F.col("sb.s")
     inter = F.size(F.array_intersect(sa, sb)).cast("long")
     if kind == "jaccard":
@@ -617,27 +666,28 @@ def _prefix_filtered_pairs(docs: DataFrame, grams: DataFrame,
     """PPJoin core over a (doc_id, s=token array) set index ``grams``
     (see :func:`jaccard_prefix_pairs` for the base filter derivations).
 
-    Round-5 changes, all measured at sf1 (83.7 M match rows, 10.9 M
-    candidates, 2,560 real pairs):
+    Round-5 restructure, driven by the second-decade probe (sf10 =
+    500 k docs: 837 M match rows, 109 M distinct candidates, 25.6 k
+    real pairs):
 
-    - the match-row shuffle is SLIMMED to (doc_a, doc_b, ra, rb):
-      sizes na/nb are re-attached after the aggregation from the
-      (doc-count-sized, broadcast) size table instead of riding every
-      match row through the pair groupBy — the groupBy's partial
-      states rarely combine map-side (one pair's rows live in many
-      gram partitions), so every byte per row is a byte shuffled;
-    - the verify is the two-stage hash-then-string plan
-      (:func:`_verified_pairs`) — with a 4000:1
-      candidate-to-real-pair ratio the per-pair verify cost, not the
-      candidate count, dominated the operator;
-    - two exact tightenings were tried and REJECTED on measurement:
-      the PPJoin short *index prefix* (|A| − ⌈2t/(1+t)·|A|⌉ + 1 on
-      the smaller side) cuts match rows ~2× but caps ra* so low that
-      the pair-level tail bound loosens and candidates GREW 1.09 M →
-      1.88 M at sf0.1; the g₁-existence filter (smallest common token
-      must sit at rank ≤ |x| − α + 1 on both sides) pruned exactly 0
-      of the 1.09 M sf0.1 candidates — this corpus' survivors all
-      share a first match that deep already."""
+    - there is NO pair-level aggregation any more.  The classic
+      PPJoin pair groupBy (count matched tokens + max ranks for the
+      pair-level positional bound) built keyed state over every
+      candidate pair — 375 s of the 500 s sf10 stage total, and the
+      bound it bought pruned little that the row-level filters had
+      not.  Instead the raw match MULTISET flows straight into the
+      signature pre-filter (:func:`_verified_pairs`): a broadcast
+      hash join against the fixed 64-byte-per-doc signature index +
+      8 popcounts per row — no keyed state, no spill — and only the
+      ~true-pair-sized survivor multiset pays a distinct;
+    - the token-level positional filter stays (it is stateless and
+      cuts the multiset ~10× before the signature join);
+    - tightenings tried and REJECTED on measurement: the PPJoin
+      short *index prefix* (|A| − ⌈2t/(1+t)·|A|⌉ + 1 on the smaller
+      side) loosened the then-existing pair-level tail bound enough
+      that candidates GREW 1.09 M → 1.88 M at sf0.1; the
+      g₁-existence filter pruned exactly 0 candidates on this
+      corpus."""
     ex = grams.select("doc_id", F.explode("s").alias("g"),
                       F.size("s").alias("n"))
     freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
@@ -675,28 +725,10 @@ def _prefix_filtered_pairs(docs: DataFrame, grams: DataFrame,
                        # token-level positional bound
                        & (F.least(ra, rb) + F.least(na - ra, nb - rb)
                           >= alpha))
-               # sizes deliberately NOT selected: see docstring
                .select(F.col("a.doc_id").alias("doc_a"),
-                       F.col("b.doc_id").alias("doc_b"),
-                       ra.alias("ra"), rb.alias("rb")))
-    sizes = grams.select("doc_id", F.size("s").alias("n"))
-    cand = (matches
-            .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("c"),
-                 F.max("ra").alias("ra"), F.max("rb").alias("rb"))
-            .join(F.broadcast(sizes.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("n").alias("na"))), "doc_a")
-            .join(F.broadcast(sizes.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("n").alias("nb"))), "doc_b")
-            # pair-level positional bound
-            .filter(F.col("c")
-                    + F.least(F.col("na") - F.col("ra"),
-                              F.col("nb") - F.col("rb"))
-                    >= _ceil_mul(F.col("na") + F.col("nb"), t_factor))
-            .select("doc_a", "doc_b"))
-    return _verified_pairs(_observed_candidates(cand), grams, fr)
+                       F.col("b.doc_id").alias("doc_b")))
+    return _verified_pairs(matches, grams, fr,
+                           dedupe_survivors=True, observe=True)
 
 
 #: containment (asymmetric overlap) threshold: |A∩B| / min(|A|,|B|)

@@ -155,29 +155,174 @@ def tokens_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Blocked fuzzy matching: candidate pairs share a cheap blocking key
 # (lang + length bucket), then an edit-distance verify on a fixed-size
 # prefix.  The blocked equi-join is the scale story — Σ block² work
-# instead of n², with the block key chosen so blocks stay small (skew
-# in a block is visible as its size; re-block or salt if one explodes).
-# Levenshtein is O(m·n) per pair, so it runs only on the blocked
-# candidates, never all pairs.
+# instead of n² — but a FIXED block key saturates as the corpus grows
+# (block sizes scale with data, so Σ block² is still quadratic in the
+# data; the round-5 second-decade probe measured the onset: sf1→sf10
+# grew far past the 10× data factor on plain blocking).  The operator
+# is therefore adaptive per block:
+#
+# - blocks ≤ FUZZY_BLOCK_SPLIT members: plain within-block self-join
+#   (zero overhead — the common case on a healthy key);
+# - larger blocks: PassJoin-style segment filtering (Li/Deng/Feng,
+#   "PassJoin: A Partition-based Method for Similarity Joins" —
+#   public literature, see PAPERS.md).  The 40-char prefix is cut
+#   into FUZZY_MAX_DIST+1 = 13 fixed segments; with ≤ 12 edits,
+#   pigeonhole leaves ≥ 1 segment of the lower-id side UNTOUCHED, and
+#   an untouched segment appears verbatim in the other prefix shifted
+#   by at most the net indel count ≤ 12.  So: lower-id docs emit
+#   their 13 segments, higher-id docs emit every substring of each
+#   segment's length within ±12 of its home position, and the
+#   candidate join is a pure equi-join on (lang, blk, segment,
+#   substring) — exact (no qualifying pair can miss) with candidate
+#   volume Σ matching-substring collisions instead of block².
+#
+# Both paths feed one exact levenshtein verify, so the output is
+# byte-identical to the plain plan and the DuckDB oracle.  Prefixes
+# shorter than 40 chars (docs under 40 chars — none in this corpus)
+# can't use the fixed segment grid and stay on the plain path
+# regardless of block size.
 FUZZY_PREFIX = 40
 FUZZY_MAX_DIST = 12
+#: blocks above this many members route through the segment filter;
+#: measured crossover on the derived decades: at ~440-member blocks
+#: (sf1) the plain join wins (1.7 s vs 12.2 s all-segment), at
+#: ~1000-4400 (sf10) segments win decisively (63 s all-segment vs
+#: ~170 s with the mid-size blocks left on the plain path) — the
+#: per-block crossover sits near m² ≈ m·300 probe rows, m ≈ 700
+FUZZY_BLOCK_SPLIT = 768
+
+#: fixed 13-segment partition of a 40-char prefix: 12×3 + 1×4
+#: (1-based start positions for substring())
+_FUZZY_SEGS = [(i, 1 + 3 * i, 3) for i in range(12)] + [(12, 37, 4)]
 
 
-def fuzzy_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tables(spark, sf_dir)
-    d = t.documents.select(
+def _fuzzy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return Tables(spark, sf_dir).documents.select(
         "doc_id", "lang",
         (F.col("n_chars") / 8).cast("long").alias("blk"),
         F.substring("text", 1, FUZZY_PREFIX).alias("pre"))
-    a = d.select(*[F.col(c).alias(f"a_{c}") for c in d.columns])
-    b = d.select(*[F.col(c).alias(f"b_{c}") for c in d.columns])
-    return (a.join(b, (F.col("a_lang") == F.col("b_lang"))
-                   & (F.col("a_blk") == F.col("b_blk"))
-                   & (F.col("a_doc_id") < F.col("b_doc_id")))
+
+
+def _plain_block_pairs(a: DataFrame, b: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidates from the classic blocked self-join."""
+    aa = a.select(*[F.col(c).alias(f"a_{c}") for c in a.columns])
+    bb = b.select(*[F.col(c).alias(f"b_{c}") for c in b.columns])
+    return (aa.join(bb, (F.col("a_lang") == F.col("b_lang"))
+                    & (F.col("a_blk") == F.col("b_blk"))
+                    & (F.col("a_doc_id") < F.col("b_doc_id")))
             .select(F.col("a_doc_id").alias("doc_a"),
-                    F.col("b_doc_id").alias("doc_b"),
+                    F.col("b_doc_id").alias("doc_b")))
+
+
+def _segment_block_pairs(big: DataFrame) -> DataFrame:
+    """PassJoin candidates within the over-split blocks (see module
+    comment).  ``big`` rows all have a full 40-char prefix."""
+    segs = big.select(
+        "doc_id", "lang", "blk",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("i"),
+                     F.substring("pre", s, l).alias("seg"))
+            for i, s, l in _FUZZY_SEGS])).alias("x")
+    ).select("doc_id", "lang", "blk",
+             F.col("x.i").alias("i"), F.col("x.seg").alias("seg"))
+    probe_structs = []
+    for i, s, l in _FUZZY_SEGS:
+        lo = max(1, s - FUZZY_MAX_DIST)
+        hi = min(FUZZY_PREFIX - l + 1, s + FUZZY_MAX_DIST)
+        for p in range(lo, hi + 1):
+            probe_structs.append(
+                F.struct(F.lit(i).alias("i"),
+                         F.substring("pre", p, l).alias("seg")))
+    probes = big.select(
+        "doc_id", "lang", "blk",
+        # array_distinct: the same substring often recurs across the
+        # ±12 window — one row per distinct (i, substring) is enough
+        F.explode(F.array_distinct(F.array(*probe_structs))).alias("x")
+    ).select("doc_id", "lang", "blk",
+             F.col("x.i").alias("i"), F.col("x.seg").alias("seg"))
+    # shuffle-hash hint: both sides are explode outputs whose size
+    # estimates still reflect the pre-explode scan, so the planner
+    # otherwise picks a broadcast join and dies building a multi-GiB
+    # hash relation from the ~268×-exploded probe side (observed at
+    # the derived sf10: "Cannot broadcast the table larger than
+    # 8.0 GiB").  Building the hash table on the 13×-exploded segment
+    # side per partition is the right physical plan at every scale.
+    return (segs.alias("a").hint("shuffle_hash")
+            .join(probes.alias("b"), ["lang", "blk", "i", "seg"])
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+def _prefix_hist(col) -> F.Column:
+    """26-dim letter histogram of a prefix (count of c = len −
+    len(translate(c away))).  Digits/spaces are deliberately not
+    counted: a histogram over a SUBSET of the alphabet still yields a
+    valid edit-distance lower bound (edits touching uncounted chars
+    simply don't move it)."""
+    return F.array(*[
+        (F.length(col)
+         - F.length(F.translate(col, ch, ""))).cast("int")
+        for ch in "abcdefghijklmnopqrstuvwxyz"])
+
+
+def _levenshtein_verify(cand: DataFrame, d: DataFrame) -> DataFrame:
+    """Exact edit-distance verify with the classic count filter in
+    front: every edit op moves the letter histogram by at most 2 in
+    L1, so ``ed ≥ L1(hist_a, hist_b)/2`` — a 26-element compare
+    (~60× cheaper than the 40×40 DP) that prunes the bulk of the
+    candidate volume before levenshtein runs (at the derived sf10 the
+    segment join emits 51.6 M candidates for ~2.6 M real pairs)."""
+    pre_map = F.broadcast(d.select("doc_id", "pre",
+                                   _prefix_hist(F.col("pre"))
+                                   .alias("hist")))
+    pa = pre_map.select(F.col("doc_id").alias("doc_a"),
+                        F.col("pre").alias("a_pre"),
+                        F.col("hist").alias("a_h"))
+    pb = pre_map.select(F.col("doc_id").alias("doc_b"),
+                        F.col("pre").alias("b_pre"),
+                        F.col("hist").alias("b_h"))
+    l1 = F.aggregate(
+        F.zip_with("a_h", "b_h", lambda x, y: F.abs(x - y)),
+        F.lit(0), lambda acc, v: acc + v)
+    return (cand.join(pa, "doc_a").join(pb, "doc_b")
+            .filter(l1 <= 2 * FUZZY_MAX_DIST)
+            .select("doc_a", "doc_b",
                     F.levenshtein("a_pre", "b_pre").alias("edit_dist"))
             .filter(F.col("edit_dist") <= FUZZY_MAX_DIST))
+
+
+def fuzzy_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _fuzzy_docs(spark, sf_dir)
+    # driver-side stats decision (AQE-style planning from a tiny
+    # aggregate): the block-count table is bounded by the KEY
+    # cardinality (langs × length buckets — hundreds), never the
+    # corpus, so collecting the over-split keys is a constant-size
+    # driver action.  With no oversized block (every tested scale up
+    # to the derived sf1) the plan IS the classic single blocked
+    # self-join — zero overhead for the common case.
+    big_keys = [(r["lang"], r["blk"]) for r in
+                d.groupBy("lang", "blk").count()
+                .filter(F.col("count") > FUZZY_BLOCK_SPLIT)
+                .select("lang", "blk").collect()]
+    if not big_keys:
+        return _levenshtein_verify(_plain_block_pairs(d, d), d)
+    is_big = (F.concat_ws("|", "lang", F.col("blk").cast("string"))
+              .isin([f"{lang}|{blk}" for lang, blk in big_keys])
+              & (F.length("pre") == FUZZY_PREFIX))
+    small = d.filter(~is_big)
+    big = d.filter(is_big)
+    cand = (
+        # small↔small and every pair touching a short-prefix doc
+        _plain_block_pairs(small, small)
+        # small↔big bridges (same block, one side under the split):
+        # plain join — the small side bounds the fan-out
+        .unionByName(_plain_block_pairs(small, big))
+        .unionByName(_plain_block_pairs(big, small))
+        # big↔big: the segment filter
+        .unionByName(_segment_block_pairs(big)))
+    return _levenshtein_verify(cand, d)
 
 
 # ---------------------------------------------------------------------------

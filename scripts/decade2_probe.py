@@ -1,0 +1,96 @@
+"""Second-decade scaling probe for the data-bound queries
+(round-4 verdict item 3): time dedup_jaccard_prefix and
+fuzzy_doc_pairs at sf1 AND the documents-only sf10
+(make_sf_decade2.py), each scale in its own subprocess (fresh JVM),
+best-of-2 within the JVM — the same methodology as bench.py /
+scale_probe.py.
+
+Writes BENCH_decade2.json: per-query seconds at both scales + the
+decade ratio.  A ratio tracking the 10× data factor is linear growth
+under the replication model (new replicas bring new vocabulary, so
+per-replica candidate structure is constant by construction — the
+probe measures whether the IMPLEMENTATION adds superlinear cost on
+top: shuffle sizing, broadcast growth, block-key collisions); a ratio
+well above it is quadratic onset and names the next perf work.
+
+Usage:
+    python scripts/make_sf_decade2.py              # once
+    python scripts/decade2_probe.py                # probe + artifact
+    python scripts/decade2_probe.py --inner q dir  # (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+QUERIES = ("dedup_jaccard_prefix", "fuzzy_doc_pairs")
+SCALES = {"sf1": os.path.join(REPO, ".bigdata/sf1"),
+          "sf10": os.path.join(REPO, ".bigdata/sf10")}
+
+
+def inner(query: str, sf_dir: str) -> None:
+    from greenplum_dwh_spark.operators import dedup, training_data
+    from greenplum_dwh_spark.session import get_spark
+    fn = {"dedup_jaccard_prefix": dedup.dedup_jaccard_prefix,
+          "fuzzy_doc_pairs": training_data.fuzzy_doc_pairs}[query]
+    spark = get_spark("decade2_probe",
+                      extra_conf={"spark.ui.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    # untimed warm-up scan (bench.py discipline)
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")) \
+        .write.mode("overwrite").format("noop").save()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        best = min(best, time.time() - t0)
+    extra = {}
+    if query == "dedup_jaccard_prefix":
+        m = dedup.last_ppjoin_metrics()
+        if m:
+            extra["n_candidates"] = m["n_candidates"]
+    print(json.dumps({"best_sec": round(best, 3), **extra}))
+
+
+def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--inner":
+        inner(sys.argv[2], sys.argv[3])
+        return
+    artifact: dict = {"queries": {}, "data_factor": 10.0}
+    for q in QUERIES:
+        artifact["queries"][q] = {}
+        for label, sf_dir in SCALES.items():
+            # size the single-JVM heap for the scale under test: in
+            # local mode the driver heap IS the cluster memory, and
+            # probing 10× data in the sf0.1-sized default 8 g measures
+            # GC thrash, not the operator (a real cluster scales
+            # executors with data; SPARK_DRIVER_MEM is the local-mode
+            # equivalent)
+            env = dict(os.environ,
+                       SPARK_DRIVER_MEM="48g" if label == "sf10" else "8g")
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--inner", q, sf_dir],
+                cwd=REPO, env=env, capture_output=True, text=True,
+                check=True)
+            r = json.loads(out.stdout.strip().splitlines()[-1])
+            artifact["queries"][q][label] = r
+            print(q, label, r, flush=True)
+        a = artifact["queries"][q]["sf1"]["best_sec"]
+        b = artifact["queries"][q]["sf10"]["best_sec"]
+        artifact["queries"][q]["decade_ratio"] = round(b / a, 2) if a else None
+    out_path = os.path.join(REPO, "BENCH_decade2.json")
+    with open(out_path, "w") as f:
+        json.dump(artifact, f, indent=1, sort_keys=True)
+    print("wrote", out_path)
+
+
+if __name__ == "__main__":
+    main()

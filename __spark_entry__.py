@@ -48,42 +48,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Run order for the driver's correctness pass.  The driver truncates
 #: the tail of this dict when its global budget (~50 slots) runs out,
-#: so the ordering IS the verification-freshness lever.  Round-4
-#: rotation (verdict item 1, mechanical): (a) the 13 oracle-backed
-#: queries that have NEVER had a driver row (r03's list put them at
-#: positions 51+ and the budget cut at 50), then (b) the 6 whose last
-#: green row is r01, then (c) everything touched or added in round 4,
-#: then (d) the 45 queries last green in r02, oldest debt first.  The
-#: r03-green queries fall in registration order after these; the 7
-#: no-oracle-by-design queries sit in _RUN_LAST so they never burn a
-#: budget slot on a rows-only check while oracle debt exists.
+#: so the ordering IS the verification-freshness lever.  Round-5
+#: rotation (round-4 verdict item 1, mechanical): (a) the 21 queries
+#: whose latest green row is r02 — two rounds stale, the oldest debt —
+#: then (b) the 6 queries whose code paths changed in round 5 (PPJoin
+#: two-stage verify → jaccard/char/containment; SimHash recall-probe
+#: refactor; fuzzy_doc_pairs segment blocking; merge_upsert order_col),
+#: then (c) 23 of the 45 r03-green queries, dedup/curation families
+#: first since they share modules with this round's diffs.  The
+#: remaining 22 r03-green and all 50 r04-green rows fall in
+#: registration order after these; the 7 no-oracle-by-design queries
+#: sit in _RUN_LAST so they never burn a budget slot on a rows-only
+#: check while oracle debt exists.
 _RUN_FIRST = [
-    # (a) oracle-backed, never driver-checked (all judge-local PASS r3)
-    "dedup_char_jaccard", "dedup_embedding_lsh", "embedding_hof_norms",
-    "grouping_sets_priority_status", "multimodal_audio",
-    "multimodal_features", "multimodal_frames", "multimodal_resize",
-    "rollup_merge_hourly", "skew_salted_user_totals",
-    "text_bm25_topk_ranks", "tokens_posexplode", "window_rank_family",
-    # (b) last green in r01
-    "dedup_clusters", "dedup_jaccard_prefix", "dedup_minhash_lsh",
-    "dedup_simhash", "multimodal_meta", "sessionize_events",
-    # (c) touched in round 4 (ADVICE fixes: exact prefix bounds,
-    # MERGE conflict resolution, struct-literal DQ gate, pool
-    # pre-slice) — must re-green fresh
-    "dedup_containment", "merge_upsert_orders",
-    "dq_constraint_violations", "contrastive_negatives",
-    # (c) new in round 4: LM doc scoring (CCNet-filter shape), BPE
-    # pair counts (tokenizer induction), bidirectional nearest as-of
-    "lm_doc_scores", "bpe_pair_counts", "nearest_click_event",
-    # (d) last green in r02, nothing changed since
-    "amount_diff_lag", "ann_cosine_topk", "ann_euclidean_topk",
-    "anti_join_no_orders", "asof_last_click", "chain_fraud_window",
-    "cube_status_priority", "dedup_embedding", "dedup_exact",
-    "distinct_parts_per_flag", "dq_orders_profile", "funnel_users",
-    "json_props_agg", "last_week_threshold", "late_shipments",
-    "moving_sum_rows_frame", "multimodal_decode", "not_in_customers",
-    "null_handling_demo", "orders_calendar", "percentile_prices",
-    "pivot_status_counts", "q1_pricing_summary", "q3_segment_revenue",
+    # (a) latest green row is r02 — clear the two-round-stale debt
     "q5_nation_revenue", "range_frame_hour_sum",
     "range_join_hour_buckets", "range_join_tumbling_rewrite",
     "rollup_status_priority", "scalar_subquery_acctbal",
@@ -93,6 +71,21 @@ _RUN_FIRST = [
     "text_term_stats", "text_tokens", "tumbling_hourly",
     "union_labeled_rules", "window_lag_hop", "window_last_scd1",
     "window_lead_scd2",
+    # (b) touched in round 5 — must re-green fresh
+    "dedup_jaccard_prefix", "dedup_char_jaccard", "dedup_containment",
+    "dedup_simhash", "fuzzy_doc_pairs", "merge_upsert_orders",
+    # (c) r03-green, diff-adjacent families first (share dedup.py /
+    # curation funnel modules with this round's changes), then the
+    # rows the round-4 verdict named
+    "canon_text_dedup", "dedup_embedding_clusters", "dedup_incremental",
+    "dedup_keep_best", "dedup_source_overlap",
+    "pit_lookup_orders", "gapfill_forward_fill",
+    "decontaminate_ngrams", "decontaminate_ngrams8_planted",
+    "chunk_documents", "remove_boilerplate_lines", "scrub_pii",
+    "mixture_sampling_rates", "bigram_lm_counts", "split_leakage_safe",
+    "split_train_holdout", "sample_hash_stratified", "shard_and_order",
+    "table_diff_orders", "zorder_keys_orders", "padding_waste_by_order",
+    "rank_fusion_rrf", "vocab_topk_coverage",
 ]
 _RUN_LAST = [
     # no-oracle-by-design (rows-only checks; each pinned by tests —

@@ -76,8 +76,14 @@ def bench_mart_stream(spark, tmp: str) -> dict:
     os.makedirs(landing)
     for j in range(MART_REPLAYS):
         for p in paths:
-            shutil.copy(p, os.path.join(landing,
-                                        f"r{j}_{os.path.basename(p)}"))
+            # extracts are Spark-written parquet DIRECTORIES with one
+            # part file each; flatten to plain files so the landing
+            # dir is a flat file-source stream (one file per trigger
+            # = one daily extract per micro-batch)
+            part = [f for f in os.listdir(p)
+                    if f.endswith(".parquet")][0]
+            shutil.copy(os.path.join(p, part), os.path.join(
+                landing, f"r{j}_{os.path.basename(p)}"))
     n_rows = spark.read.parquet(landing).count()
     out_dir = os.path.join(tmp, "stream_out")
     run_ts = dt.datetime(2020, 5, 4, 23, 0)

@@ -589,3 +589,107 @@ def test_asof_join_null_times_never_match(spark):
         facts, versions, key="k", fact_time="ft",
         version_time="vt", version_tiebreak="vid").collect()}
     assert out == {1: None, 2: 10, 3: None}
+
+
+def _lev(a: str, b: str) -> int:
+    """Reference Levenshtein (classic DP) for the planted-corpus
+    fuzzy ground truth — O(|a||b|) on 40-char prefixes."""
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _fuzzy_fixture_docs():
+    """One hot block (30 same-length docs) + one small block, with
+    pairs planted at every interesting distance:
+
+    - 1-edit pair (easy hit);
+    - 12 substitutions spread over 12 DISTINCT segments (the
+      pigeonhole edge: only segment 13 survives untouched — a
+      candidate the segment join may only find through that one
+      segment);
+    - 12 substitutions packed into the first 12 positions;
+    - an indel pair (one char deleted → every later position shifts,
+      exercising the ±12 probe window rather than home positions);
+    - 13 substitutions touching ALL 13 segments (true distance 13:
+      must be ABSENT — no untouched segment, and the verify would
+      kill it even if a probe collided);
+    - 20 far-apart fillers to make the block hot without adding
+      pairs.
+    """
+    base = "abcdefghij" * 4          # the 40-char prefix under test
+    pad = "tailpadZ"                 # keeps every hot doc at 48 chars
+    docs = []
+
+    def add(text, lang="en"):
+        docs.append((len(docs), text, lang, "src", len(text)))
+
+    add(base + pad)                                    # d0
+    add("X" + base[1:] + pad)                          # d1: dist 1
+    sub12 = list(base)
+    for seg in range(12):                              # one sub per
+        sub12[3 * seg] = "Q"                           # segment 0-11
+    add("".join(sub12) + pad)                          # d2: dist 12
+    add("Q" * 12 + base[12:] + pad)                    # d3: dist 12
+    add(base[:5] + base[6:] + "q" + pad)               # d4: indel
+    sub13 = list(base)
+    for seg in range(12):
+        sub13[3 * seg] = "Q"
+    sub13[37] = "Q"                                    # segment 13
+    add("".join(sub13) + pad)                          # d5: dist 13
+    for i in range(20):                                # far fillers
+        add(chr(ord("A") + i) * 40 + pad)
+    # a second, small block (44 chars → different length bucket)
+    base2 = "zyxwvutsrq" * 4
+    add(base2 + "tail")
+    add("K" + base2[1:] + "tail")
+    add("M" * 40 + "tail")
+    return docs
+
+
+def test_fuzzy_segment_path_matches_bruteforce(spark, tmp_path,
+                                               monkeypatch):
+    """The PassJoin segment route (blocks over FUZZY_BLOCK_SPLIT
+    members) must emit byte-identical pairs to the plain blocked
+    self-join and to a pure-Python brute force — it only activates on
+    hot blocks (none exist at the test scale factors), so this
+    planted 30-doc block is the one place the route is exercised
+    under pytest (the sf10 decade probe is its scale credential)."""
+    from greenplum_dwh_spark.operators import training_data as td
+
+    docs = _fuzzy_fixture_docs()
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    truth = set()
+    for a_id, a_txt, a_lang, _, a_n in docs:
+        for b_id, b_txt, b_lang, _, b_n in docs:
+            if (a_id < b_id and a_lang == b_lang
+                    and a_n // 8 == b_n // 8):
+                d = _lev(a_txt[:40], b_txt[:40])
+                if d <= td.FUZZY_MAX_DIST:
+                    truth.add((a_id, b_id, d))
+    assert len(truth) >= 5                  # non-vacuous fixture
+    assert (0, 2, 12) in truth              # the pigeonhole edge
+    assert not any(a == 0 and b == 5 for a, b, _ in truth)
+
+    def run():
+        return {(r["doc_a"], r["doc_b"], r["edit_dist"])
+                for r in td.fuzzy_doc_pairs(
+                    spark, str(tmp_path)).collect()}
+
+    monkeypatch.setattr(td, "FUZZY_BLOCK_SPLIT", 10)
+    hot = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    n_hot = (hot.groupBy("lang", (F.col("n_chars") / 8).cast("long"))
+             .count().filter(F.col("count") > 10).count())
+    assert n_hot == 1                       # the route really fires
+    assert run() == truth                   # segment route
+    monkeypatch.setattr(td, "FUZZY_BLOCK_SPLIT", 10 ** 9)
+    assert run() == truth                   # plain route

@@ -61,6 +61,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: sit in _RUN_LAST so they never burn a budget slot on a rows-only
 #: check while oracle debt exists.
 _RUN_FIRST = [
+    # (0) new in round 5, never driver-checked — protocol rule (a)
+    "dup_ngram_fraction",
     # (a) latest green row is r02 — clear the two-round-stale debt
     "q5_nation_revenue", "range_frame_hour_sum",
     "range_join_hour_buckets", "range_join_tumbling_rewrite",

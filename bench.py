@@ -84,6 +84,7 @@ def bench_queries() -> dict:
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_jaccard_prefix": dedup.dedup_jaccard_prefix,
         "text_quality": text_analysis.text_quality,
+        "dup_ngram_fraction": text_analysis.dup_ngram_fraction,
         "text_fingerprint": text_analysis.text_fingerprint,
         "ann_cosine_topk": similarity.ann_cosine_topk,
         "funnel_users": relational.funnel_users,

@@ -284,6 +284,46 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                                / F.col("total_2grams"))))
 
 
+# Corpus-level duplicated-n-gram fraction (the cross-document member
+# of the Gopher/MassiveText duplication rule family; text_repetition
+# above is the intra-document one): for each document, how much of
+# its word-3-gram mass also occurs in at least one OTHER document.
+# High values flag template/boilerplate-heavy docs that survive
+# exact-dedup because no two are whole-document identical — the
+# signal CCNet-style pipelines compute at paragraph granularity.
+#
+# Scale shape: one map-only gram explode, then three exchanges, each
+# over data the previous stage already shrank — (doc, gram) partial
+# counts (map-side combined), a window keyed on gram over the
+# per-doc-distinct gram table (corpus-duplication tags), and the
+# final per-doc rollup.  No join carries raw text; at 100 TB the
+# gram string would ride as xxhash64 (the dedup-family recipe) —
+# kept verbatim here so the DuckDB oracle replays it exactly.
+DUP_NGRAM_N = 3
+
+
+def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    t = Tables(spark, sf_dir)
+    n = DUP_NGRAM_N
+    grams = (f"transform(sequence(1, size(toks) - {n - 1}), "
+             f"i -> array_join(slice(toks, i, {n}), ' '))")
+    per = (t.documents
+           .select("doc_id", F.split("text", " ").alias("toks"))
+           .filter(F.size("toks") >= n)
+           .select("doc_id", F.explode(F.expr(grams)).alias("gram"))
+           .groupBy("doc_id", "gram")
+           .agg(F.count(F.lit(1)).alias("m")))
+    nd = per.withColumn(
+        "nd", F.count(F.lit(1)).over(Window.partitionBy("gram")))
+    return (nd.groupBy("doc_id")
+            .agg(F.sum("m").alias("n_grams"),
+                 F.sum(F.when(F.col("nd") > 1, F.col("m"))
+                       .otherwise(F.lit(0))).alias("dup_grams"))
+            .withColumn("dup_bps", F.expr(
+                "CAST(dup_grams * 10000 DIV n_grams AS BIGINT)")))
+
+
 # Heavy-hitter tokens via the parallel Space-Saving sketch
 # (functions/sketch.py): bounded memory per partition no matter the
 # vocabulary size — the scale alternative to an exact full-vocabulary
@@ -309,6 +349,7 @@ QUERIES = {
     "text_bm25_topk_ranks": text_bm25_topk_ranks,
     "text_bm25_topk": text_bm25_topk,   # rows-only (float logs)
     "text_repetition": text_repetition,
+    "dup_ngram_fraction": dup_ngram_fraction,
     "text_heavy_hitters": text_heavy_hitters,  # rows-only (sketch)
 }
 
@@ -454,4 +495,26 @@ ORACLES = {
                1.0 - (len(list_distinct(grams))::DOUBLE / len(grams))
                    AS rep_frac
         FROM g""",
+    "dup_ngram_fraction": f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        g AS (
+          SELECT doc_id,
+                 unnest([array_to_string(w[i:i + {DUP_NGRAM_N - 1}],
+                                         ' ')
+                         for i in range(1, len(w)
+                                        - {DUP_NGRAM_N - 2})])
+                     AS gram
+          FROM toks WHERE len(w) >= {DUP_NGRAM_N}),
+        per AS (
+          SELECT doc_id, gram, count(*) AS m FROM g GROUP BY 1, 2),
+        nd AS (
+          SELECT *, count(*) OVER (PARTITION BY gram) AS nd FROM per)
+        SELECT doc_id,
+               sum(m)::BIGINT AS n_grams,
+               coalesce(sum(m) FILTER (nd > 1), 0)::BIGINT
+                   AS dup_grams,
+               ((coalesce(sum(m) FILTER (nd > 1), 0) * 10000)
+                   // sum(m))::BIGINT AS dup_bps
+        FROM nd GROUP BY doc_id""",
 }

@@ -564,3 +564,33 @@ def test_merge_upsert_delete_only_changeset(spark):
     bad = spark.createDataFrame([(2, "upsert")], "k long, action string")
     with pytest.raises(Exception, match="no payload columns"):
         merge_upsert(target, bad, "k").collect()
+
+
+def test_dup_ngram_fraction_cross_doc_semantics(spark, tmp_path):
+    """dup_ngram_fraction counts a gram as duplicated only when it
+    occurs in MORE THAN ONE document — a gram repeated many times
+    inside a single doc is intra-doc repetition (text_repetition's
+    job), not corpus duplication.  Planted corpus, hand-computed:
+
+    - A and B share exactly one 3-gram ('a b c') → each has 1 of its
+      2 grams duplicated (5000 bps);
+    - C shares nothing → 0 bps;
+    - D repeats its own gram ('u v w' twice) but no other doc has it
+      → 0 bps, and its n_grams counts the gram TWICE (mass, not
+      distinct);
+    - E is shorter than the gram width → absent from the output.
+    """
+    from greenplum_dwh_spark.operators.text_analysis import (
+        dup_ngram_fraction)
+    rows = [(0, "a b c d"), (1, "x a b c"), (2, "p q r s t"),
+            (3, "u v w u v w"), (4, "k k")]
+    spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: (r["n_grams"], r["dup_grams"], r["dup_bps"])
+           for r in dup_ngram_fraction(
+               spark, str(tmp_path)).collect()}
+    assert got == {0: (2, 1, 5000), 1: (2, 1, 5000),
+                   2: (3, 0, 0), 3: (4, 0, 0)}

@@ -285,3 +285,24 @@ def test_zorder_key_is_codegen_no_shuffle(spark, sf_dir):
     df = zorder_keys_orders(spark, sf_dir)
     assert checks.exchange_count(df) == 0
     assert not checks.has_python_udf(df)
+
+
+def test_dup_ngram_fraction_plan_shape(spark, sf_dir):
+    """Corpus-dup gram fraction: the scan must prune to (doc_id,
+    text), the gram explode must be map-side (no shuffle of raw
+    text), and every exchange must sit behind a partial aggregate —
+    the raw gram multiset is combined per partition before it ever
+    crosses the network."""
+    from greenplum_dwh_spark.operators.text_analysis import (
+        dup_ngram_fraction)
+    df = dup_ngram_fraction(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate explode" in plan
+    assert "partial_count" in plan      # map-side combine pre-shuffle
+    assert "partial_sum" in plan        # per-doc rollup combined too
+    assert not checks.has_python_udf(df)
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and all(
+        "doc_id:bigint,text:string" in ln for ln in scans)

@@ -452,6 +452,101 @@ def kmv_sketch_foreach_batch(store, table: str, group_col: str,
     return handle
 
 
+def neardup_ingest_foreach_batch(store, corpus_table: str,
+                                 index_table: str, rejects_table: str,
+                                 threshold: float | None = None,
+                                 band_cap: int | None = None):
+    """foreachBatch handler for CONTINUOUS near-dup corpus ingestion —
+    the streaming face of
+    :func:`~greenplum_dwh_spark.operators.dedup.incremental_minhash_pairs`
+    and the loop a production LLM-data pipeline actually runs: each
+    arriving micro-batch is probed against the ACCEPTED corpus' materialized
+    LSH band index; near-dups of the corpus are rejected (recorded with
+    their matched base doc + exact jaccard), survivors are appended to
+    the corpus AND their bands to the index, so later batches see them.
+
+    Semantics (identical to the asymmetric batch operator, pinned by
+    the stream≡batch test): a doc is rejected iff it is a verified
+    near-dup of an EARLIER-ACCEPTED doc — within-batch near-dup pairs
+    are both accepted (intra-increment self-dedup is the separate
+    batch pass, same contract as ``incremental_minhash_pairs``'s
+    "new-new pairs are deliberately not emitted").
+
+    Scale shape per batch: bands/signatures are computed over the
+    BATCH only; the index probe prunes to the batch's band set
+    (band-key semi-join) before the hot-band cap and the equi-join, so
+    per-batch cost is O(new·bands + collisions) — corpus size enters
+    only through the pruned index scan, never a corpus re-shingle.
+    The exact verify re-shingles just the matched corpus docs.
+
+    REPLAY-IDEMPOTENT (foreachBatch is at-least-once): rejects land as
+    a ``_batch_id``-partitioned dynamic overwrite (the as-of sibling's
+    recipe); corpus/index appends anti-join on ``doc_id`` first; and
+    the probe excludes index rows carrying this batch's own doc_ids,
+    so a replay after a crash between the index append and the
+    checkpoint commit reaches the same accept/reject decisions instead
+    of rejecting docs against their own half-committed bands."""
+    from greenplum_dwh_spark.operators.dedup import (
+        BAND_CAP, JACCARD_THRESHOLD, _minhash_bands, _pairs_with_jaccard)
+    from pyspark.sql import Window
+
+    thr = JACCARD_THRESHOLD if threshold is None else threshold
+    cap = BAND_CAP if band_cap is None else band_cap
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from greenplum_dwh_spark.functions import hashing as H
+        if not batch_df.take(1):
+            return
+        docs = (batch_df.select("doc_id", "text")
+                .dropDuplicates(["doc_id"]))
+        bands, sets = _minhash_bands(docs)
+        bands = bands.cache()
+        batch_ids = docs.select("doc_id")
+        idx = (store.read(index_table)
+               .join(F.broadcast(batch_ids), "doc_id", "left_anti")
+               .join(F.broadcast(bands.select("band").distinct()),
+                     "band", "semi"))
+        w = Window.partitionBy("band")
+        idx = (idx.withColumn("_bn", F.count(F.lit(1)).over(w))
+               .filter(F.col("_bn") <= cap).drop("_bn"))
+        cand = (bands.alias("a").join(idx.alias("b"), "band")
+                .select(F.col("a.doc_id").alias("doc_a"),
+                        F.col("b.doc_id").alias("doc_b"))
+                .distinct())
+        base = (store.read(corpus_table)
+                .join(cand.select(F.col("doc_b").alias("doc_id"))
+                      .distinct(), "doc_id", "semi")
+                .select("doc_id", "text"))
+        sets_all = sets.unionByName(H.with_word_shingles(base))
+        rejects = (_pairs_with_jaccard(docs, cand, sets_all)
+                   .filter(F.col("jac") >= thr)
+                   .select(F.col("doc_a").alias("new_doc"),
+                           F.col("doc_b").alias("base_doc"), "jac"))
+        rejects = rejects.localCheckpoint()  # decisions pinned before
+        accepted = (docs                     # any table mutates below
+                    .join(rejects.select(F.col("new_doc")
+                                         .alias("doc_id")).distinct(),
+                          "doc_id", "left_anti")
+                    .localCheckpoint())
+        store.overwrite_partitions(
+            rejects_table,
+            rejects.withColumn("_batch_id", F.lit(int(batch_id))),
+            "_batch_id")
+        acc_ids = accepted.select("doc_id")
+        store.append(index_table,
+                     bands.join(acc_ids, "doc_id", "semi")
+                     .join(store.read(index_table).select("doc_id")
+                           .distinct(), "doc_id", "left_anti"))
+        store.append(corpus_table,
+                     accepted.join(store.read(corpus_table)
+                                   .select("doc_id"),
+                                   "doc_id", "left_anti"))
+        bands.unpersist()
+        sets.unpersist()
+
+    return handle
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str,
                          spark: SparkSession) -> DataFrame:
     """Drain a stream with availableNow into an in-memory table —

@@ -84,6 +84,10 @@ FAMILIES = {
                             "ONE Sort on user_id: last() over the "
                             "preceding frame and first() over the "
                             "following frame share the window order"),
+    "dup_ngram_fraction": ("scan pruned to (doc_id, text); gram "
+                           "Generate map-side; every Exchange sits "
+                           "behind a partial aggregate — raw gram "
+                           "rows never cross the network"),
 }
 
 

@@ -660,3 +660,88 @@ def test_stream_asof_enrich_matches_batch(spark, tmp_path):
     # overwrites its _batch_id partition — table content unchanged
     handler(spark.createDataFrame(facts[half:], fact_schema), 1)
     assert current() == want
+
+
+def test_stream_neardup_ingest_matches_batch_fold(spark, tmp_path):
+    """Continuous near-dup corpus ingestion: three micro-batches
+    through neardup_ingest_foreach_batch must reach exactly the
+    accept/reject decisions of folding the asymmetric batch operator
+    (incremental_minhash_pairs) over the same batches — including a
+    duplicate of a doc accepted EARLIER IN THE STREAM (the index must
+    grow between micro-batches, not just hold the seed corpus)."""
+    from pyspark.sql import types as T
+
+    from greenplum_dwh_spark.operators.dedup import (
+        incremental_minhash_pairs)
+    from greenplum_dwh_spark.streaming.mart_stream import (
+        neardup_ingest_foreach_batch)
+    from greenplum_dwh_spark.tablestore import TableStore
+
+    # disjoint per-doc vocabularies: distinct docs share ZERO
+    # 3-gram shingles (rotations of one vocabulary are accidental
+    # near-dups — jac 0.73 — which this fixture must not plant)
+    mk = lambda p: " ".join(f"{p}{i}" for i in range(15))  # noqa: E731
+    t1, t2, t4, t7 = mk("a"), mk("b"), mk("c"), mk("d")
+    t6 = t2.replace("b7", "zz")            # 1-word variant of t2
+    batches = [
+        [(1, t1), (2, t2)],
+        [(3, t1), (4, t4)],                # 3 = exact dup of 1
+        [(5, t4), (6, t6), (7, t7)],       # 5 = dup of 4 (accepted
+    ]                                      # only one batch earlier)
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    doc_schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                               T.StructField("text", T.StringType())])
+    idx_schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                               T.StructField("band", T.StringType())])
+    store.init_append("corpus", doc_schema)
+    store.init_append("index", idx_schema)
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    handler = neardup_ingest_foreach_batch(store, "corpus", "index",
+                                           "rejects")
+    ckpt = str(tmp_path / "ingest_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(
+            "doc_id long, text string").parquet(str(src) + "/*.parquet")
+        q = (stream.writeStream.foreachBatch(handler)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, doc_schema).coalesce(1) \
+            .write.parquet(str(src / f"b{i}.parquet"))
+        drain()
+
+    # independent model: fold the asymmetric batch operator
+    corpus_model: list = []
+    rejects_model: set = set()
+    for rows in batches:
+        new_ids = {i for i, _ in rows}
+        union = spark.createDataFrame(corpus_model + rows, doc_schema)
+        pairs = incremental_minhash_pairs(
+            union, F.col("doc_id").isin(list(new_ids)))
+        rej = {(r["new_doc"], r["base_doc"], round(r["jac"], 9))
+               for r in pairs.collect()}
+        rejects_model |= rej
+        rejected = {a for a, _, _ in rej}
+        corpus_model += [r for r in rows if r[0] not in rejected]
+
+    got_corpus = {(r["doc_id"], r["text"])
+                  for r in store.read("corpus").collect()}
+    assert got_corpus == set(corpus_model)
+    got_rejects = {(r["new_doc"], r["base_doc"], round(r["jac"], 9))
+                   for r in store.read("rejects").collect()}
+    assert got_rejects == rejects_model
+    # the planted ground truths
+    assert (3, 1, 1.0) in got_rejects          # dup of the seed batch
+    assert (5, 4, 1.0) in got_rejects          # dup of a MID-STREAM
+    assert {1, 2, 4, 7} <= {d for d, _ in got_corpus}  # accept
+    assert not {3, 5} & {d for d, _ in got_corpus}
+    # the index holds bands for exactly the accepted docs
+    assert ({r["doc_id"] for r in
+             store.read("index").select("doc_id").distinct().collect()}
+            == {d for d, _ in got_corpus})

@@ -39,6 +39,8 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 MART_REPLAYS = int(os.environ.get("STREAM_BENCH_REPLAYS", "7"))
 CDC_BATCHES = int(os.environ.get("STREAM_BENCH_CDC_BATCHES", "8"))
 CDC_BASE_ROWS = 100_000
+INGEST_BATCHES = int(os.environ.get("STREAM_BENCH_INGEST_BATCHES",
+                                    "5"))
 CDC_ROWS_PER_BATCH = 10_000
 
 OUT_PATH = os.path.join(REPO, "BENCH_stream_r05.json")
@@ -184,6 +186,67 @@ def bench_cdc_apply(spark, tmp: str) -> dict:
     }
 
 
+def bench_neardup_ingest(spark, tmp: str) -> dict:
+    """Continuous near-dup corpus ingestion: the sf0.01 documents
+    table (500 docs, carries the generator's planted near-dups)
+    drained one shard per trigger through
+    neardup_ingest_foreach_batch against an initially-empty corpus.
+    Docs/s covers the full loop: batch shingle+minhash, index probe,
+    exact verify, reject record, corpus+index append."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from greenplum_dwh_spark.streaming.mart_stream import (
+        neardup_ingest_foreach_batch)
+    from greenplum_dwh_spark.tablestore import TableStore
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL",
+                            "/root/testdata/sf0.01")
+    docs = (spark.read.parquet(os.path.join(sf_dir,
+                                            "documents.parquet"))
+            .select("doc_id", "text"))
+    n_docs = docs.count()
+    src = os.path.join(tmp, "ingest_src")
+    os.makedirs(src)
+    for b in range(INGEST_BATCHES):
+        (docs.filter(F.pmod("doc_id", F.lit(INGEST_BATCHES)) == b)
+         .coalesce(1).write.parquet(os.path.join(src, f"b{b}.parquet")))
+    store = TableStore(spark, os.path.join(tmp, "ingest_store"))
+    doc_schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                               T.StructField("text", T.StringType())])
+    idx_schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                               T.StructField("band", T.StringType())])
+    store.init_append("corpus", doc_schema)
+    store.init_append("index", idx_schema)
+    walls: list = []
+    handler = neardup_ingest_foreach_batch(store, "corpus", "index",
+                                           "rejects")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/*.parquet"))
+    t0 = time.time()
+    q = (stream.writeStream
+         .foreachBatch(_timed(handler, walls))
+         .option("checkpointLocation", os.path.join(tmp,
+                                                    "ingest_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    wall = time.time() - t0
+    return {
+        "batches": len(walls),
+        "input_docs": n_docs,
+        "accepted_docs": store.read("corpus").count(),
+        "rejected_pairs": store.read("rejects").count(),
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "batch_wall_sec": {
+            "mean": round(sum(walls) / max(len(walls), 1), 3),
+            "max": round(max(walls), 3) if walls else None,
+            "min": round(min(walls), 3) if walls else None,
+        },
+    }
+
+
 def main() -> None:
     from greenplum_dwh_spark.session import get_spark
     spark = get_spark("bench_streaming",
@@ -196,6 +259,7 @@ def main() -> None:
             "metric": "streaming_paths",
             "mart_stream": bench_mart_stream(spark, tmp),
             "cdc_apply": bench_cdc_apply(spark, tmp),
+            "neardup_ingest": bench_neardup_ingest(spark, tmp),
         }
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

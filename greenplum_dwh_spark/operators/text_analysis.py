@@ -294,16 +294,20 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale shape: one map-only gram explode, then three exchanges, each
 # over data the previous stage already shrank — (doc, gram) partial
-# counts (map-side combined), a window keyed on gram over the
-# per-doc-distinct gram table (corpus-duplication tags), and the
-# final per-doc rollup.  No join carries raw text; at 100 TB the
-# gram string would ride as xxhash64 (the dedup-family recipe) —
-# kept verbatim here so the DuckDB oracle replays it exactly.
+# counts (map-side combined), the gram-keyed doc-frequency aggregate
+# joined back to the per-doc-distinct gram table, and the final
+# per-doc rollup.  The corpus-duplication tag is an AGGREGATE + JOIN,
+# deliberately not a window over gram: a stop-gram at corpus scale
+# puts every doc containing it in ONE window partition (a single
+# task), while the equivalent shuffle join is partially combined on
+# the agg side and AQE skew-splittable on the probe side.  No join
+# carries raw text; at 100 TB the gram string would ride as xxhash64
+# (the dedup-family recipe) — kept verbatim here so the DuckDB oracle
+# replays it exactly.
 DUP_NGRAM_N = 3
 
 
 def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
     t = Tables(spark, sf_dir)
     n = DUP_NGRAM_N
     grams = (f"transform(sequence(1, size(toks) - {n - 1}), "
@@ -314,9 +318,9 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select("doc_id", F.explode(F.expr(grams)).alias("gram"))
            .groupBy("doc_id", "gram")
            .agg(F.count(F.lit(1)).alias("m")))
-    nd = per.withColumn(
-        "nd", F.count(F.lit(1)).over(Window.partitionBy("gram")))
-    return (nd.groupBy("doc_id")
+    df_g = per.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
+    return (per.join(df_g, "gram")
+            .groupBy("doc_id")
             .agg(F.sum("m").alias("n_grams"),
                  F.sum(F.when(F.col("nd") > 1, F.col("m"))
                        .otherwise(F.lit(0))).alias("dup_grams"))

@@ -317,7 +317,13 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
            .filter(F.size("toks") >= n)
            .select("doc_id", F.explode(F.expr(grams)).alias("gram"))
            .groupBy("doc_id", "gram")
-           .agg(F.count(F.lit(1)).alias("m")))
+           .agg(F.count(F.lit(1)).alias("m"))
+           # referenced by BOTH join sides below; without this the
+           # explode+shuffle subtree runs twice (AQE stage reuse does
+           # not fire across the agg/probe asymmetry — measured).  At
+           # cluster scale use persist(DISK_ONLY) if the (doc, gram)
+           # table outgrows executor memory.
+           .cache())
     df_g = per.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
     return (per.join(df_g, "gram")
             .groupBy("doc_id")

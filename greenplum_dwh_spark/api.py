@@ -31,7 +31,9 @@ Streaming::
     api.stream_sessionize / api.stream_chain_detector /
     api.stream_tumbling_counts / api.run_streaming_mart /
     api.stream_dedup / api.stream_decontaminate /
-    api.asof_enrich_foreach_batch (streaming PIT enrichment)
+    api.asof_enrich_foreach_batch (streaming PIT enrichment) /
+    api.neardup_ingest_foreach_batch (continuous near-dup corpus
+    ingestion vs a growing LSH band index)
 
 Curation / reconciliation::
 
@@ -91,7 +93,7 @@ from greenplum_dwh_spark.operators.timeseries import (asof_join,  # noqa: F401
                                                       nearest_join)
 from greenplum_dwh_spark.streaming.mart_stream import (  # noqa: F401
     asof_enrich_foreach_batch, cdc_apply_foreach_batch,
-    kmv_sketch_foreach_batch,
+    kmv_sketch_foreach_batch, neardup_ingest_foreach_batch,
     stream_chain_detector, stream_decontaminate, stream_dedup,
     stream_expired_rules, stream_landing, stream_sessionize,
     stream_tumbling_counts)

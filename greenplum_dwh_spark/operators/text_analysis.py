@@ -308,11 +308,17 @@ DUP_NGRAM_N = 3
 
 
 def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tables(spark, sf_dir)
+    return dup_ngram_mass(Tables(spark, sf_dir).documents)
+
+
+def dup_ngram_mass(docs: DataFrame) -> DataFrame:
+    """DataFrame-verb form (used by the curation funnel): per doc,
+    total 3-gram mass, the mass also present in ≥1 other doc, and the
+    duplicated share in basis points."""
     n = DUP_NGRAM_N
     grams = (f"transform(sequence(1, size(toks) - {n - 1}), "
              f"i -> array_join(slice(toks, i, {n}), ' '))")
-    per = (t.documents
+    per = (docs
            .select("doc_id", F.split("text", " ").alias("toks"))
            .filter(F.size("toks") >= n)
            .select("doc_id", F.explode(F.expr(grams)).alias("gram"))

@@ -3,7 +3,8 @@ training-data team runs between a raw crawl and tokenizer-ready
 shards, composed from the operator library —
 
     exact dedup → near-dup cluster + keep-best → benchmark
-    decontamination → LM quality filter → train/holdout split →
+    decontamination → corpus-duplication (dup-n-gram) filter →
+    LM quality filter → train/holdout split →
     context-window chunking → shard assignment
 
 Each stage prints its row count so the funnel is visible; the stages
@@ -63,7 +64,24 @@ def run(spark, sf_dir: str) -> dict:
             .join(contaminated, "doc_id", "left_anti"))
     stats["after_decontamination"] = docs.count()
 
-    # 3b. LM quality filter (the CCNet step): score survivors under
+    # 3b. corpus-duplication filter (the Gopher duplicated-n-gram
+    # rule, cross-document form): drop the most-duplicated tail —
+    # docs whose 3-gram mass is overwhelmingly already present in
+    # other surviving docs (template/boilerplate copies that survive
+    # exact+near dedup because no single doc matches them whole).
+    # Quantile cut from the exact distribution, same discipline as
+    # the LM stage; short docs have no mass row and are KEPT.
+    from greenplum_dwh_spark.operators.text_analysis import (
+        dup_ngram_mass)
+    mass = dup_ngram_mass(docs)
+    dup_cut = mass.agg(F.expr("percentile(dup_bps, 0.98)")).first()[0]
+    if dup_cut is not None:
+        worst = (mass.filter(F.col("dup_bps") > dup_cut)
+                 .select("doc_id"))
+        docs = docs.join(worst, "doc_id", "left_anti")
+    stats["after_dup_gram_filter"] = docs.count()
+
+    # 3c. LM quality filter (the CCNet step): score survivors under
     # the bigram LM built FROM the survivors, drop the lowest-scoring
     # 5% tail (threshold from the exact score distribution).  Docs too
     # short to produce a bigram have no score row — they are KEPT

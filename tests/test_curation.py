@@ -221,6 +221,8 @@ def test_curate_pipeline_funnel(spark, sf_dir):
     assert (s["raw_docs"] >= s["after_exact_dedup"]
             >= s["after_neardup_keep_best"]
             > s["after_decontamination"]
+            >= s["after_dup_gram_filter"]
+            >= s["after_lm_quality_filter"]
             >= s["train_docs"] > 0)
     assert s["chunks"] >= s["train_docs"]  # ≥1 chunk per doc
     assert 0 < s["shards"] <= 32

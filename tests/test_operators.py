@@ -594,3 +594,52 @@ def test_dup_ngram_fraction_cross_doc_semantics(spark, tmp_path):
                spark, str(tmp_path)).collect()}
     assert got == {0: (2, 1, 5000), 1: (2, 1, 5000),
                    2: (3, 0, 0), 3: (4, 0, 0)}
+
+
+def test_merge_upsert_order_col_equals_dict_model(spark):
+    """order_col ≡ an independent dict-model last-writer-wins MERGE
+    on seeded random changesets: per key the largest (seq,
+    delete-beats-upsert, payload) tuple decides — exercising seq
+    ties, delete/upsert ties at one seq, NULL payloads on deletes,
+    and stale deletes under later upserts, none of which the directed
+    test enumerates exhaustively."""
+    import random
+
+    from greenplum_dwh_spark.operators.reconcile import merge_upsert
+    rng = random.Random(11)
+    target_rows = [(k, f"s{k}", k * 10) for k in range(30)]
+    changes_rows = []
+    for _ in range(80):
+        k = rng.randrange(45)
+        seq = rng.randrange(16)            # small range → many ties
+        if rng.random() < 0.3:
+            changes_rows.append((k, None, None, "delete", seq))
+        else:
+            changes_rows.append((k, f"u{rng.randrange(5)}",
+                                 rng.randrange(100), "upsert", seq))
+    t = spark.createDataFrame(target_rows, "k long, s string, v long")
+    c = spark.createDataFrame(
+        changes_rows, "k long, s string, v long, action string,"
+        " seq long")
+    got = sorted(tuple(r) for r in
+                 merge_upsert(t, c, "k", order_col="seq").collect())
+
+    # model key mirrors the Spark struct comparison: order value,
+    # then delete-beats-upsert, then payload with NULL smallest
+    # (Spark's struct max orders null fields first)
+    def key(ch):
+        s, v, a, seq = ch
+        return (seq, 1 if a == "delete" else 0,
+                (s is not None, s or ""), (v is not None, v or 0))
+
+    model = {k: (s, v) for k, s, v in target_rows}
+    per_key: dict = {}
+    for k, s, v, a, seq in changes_rows:
+        per_key.setdefault(k, []).append((s, v, a, seq))
+    for k, chs in per_key.items():
+        s, v, a, _ = max(chs, key=key)
+        model.pop(k, None)
+        if a == "upsert":
+            model[k] = (s, v)
+    want = sorted((k, s, v) for k, (s, v) in model.items())
+    assert got == want

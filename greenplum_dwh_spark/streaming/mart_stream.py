@@ -523,11 +523,12 @@ def neardup_ingest_foreach_batch(store, corpus_table: str,
                    .select(F.col("doc_a").alias("new_doc"),
                            F.col("doc_b").alias("base_doc"), "jac"))
         rejects = rejects.localCheckpoint()  # decisions pinned before
-        accepted = (docs                     # any table mutates below
-                    .join(rejects.select(F.col("new_doc")
-                                         .alias("doc_id")).distinct(),
-                          "doc_id", "left_anti")
-                    .localCheckpoint())
+        # any table mutates below; `accepted` needs no checkpoint of
+        # its own — it derives only from the (batch-stable) source and
+        # the pinned rejects, never from the tables the appends mutate
+        accepted = docs.join(
+            rejects.select(F.col("new_doc").alias("doc_id"))
+            .distinct(), "doc_id", "left_anti")
         store.overwrite_partitions(
             rejects_table,
             rejects.withColumn("_batch_id", F.lit(int(batch_id))),

@@ -134,6 +134,7 @@ def bench_queries() -> dict:
         # bidirectional nearest as-of)
         "lm_doc_scores": curation.lm_doc_scores,
         "bpe_pair_counts": curation.bpe_pair_counts,
+        "bpe_encode_top_words": curation.bpe_encode_top_words,
         "nearest_click_event": timeseries.nearest_click_event,
     }
 

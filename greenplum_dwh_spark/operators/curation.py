@@ -338,6 +338,68 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.countDistinct("w").cast("long").alias("n_words")))
 
 
+# True iterative BPE (Sennrich et al.): learn BPE_MERGES merges by
+# re-counting pairs after EVERY merge (merges interact — the static
+# pair table bpe_pair_counts exposes is only round one), then show the
+# learned segmentation on the most frequent words.
+#
+# String encoding that keeps Spark and DuckDB replace() bit-identical:
+# token spellings use TWO-space separators and sentinels
+# ('␣␣a␣␣b␣␣c␣␣').  A merge of (a, b) replaces '␣a␣␣b␣' with '␣ab␣' —
+# each occurrence consumes ONE space from each neighboring separator,
+# so ABUTTING occurrences keep their own match ('a b a b' merges to
+# 'ab ab' in one pass, the textbook left-to-right greedy result; a
+# single-space encoding would consume the shared space and silently
+# skip every second occurrence).  Both engines' replace() scan
+# leftmost-non-overlapping over the original string, so the results
+# agree byte-for-byte.
+#
+# Scale shape: the corpus is touched ONCE (the map-combined word
+# count); every iteration runs over the VOCABULARY-sized word table —
+# one explode + one agg — and picks the merge with a 1-row driver
+# action (bounded: BPE_MERGES actions total), which is exactly the
+# real trainer loop's control flow.
+BPE_MERGES = 6
+BPE_TOP_WORDS = 20
+
+_BPE_PAIRS = ("case when size(t) >= 2 then transform("
+              "sequence(1, size(t) - 1), i -> concat("
+              "element_at(t, i), ' ', element_at(t, i + 1))) "
+              "else cast(array() as array<string>) end")
+
+
+def bpe_encode_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    words = (t.documents
+             .select(F.explode(_tok()).alias("w"))
+             .groupBy("w")
+             .agg(F.count(F.lit(1)).alias("c"))
+             .cache())          # vocabulary-sized; read every round
+    cur = words.select(
+        "w", "c",
+        F.concat(F.lit("  "), F.regexp_replace("w", "(.)", "$1  "))
+        .alias("sp"))
+    for _ in range(BPE_MERGES):
+        top = (cur.select("c", F.split(F.trim("sp"), "  ").alias("t"))
+               .select("c", F.explode(F.expr(_BPE_PAIRS)).alias("pair"))
+               .groupBy("pair").agg(F.sum("c").alias("pc"))
+               .orderBy(F.desc("pc"), F.asc("pair"))
+               .first())
+        if top is None:          # vocabulary fully merged (tiny corpora)
+            continue             # keep the iteration count symmetric
+        a, b = top["pair"].split(" ")
+        cur = cur.withColumn("sp", F.call_function(
+            "replace", F.col("sp"),
+            F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")))
+    toks = F.split(F.trim("sp"), "  ")
+    return (cur.orderBy(F.desc("c"), F.asc("w"))
+            .limit(BPE_TOP_WORDS)
+            .select(F.col("w").alias("word"),
+                    F.col("c").cast("long").alias("n_w"),
+                    F.array_join(toks, " ").alias("tokens"),
+                    F.size(toks).cast("long").alias("n_tokens")))
+
+
 # ---------------------------------------------------------------------------
 # Shard assignment + intra-shard ordering: the deterministic "global
 # shuffle" a distributed dataloader needs, WITHOUT a global sort — a
@@ -375,8 +437,55 @@ QUERIES = {
     "bigram_lm_counts": bigram_lm_counts,
     "lm_doc_scores": lm_doc_scores,
     "bpe_pair_counts": bpe_pair_counts,
+    "bpe_encode_top_words": bpe_encode_top_words,
     "shard_and_order": shard_and_order,
 }
+
+def _bpe_encode_oracle() -> str:
+    """DuckDB twin of :func:`bpe_encode_top_words`: the same
+    BPE_MERGES iterations as chained CTEs — each round re-derives the
+    weighted pair counts from the current spellings, picks the merge
+    by (count DESC, pair ASC), and applies the identical two-space
+    replace via a 1-row cross join.  Every iteration CTE is
+    MATERIALIZED and referenced exactly once: with default inlining
+    the scalar-subquery form re-evaluated s0 once per reference path
+    (3^BPE_MERGES times — measured as a hang at even sf0.001).
+    NULL-guarded so an exhausted vocabulary leaves spellings
+    unchanged (the Spark loop's ``continue``)."""
+    parts = ["""
+        WITH w AS MATERIALIZED (
+          SELECT w, count(*)::BIGINT AS c
+          FROM documents, unnest(string_split(text, ' ')) AS u(w)
+          GROUP BY w),
+        s0 AS MATERIALIZED (
+          SELECT w, c,
+                 '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS sp
+          FROM w)"""]
+    for i in range(1, BPE_MERGES + 1):
+        parts.append(f""",
+        m{i} AS MATERIALIZED (
+          SELECT ' ' || replace(pair, ' ', '  ') || ' ' AS pat,
+                 ' ' || replace(pair, ' ', '') || ' ' AS rep
+          FROM (
+            SELECT c, unnest([t[j] || ' ' || t[j+1]
+                              for j in range(1, len(t))]) AS pair
+            FROM (SELECT c, string_split(trim(sp), '  ') AS t
+                  FROM s{i - 1}))
+          GROUP BY pair ORDER BY sum(c) DESC, pair LIMIT 1),
+        s{i} AS MATERIALIZED (
+          SELECT w, c,
+                 CASE WHEN m.pat IS NULL THEN sp
+                      ELSE replace(sp, m.pat, m.rep) END AS sp
+          FROM s{i - 1} LEFT JOIN m{i} m ON true)""")
+    parts.append(f"""
+        SELECT w AS word, c AS n_w,
+               array_to_string(string_split(trim(sp), '  '), ' ')
+                   AS tokens,
+               len(string_split(trim(sp), '  '))::BIGINT AS n_tokens
+        FROM s{BPE_MERGES}
+        ORDER BY c DESC, w LIMIT {BPE_TOP_WORDS}""")
+    return "".join(parts)
+
 
 ORACLES = {
     "decontaminate_ngrams": f"""
@@ -515,6 +624,7 @@ ORACLES = {
         SELECT doc_id, n_bigrams, lm_score_sum,
                (lm_score_sum // n_bigrams)::BIGINT AS lm_score_avg
         FROM scored""",
+    "bpe_encode_top_words": _bpe_encode_oracle(),
     "bpe_pair_counts": """
         WITH words AS (
           SELECT w, count(*)::BIGINT AS n_w

@@ -308,3 +308,27 @@ def test_bpe_pair_counts_shuffles_vocab_not_corpus(spark, sf_dir):
     plan = checks.physical_plan(df)
     assert "Join" not in plan
     assert not checks.has_python_udf(df)
+
+
+def test_bpe_encode_learns_and_applies_merges(spark, tmp_path):
+    """Hand-traced BPE on a planted vocabulary: {abab×10, ab×5, cd×3}.
+    Round 1 must pick ('a','b') (weight 25) and merge BOTH abutting
+    occurrences inside 'a b a b' in one pass (the two-space separator
+    contract — a single-space encoding would leave 'ab a b'); round 2
+    then merges ('ab','ab'); round 3 ('c','d'); the remaining rounds
+    find no pairs and no-op.  Final segmentations are all single
+    tokens, which is reachable ONLY via the correct greedy trace."""
+    from greenplum_dwh_spark.operators.curation import (
+        bpe_encode_top_words)
+    text = " ".join(["abab"] * 10 + ["ab"] * 5 + ["cd"] * 3)
+    spark.createDataFrame(
+        [(0, text, "en", "src", len(text))],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["word"]: (r["n_w"], r["tokens"], r["n_tokens"])
+           for r in bpe_encode_top_words(
+               spark, str(tmp_path)).collect()}
+    assert got == {"abab": (10, "abab", 1),
+                   "ab": (5, "ab", 1),
+                   "cd": (3, "cd", 1)}

@@ -62,7 +62,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: check while oracle debt exists.
 _RUN_FIRST = [
     # (0) new in round 5, never driver-checked — protocol rule (a)
-    "dup_ngram_fraction", "bpe_encode_top_words",
+    "dup_ngram_fraction", "bpe_encode_top_words", "dedup_repeated_spans",
     # (a) latest green row is r02 — clear the two-round-stale debt
     "q5_nation_revenue", "range_frame_hour_sum",
     "range_join_hour_buckets", "range_join_tumbling_rewrite",

@@ -96,6 +96,7 @@ def bench_queries() -> dict:
         # checked demo in queries().
         "range_join_tumbling_rewrite": relational.range_join_tumbling_rewrite,
         "dedup_clusters": dedup.dedup_clusters,
+        "dedup_repeated_spans": dedup.dedup_repeated_spans,
         "pack_documents": packing.pack_documents,
         # round-3 families: timeline algebra + curation verbs
         "gapfill_forward_fill": timeseries.gapfill_forward_fill,

@@ -1054,6 +1054,111 @@ def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", "text").unionByName(planted))
 
 
+#: suffix-ordering repeated-span detection (the one dedup axis the
+#: fixed-k n-gram family can't cover: the LONGEST shared span)
+REPEAT_MIN_SPAN = 5       # tokens; also the window-block width
+REPEAT_SUFFIX_CAP = 20    # tokens kept per suffix; spans >= cap report cap
+
+
+def repeated_spans(docs: DataFrame,
+                   min_span: int = REPEAT_MIN_SPAN,
+                   cap: int = REPEAT_SUFFIX_CAP) -> DataFrame:
+    """Longest cross-document repeated token span per document — the
+    suffix-array exact-substring dedup of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"),
+    token-level.  Every fixed-k member of this module answers "do
+    these docs share SOME k-gram"; this one answers "what is the
+    longest contiguous run this doc shares with ANY other doc", which
+    is the signal the published pipeline thresholds on (50-token
+    runs) before cutting spans out of the corpus.
+
+    Algorithm = the suffix-array construction re-expressed as one
+    blocked window, no single-partition global sort:
+
+    1. explode each doc into its suffixes, truncated to ``cap``
+       tokens (map-side; payload O(cap) per row);
+    2. window ``partitionBy(block).orderBy(suffix, doc_id, pos)``
+       where block = the suffix's first ``min_span`` tokens.  Any
+       pair with token-LCP >= min_span shares its block by
+       definition, and because ' ' sorts below every token character,
+       suffixes sharing a token prefix are contiguous under plain
+       string order — so within a block the classic suffix-array
+       adjacency lemma holds: lcp(u, v) = min of adjacent lcps
+       between them, hence for every cross-doc pair at LCP L there is
+       an ADJACENT doc-changing pair at LCP >= L involving each
+       endpoint's doc.  Scanning only lag-adjacent rows is therefore
+       exact, not approximate;
+    3. token-LCP of adjacent suffixes as a codegen expression
+       (``zip_with`` mismatch scan — ``<=>`` makes the padded-NULL
+       tail a mismatch, so unequal lengths resolve for free);
+    4. per-doc max with a deterministic (lcp DESC, span ASC)
+       ``row_number`` tiebreak.
+
+    Scale shape: one exchange on the block key plus one on doc_id;
+    the explode multiplies rows by avg doc length but every row
+    carries <= cap tokens, so the shuffle moves O(corpus_tokens·cap)
+    — the same external-sort cost profile as the published suffix-
+    array build, with ``cap`` the completeness/IO dial.  Window cost
+    is linear per partition (sort + lag), so a hot block (a viral
+    boilerplate 5-gram) degrades to a bigger sort, never a quadratic
+    pair blow-up.
+
+    Returns (doc_id, span_len, span); docs sharing no run of
+    ``min_span``+ tokens are absent (filter semantics).
+    """
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    # sequence(1, n) descends for n < 1 — guard with the size filter
+    sfx = (toks.filter(F.size("t") >= min_span)
+           .select("doc_id", "t",
+                   F.explode(F.sequence(
+                       F.lit(1),
+                       F.size("t") - (min_span - 1))).alias("pos"))
+           .select("doc_id", "pos",
+                   F.expr(f"array_join(slice(t, pos, {cap}), ' ')")
+                   .alias("sfx"),
+                   F.expr(f"array_join(slice(t, pos, {min_span}), ' ')")
+                   .alias("blk")))
+    w = Window.partitionBy("blk").orderBy("sfx", "doc_id", "pos")
+    lagd = sfx.select("doc_id", "sfx",
+                      F.lag("doc_id").over(w).alias("pdoc"),
+                      F.lag("sfx").over(w).alias("psfx"))
+    pairs = (lagd
+             .filter(F.col("pdoc").isNotNull()
+                     & (F.col("pdoc") != F.col("doc_id")))
+             .select("doc_id", "pdoc",
+                     F.split("sfx", " ").alias("a"),
+                     F.split("psfx", " ").alias("b")))
+    # first mismatch position, 1-based; 0 = arrays identical
+    mism = F.expr("array_position(zip_with(a, b, "
+                  "(x, y) -> NOT (x <=> y)), true)")
+    lcp = (F.when(mism == 0, F.least(F.size("a"), F.size("b")))
+           .otherwise(mism - 1))
+    # both endpoints of each adjacent pair get credit; explode-of-
+    # structs, NOT a self-union — a union would duplicate the whole
+    # scan+explode+window upstream (verified: two FileScans in the
+    # unioned plan, one here)
+    sides = (pairs.select("doc_id", "pdoc", lcp.alias("lcp"), "a")
+             .filter(F.col("lcp") >= min_span)
+             .select("doc_id", "pdoc", "lcp",
+                     F.expr("array_join(slice(a, 1, lcp), ' ')")
+                     .alias("span"))
+             .select(F.explode(F.array(
+                 F.struct(F.col("doc_id").alias("d"), "lcp", "span"),
+                 F.struct(F.col("pdoc").alias("d"), "lcp", "span")))
+                 .alias("s"))
+             .select("s.*"))
+    wv = Window.partitionBy("d").orderBy(F.desc("lcp"), F.asc("span"))
+    return (sides.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select(F.col("d").cast("long").alias("doc_id"),
+                    F.col("lcp").cast("long").alias("span_len"),
+                    "span"))
+
+
+def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repeated_spans(_docs(spark, sf_dir))
+
+
 QUERIES = {
     "dedup_incremental": dedup_incremental,
     "split_leakage_safe": split_leakage_safe,
@@ -1066,6 +1171,7 @@ QUERIES = {
     "dedup_jaccard_prefix": dedup_jaccard_prefix,
     "dedup_char_jaccard": dedup_char_jaccard,
     "dedup_clusters": dedup_clusters,
+    "dedup_repeated_spans": dedup_repeated_spans,
 }
 
 _W3 = H.word_shingles_sql()
@@ -1288,4 +1394,54 @@ ORACLES = {
                s.n_members
         FROM best b JOIN sizes s ON b.cluster_id = s.cluster_id
         WHERE b.rk = 1""",
+    # same blocked-suffix-window construction as repeated_spans():
+    # both engines sort identical ASCII strings, so the adjacency set
+    # (and with it every intermediate pair) matches row-for-row, not
+    # just the final max.  DuckDB list slices are inclusive-both-ends
+    # and clamp at the list end; range() is end-exclusive (lateral
+    # generate_series is unsupported — the list-comprehension recipe).
+    "dedup_repeated_spans": f"""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+                      FROM documents),
+        sfx AS (
+          SELECT doc_id, i AS pos,
+                 array_to_string(t[i:i + {REPEAT_SUFFIX_CAP} - 1],
+                                 ' ') AS sfx,
+                 array_to_string(t[i:i + {REPEAT_MIN_SPAN} - 1],
+                                 ' ') AS blk
+          FROM toks,
+               unnest([i for i in
+                       range(1, len(t) - {REPEAT_MIN_SPAN} + 2)])
+               AS u(i)),
+        lagd AS (
+          SELECT doc_id, sfx,
+                 lag(doc_id) OVER w AS pdoc,
+                 lag(sfx) OVER w AS psfx
+          FROM sfx
+          WINDOW w AS (PARTITION BY blk ORDER BY sfx, doc_id, pos)),
+        pairs AS (
+          SELECT doc_id, pdoc,
+                 string_split(sfx, ' ') AS a,
+                 string_split(psfx, ' ') AS b
+          FROM lagd
+          WHERE pdoc IS NOT NULL AND pdoc <> doc_id),
+        lcps AS (
+          SELECT doc_id, pdoc, a,
+                 coalesce(nullif(list_position(
+                     [a[i] IS DISTINCT FROM b[i]
+                      for i in range(1, least(len(a), len(b)) + 1)],
+                     true), 0) - 1,
+                     least(len(a), len(b))) AS lcp
+          FROM pairs),
+        sides AS (
+          SELECT doc_id AS d, lcp,
+                 array_to_string(a[1:lcp], ' ') AS span
+          FROM lcps WHERE lcp >= {REPEAT_MIN_SPAN}
+          UNION ALL
+          SELECT pdoc, lcp, array_to_string(a[1:lcp], ' ')
+          FROM lcps WHERE lcp >= {REPEAT_MIN_SPAN})
+        SELECT d::BIGINT AS doc_id, lcp::BIGINT AS span_len, span
+        FROM sides
+        QUALIFY row_number() OVER (PARTITION BY d
+                                   ORDER BY lcp DESC, span ASC) = 1""",
 }

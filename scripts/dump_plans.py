@@ -40,6 +40,12 @@ FAMILIES = {
     "dedup_minhash_lsh": ("explode → signature aggregate → banded "
                           "self-join → exact verify; every join is "
                           "hash, not nested-loop"),
+    "dedup_repeated_spans": ("suffix-array dedup as ONE scan + two "
+                             "hash exchanges: capped-suffix explode "
+                             "is map-side, the 5-token-block window "
+                             "replaces the global suffix sort, sides "
+                             "fan out by explode (a self-union would "
+                             "re-run the whole upstream)"),
     "chunk_documents": ("map-only context-window chunking: Generate "
                         "(explode) of per-row chunk spans, zero "
                         "Exchange"),

@@ -472,3 +472,90 @@ def test_ceil_mul_exhaustive_vs_fraction_math(spark):
                   else Fraction(t).limit_denominator(1_000_000))
             want = math.ceil(fr * n)
             assert r[f"c{i}"] == want, (n, t, r[f"c{i}"], want)
+
+
+# ------------------------------------------------------- repeated spans
+
+
+def test_repeated_spans_planted_semantics(spark):
+    """Hand-crafted corpus pinning the operator's contract: the known
+    6-token span wins over the 5-token one, a 4-token overlap is below
+    min_span and excluded, the same-doc-interleave case (two suffixes
+    of one doc sorting adjacent to another doc's) still credits the
+    other doc via the adjacency lemma, and spans >= the suffix cap
+    report exactly cap."""
+    long_run = " ".join(f"r{i}" for i in range(25))  # 25 shared tokens
+    docs = _docs_df(spark, [
+        # 0/1 share "p q r s t u" (6); 2 shares only "p q r s t" (5)
+        "p q r s t u v w x",
+        "z z p q r s t u y",
+        "m p q r s t n o q",
+        # 3: interleave edge — two suffixes starting "a b c d e" so
+        # doc 4's single suffix sorts adjacent to only ONE of them
+        "a b c d e f a b c d e g",
+        "a b c d e h",
+        # 5/6: 4-token overlap only -> absent from the output
+        "k1 k2 k3 k4 x1 x2 x3 x4 x5",
+        "k1 k2 k3 k4 y1 y2 y3 y4 y5",
+        # 7/8: identical 25-token run -> capped at 20
+        long_run + " tail7a tail7b tail7c tail7d tail7e",
+        long_run + " tail8a tail8b tail8c tail8d tail8e",
+    ])
+    got = {r["doc_id"]: (r["span_len"], r["span"])
+           for r in dedup.repeated_spans(docs).collect()}
+    assert got[0] == (6, "p q r s t u")
+    assert got[1] == (6, "p q r s t u")
+    assert got[2] == (5, "p q r s t")
+    assert got[3] == (5, "a b c d e")
+    assert got[4] == (5, "a b c d e")
+    assert 5 not in got and 6 not in got
+    assert got[7][0] == 20 and got[8][0] == 20
+    assert got[7][1] == " ".join(f"r{i}" for i in range(20))
+
+
+def test_repeated_spans_equals_brute_force(spark):
+    """Adjacency-lemma credential: on a small-vocabulary random corpus
+    (dense accidental overlaps), the blocked-window operator must equal
+    the all-pairs all-offsets brute force EXACTLY — per-doc max capped
+    LCP and the lexicographically-smallest span among the maxima.  The
+    lemma argument says scanning only lag-adjacent suffixes loses
+    neither the max nor any max-achieving span; this is the test that
+    would catch a hole in it."""
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(9)]
+    texts = [" ".join(rng.choice(vocab)
+                      for _ in range(rng.randrange(8, 40)))
+             for _ in range(36)]
+    # plant two exact copies and one long-shared-prefix pair
+    texts.append(texts[0])
+    texts.append("q1 q2 " + texts[3])
+    toks = [t.split(" ") for t in texts]
+    cap, min_span = 20, 5
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    best: dict[int, tuple[int, str]] = {}
+    for da, ta in enumerate(toks):
+        for db, tb in enumerate(toks):
+            if da == db:
+                continue
+            for i in range(len(ta) - min_span + 1):
+                for j in range(len(tb) - min_span + 1):
+                    l = min(lcp(ta[i:i + cap], tb[j:j + cap]), cap)
+                    if l < min_span:
+                        continue
+                    span = " ".join(ta[i:i + l])
+                    cur = best.get(da)
+                    if (cur is None or l > cur[0]
+                            or (l == cur[0] and span < cur[1])):
+                        best[da] = (l, span)
+
+    got = {r["doc_id"]: (r["span_len"], r["span"])
+           for r in dedup.repeated_spans(_docs_df(spark, texts)).collect()}
+    assert got == best

@@ -63,10 +63,10 @@ from greenplum_dwh_spark.multimodal.codec import (decode_image,  # noqa: F401
 from greenplum_dwh_spark.functions.sketch import (kmv_estimate,  # noqa: F401
                                                   kmv_merge, kmv_sketch)
 from greenplum_dwh_spark.operators.dedup import (  # noqa: F401
-    connected_components, containment_pairs, exact_dedup,
-    incremental_minhash_pairs,
+    connected_components, containment_pairs, drop_repeated_span_dups,
+    exact_dedup, incremental_minhash_pairs,
     jaccard_prefix_pairs, keep_best_per_cluster, leakage_safe_split,
-    minhash_pairs, neardup_clusters, simhash_pairs,
+    minhash_pairs, neardup_clusters, repeated_spans, simhash_pairs,
     source_overlap_matrix)
 from greenplum_dwh_spark.operators.curation import (chunk_docs,  # noqa: F401
                                                      lm_score,

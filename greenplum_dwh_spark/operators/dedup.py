@@ -1159,6 +1159,35 @@ def dedup_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_spans(_docs(spark, sf_dir))
 
 
+def drop_repeated_span_dups(docs: DataFrame,
+                            min_len: int = 15,
+                            cap: int = REPEAT_SUFFIX_CAP) -> DataFrame:
+    """Doc-level repeated-span dedup policy over :func:`repeated_spans`:
+    among docs whose longest cross-doc shared run is >= ``min_len``
+    tokens (partial template copies — license headers, navboxes —
+    that whole-doc near-dup misses because full-doc jaccard stays
+    low), keep ONE doc per distinct long span (min doc_id) and drop
+    the rest.  Docs below the cut pass through untouched.
+
+    ``min_len`` must be <= ``cap``: spans longer than the suffix cap
+    report exactly ``cap``, so a larger cut would silently never fire.
+
+    Returns the surviving subset of ``docs``.
+    """
+    if min_len > cap:
+        raise ValueError(
+            f"min_len {min_len} > suffix cap {cap}: span_len is "
+            f"capped at {cap}, the filter would never match")
+    long_spans = (repeated_spans(docs, cap=cap)
+                  .filter(F.col("span_len") >= min_len))
+    keepers = long_spans.groupBy("span").agg(
+        F.min("doc_id").alias("keep_id"))
+    drop = (long_spans.join(keepers, "span")
+            .filter(F.col("doc_id") != F.col("keep_id"))
+            .select("doc_id"))
+    return docs.join(drop, "doc_id", "left_anti")
+
+
 QUERIES = {
     "dedup_incremental": dedup_incremental,
     "split_leakage_safe": split_leakage_safe,

@@ -2,9 +2,9 @@
 training-data team runs between a raw crawl and tokenizer-ready
 shards, composed from the operator library —
 
-    exact dedup → near-dup cluster + keep-best → benchmark
-    decontamination → corpus-duplication (dup-n-gram) filter →
-    LM quality filter → train/holdout split →
+    exact dedup → near-dup cluster + keep-best → repeated-span
+    dedup → benchmark decontamination → corpus-duplication
+    (dup-n-gram) filter → LM quality filter → train/holdout split →
     context-window chunking → shard assignment
 
 Each stage prints its row count so the funnel is visible; the stages
@@ -46,6 +46,20 @@ def run(spark, sf_dir: str) -> dict:
         F.col("keep_doc_id").alias("doc_id"))
     docs = docs.join(kept, "doc_id")
     stats["after_neardup_keep_best"] = docs.count()
+
+    # 2b. repeated-span dedup (Lee et al. 2022 policy, doc-level):
+    # docs sharing a >= 15-token contiguous run are partial template
+    # copies that survive whole-doc near-dup (jaccard over the FULL
+    # doc stays low when only a long run is shared).  Keep one doc
+    # per distinct long span (min doc_id), drop the rest.  On this
+    # synthetic corpus whole-doc near-dedup subsumes the stage
+    # (survivors' longest shared run is 5 tokens — the stage firing
+    # on nothing here is the upstream stages working); real crawls
+    # carry license headers / navboxes that only this stage catches.
+    from greenplum_dwh_spark.operators.dedup import (
+        drop_repeated_span_dups)
+    docs = drop_repeated_span_dups(docs, min_len=15)
+    stats["after_repeated_span_dedup"] = docs.count()
 
     # 3. benchmark decontamination: drop docs overlapping the eval
     # slice (doc_id % 97 == 0 stands in for the benchmark suite)

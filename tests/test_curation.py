@@ -220,6 +220,7 @@ def test_curate_pipeline_funnel(spark, sf_dir):
     s = mod.run(spark, sf_dir)
     assert (s["raw_docs"] >= s["after_exact_dedup"]
             >= s["after_neardup_keep_best"]
+            >= s["after_repeated_span_dedup"]
             > s["after_decontamination"]
             >= s["after_dup_gram_filter"]
             >= s["after_lm_quality_filter"]

@@ -559,3 +559,32 @@ def test_repeated_spans_equals_brute_force(spark):
     got = {r["doc_id"]: (r["span_len"], r["span"])
            for r in dedup.repeated_spans(_docs_df(spark, texts)).collect()}
     assert got == best
+
+
+def test_drop_repeated_span_dups_keeps_one_per_template(spark):
+    """The doc-level Lee-et-al policy: docs sharing a long run (a
+    license header) but with mostly-unique bodies — whole-doc jaccard
+    stays below the near-dup threshold, only the span stage fires.
+    One doc per distinct long span survives (min doc_id); docs below
+    the cut pass through."""
+    header = " ".join(f"lic{i}" for i in range(16))  # 16-token run
+    texts = [
+        header + " body0 u0 u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11",
+        header + " body1 v0 v1 v2 v3 v4 v5 v6 v7 v8 v9 v10 v11",
+        header + " body2 w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11",
+        "clean doc with no shared run at all here today now",
+        "another clean doc sharing nothing with anything else ok",
+    ]
+    docs = _docs_df(spark, texts)
+    # precondition: whole-doc near-dup does NOT pair these (the stage
+    # exists precisely because this jaccard is low)
+    assert dedup.minhash_pairs(docs).count() == 0
+    kept = sorted(r["doc_id"]
+                  for r in dedup.drop_repeated_span_dups(
+                      docs, min_len=15).select("doc_id").collect())
+    assert kept == [0, 3, 4]  # min doc_id per span + untouched docs
+
+    # a cut above the suffix cap can never fire -> loud error
+    import pytest
+    with pytest.raises(ValueError, match="suffix cap"):
+        dedup.drop_repeated_span_dups(docs, min_len=21)

@@ -30,7 +30,8 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-QUERIES = ("dedup_jaccard_prefix", "fuzzy_doc_pairs")
+QUERIES = ("dedup_jaccard_prefix", "fuzzy_doc_pairs",
+           "dedup_repeated_spans")
 SCALES = {"sf1": os.path.join(REPO, ".bigdata/sf1"),
           "sf10": os.path.join(REPO, ".bigdata/sf10")}
 
@@ -39,7 +40,8 @@ def inner(query: str, sf_dir: str) -> None:
     from greenplum_dwh_spark.operators import dedup, training_data
     from greenplum_dwh_spark.session import get_spark
     fn = {"dedup_jaccard_prefix": dedup.dedup_jaccard_prefix,
-          "fuzzy_doc_pairs": training_data.fuzzy_doc_pairs}[query]
+          "fuzzy_doc_pairs": training_data.fuzzy_doc_pairs,
+          "dedup_repeated_spans": dedup.dedup_repeated_spans}[query]
     spark = get_spark("decade2_probe",
                       extra_conf={"spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")

@@ -306,3 +306,23 @@ def test_dup_ngram_fraction_plan_shape(spark, sf_dir):
     scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scans and all(
         "doc_id:bigint,text:string" in ln for ln in scans)
+
+
+def test_repeated_spans_plan_shape(spark, sf_dir):
+    """Suffix-array repeated-span dedup: ONE scan (the side fan-out
+    must be an explode, not a self-union that re-runs the whole
+    upstream — the bug this pins), no single-partition exchange (the
+    blocked window replaces the global suffix sort), the per-doc
+    top-1 goes through WindowGroupLimit, and the scan prunes to
+    (doc_id, text)."""
+    from greenplum_dwh_spark.operators.dedup import dedup_repeated_spans
+    df = dedup_repeated_spans(spark, sf_dir)
+    plan = checks.physical_plan(df)
+    assert plan.count("FileScan") == 1          # explode, not union
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan           # partial top-1
+    assert not checks.has_python_udf(df)
+    scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert scans and all(
+        "doc_id:bigint,text:string" in ln for ln in scans)

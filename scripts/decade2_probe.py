@@ -31,17 +31,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 QUERIES = ("dedup_jaccard_prefix", "fuzzy_doc_pairs",
-           "dedup_repeated_spans")
+           "dedup_repeated_spans", "dup_ngram_fraction")
 SCALES = {"sf1": os.path.join(REPO, ".bigdata/sf1"),
           "sf10": os.path.join(REPO, ".bigdata/sf10")}
 
 
 def inner(query: str, sf_dir: str) -> None:
-    from greenplum_dwh_spark.operators import dedup, training_data
+    from greenplum_dwh_spark.operators import (dedup, text_analysis,
+                                               training_data)
     from greenplum_dwh_spark.session import get_spark
     fn = {"dedup_jaccard_prefix": dedup.dedup_jaccard_prefix,
           "fuzzy_doc_pairs": training_data.fuzzy_doc_pairs,
-          "dedup_repeated_spans": dedup.dedup_repeated_spans}[query]
+          "dedup_repeated_spans": dedup.dedup_repeated_spans,
+          "dup_ngram_fraction": text_analysis.dup_ngram_fraction}[query]
     spark = get_spark("decade2_probe",
                       extra_conf={"spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")
@@ -66,7 +68,20 @@ def main() -> None:
         inner(sys.argv[2], sys.argv[3])
         return
     artifact: dict = {"queries": {}, "data_factor": 10.0}
-    for q in QUERIES:
+    run = QUERIES
+    if len(sys.argv) > 2 and sys.argv[1] == "--only":
+        # re-measure a subset and MERGE into the existing artifact
+        # (the full jaccard probe is ~10 min of sf10 wall; a new
+        # probe target shouldn't force re-paying it)
+        run = tuple(sys.argv[2].split(","))
+        unknown = set(run) - set(QUERIES)
+        if unknown:
+            raise SystemExit(f"unknown probe queries: {sorted(unknown)}")
+        prior = os.path.join(REPO, "BENCH_decade2.json")
+        if os.path.exists(prior):
+            with open(prior) as f:
+                artifact = json.load(f)
+    for q in run:
         artifact["queries"][q] = {}
         for label, sf_dir in SCALES.items():
             # size the single-JVM heap for the scale under test: in

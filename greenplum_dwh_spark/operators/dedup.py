@@ -326,12 +326,17 @@ def _simhash_bands(fps: DataFrame) -> DataFrame:
 
 def simhash_pairs(docs: DataFrame,
                   max_dist: int = SIMHASH_MAX_DIST,
-                  band_cap: int = BAND_CAP) -> DataFrame:
+                  band_cap: int = BAND_CAP,
+                  fps: DataFrame | None = None) -> DataFrame:
     """Pairs within hamming ``max_dist`` of 60-bit simhash (exact:
     banding is pigeonhole-complete for dist ≤ 9; the hot-band guard —
     see :data:`BAND_CAP` — is the only recall trade, and only fires on
-    degenerate buckets)."""
-    fps = simhash_fingerprints(docs).cache()
+    degenerate buckets).  ``fps`` lets a caller that already built
+    (and cached) the fingerprint table reuse it — the band-guard
+    probe's emitted-count leg — instead of paying a second corpus
+    fingerprint pass; the caller then owns that cache's lifecycle."""
+    if fps is None:
+        fps = simhash_fingerprints(docs).cache()
     bands = _simhash_bands(fps)
     # 6-bit band alphabets collide often on random fingerprints
     # (~n²/2⁷ candidate rows per band), so verify-then-distinct: the
@@ -425,12 +430,17 @@ def simhash_band_guard_probe(docs: DataFrame,
     out["sampled_lost_pairs"] = int(sampled_lost)
     out["est_pairs_lost"] = int(sampled_lost * sample_mod * sample_mod)
     if count_emitted:
-        emitted = simhash_pairs(docs, max_dist, band_cap).count()
+        # reuse this probe's cached fingerprints — a fresh
+        # simhash_pairs(docs) would rebuild AND pin a second
+        # corpus-sized fingerprint cache
+        emitted = simhash_pairs(docs, max_dist, band_cap,
+                                fps=fps).count()
         out["emitted_pairs"] = int(emitted)
         denom = emitted + out["est_pairs_lost"]
         out["est_recall"] = (1.0 if denom == 0
                              else round(emitted / denom, 6))
     counted.unpersist()
+    fps.unpersist()
     return out
 
 
@@ -553,12 +563,20 @@ def _gram_signatures(sets_df: DataFrame) -> DataFrame:
     """(doc_id, n, bm) — per-doc 512-bit bitmap of gram hashes plus
     the exact distinct-gram count.  Fixed 64 bytes per doc no matter
     how long the document is: the index broadcasts at corpus sizes
-    where the gram-array index is far past any broadcast limit."""
+    where the gram-array index is far past any broadcast limit.
+
+    The per-gram hash array is hoisted into its own projection so it
+    is computed ONCE per doc, not once per signature long: inlining
+    it into the 8 aggregate lambdas re-hashed every gram 8× (and
+    CollapseProject keeps the hoist — it refuses to inline a
+    non-cheap alias referenced more than once)."""
     hs = F.transform("s", lambda x: F.pmod(F.xxhash64(x),
                                            F.lit(SIG_BITS)))
+    hashed = sets_df.select("doc_id", F.size("s").alias("n"),
+                            hs.alias("hs"))
     bm = F.array(*[
         F.aggregate(
-            hs, F.lit(0).cast("long"),
+            F.col("hs"), F.lit(0).cast("long"),
             lambda acc, i: acc.bitwiseOR(
                 F.when((i >= k * 64) & (i < (k + 1) * 64),
                        # shiftleft via call_function: the Python
@@ -568,8 +586,7 @@ def _gram_signatures(sets_df: DataFrame) -> DataFrame:
                            (i % 64).cast("int")))
                 .otherwise(F.lit(0).cast("long"))))
         for k in range(SIG_LONGS)])
-    return sets_df.select("doc_id", F.size("s").alias("n"),
-                          bm.alias("bm"))
+    return hashed.select("doc_id", "n", bm.alias("bm"))
 
 
 def _verified_pairs(pairs: DataFrame, sets_df: DataFrame, fr,
@@ -700,10 +717,12 @@ def _prefix_filtered_pairs(docs: DataFrame, grams: DataFrame,
     fr = _snap(threshold)
     t_factor = fr / (1 + fr)
     # The prefix index is MATERIALIZED (persisted) before the
-    # self-join: it is referenced three times downstream (both join
-    # sides + candidate re-derivation under the verify join), and
+    # self-join: it is referenced twice downstream (the two self-join
+    # sides; the round-5 restructure removed the old third reference,
+    # the candidate re-derivation under the verify join), and
     # recomputing the df-join + window rank per reference multiplies
-    # the pipeline cost ~6× (measured 25 s → 4 s at sf0.1).  This is
+    # the pipeline cost (measured 25 s → 4 s at sf0.1 on the original
+    # three-reference plan).  This is
     # the classic PPJoin "build the prefix index once" step; its size
     # is ~(1−t)·Σ|doc| tokens, far smaller than the corpus.
     prefix = (ex.join(freq, "g")
@@ -781,9 +800,13 @@ def containment_pairs(docs: DataFrame,
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
     # exact-rational verify from the SAME snapped threshold as the
-    # probe bound (see _verified_pairs) + candidate-count observable
-    return _verified_pairs(_observed_candidates(cand), grams,
-                           _snap(threshold), kind="containment")
+    # probe bound (see _verified_pairs); observe=True counts the
+    # pairs that SURVIVE the signature pre-filter — the exact-verify
+    # volume last_ppjoin_metrics documents — not the raw probe
+    # candidates (which run ~10.9 M at sf1 vs a true-pair-sized
+    # survivor set)
+    return _verified_pairs(cand, grams, _snap(threshold),
+                           kind="containment", observe=True)
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -1083,7 +1106,13 @@ def repeated_spans(docs: DataFrame,
        definition, and because ' ' sorts below every token character,
        suffixes sharing a token prefix are contiguous under plain
        string order — so within a block the classic suffix-array
-       adjacency lemma holds: lcp(u, v) = min of adjacent lcps
+       adjacency lemma holds.  That separator-below-every-token-char
+       premise is ENFORCED, not assumed: tokenization maps every run
+       of ``[\\x00-\\x20]`` (controls + whitespace) to one separator,
+       so no token can carry a character that sorts below ' '.  Raw
+       crawls routinely embed tabs/control bytes inside space-split
+       "words"; without the cleanse a suffix could sort BETWEEN two
+       suffixes it token-diverges from and break adjacency-exactness: lcp(u, v) = min of adjacent lcps
        between them, hence for every cross-doc pair at LCP L there is
        an ADJACENT doc-changing pair at LCP >= L involving each
        endpoint's doc.  Scanning only lag-adjacent rows is therefore
@@ -1106,7 +1135,13 @@ def repeated_spans(docs: DataFrame,
     Returns (doc_id, span_len, span); docs sharing no run of
     ``min_span``+ tokens are absent (filter semantics).
     """
-    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    toks = docs.select(
+        "doc_id",
+        # control-char cleanse (see step 2 of the docstring): collapse
+        # every [\x00-\x20]+ run to one space, trim, THEN split — on
+        # already-clean single-spaced text this is the identity
+        F.split(F.trim(F.regexp_replace(
+            "text", "[\\x00-\\x20]+", " ")), " ").alias("t"))
     # sequence(1, n) descends for n < 1 — guard with the size filter
     sfx = (toks.filter(F.size("t") >= min_span)
            .select("doc_id", "t",
@@ -1430,7 +1465,10 @@ ORACLES = {
     # and clamp at the list end; range() is end-exclusive (lateral
     # generate_series is unsupported — the list-comprehension recipe).
     "dedup_repeated_spans": f"""
-        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        WITH toks AS (SELECT doc_id,
+                             string_split(trim(regexp_replace(
+                                 text, '[\\x00-\\x20]+', ' ', 'g')),
+                                 ' ') AS t
                       FROM documents),
         sfx AS (
           SELECT doc_id, i AS pos,

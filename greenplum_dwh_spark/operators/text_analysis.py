@@ -311,10 +311,18 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_ngram_mass(Tables(spark, sf_dir).documents)
 
 
-def dup_ngram_mass(docs: DataFrame) -> DataFrame:
+def dup_ngram_mass(docs: DataFrame,
+                   caches: list | None = None) -> DataFrame:
     """DataFrame-verb form (used by the curation funnel): per doc,
     total 3-gram mass, the mass also present in ≥1 other doc, and the
-    duplicated share in basis points."""
+    duplicated share in basis points.
+
+    The plan pins a corpus-sized (doc, gram) cache (see the inline
+    comment).  A caller that consumes the result WITHIN one stage —
+    the funnel materializes its id cut and moves on — should pass a
+    ``caches`` list and unpersist its entries afterwards, or the
+    cache outlives its one useful stage and squats on executor
+    storage for the rest of the session."""
     n = DUP_NGRAM_N
     grams = (f"transform(sequence(1, size(toks) - {n - 1}), "
              f"i -> array_join(slice(toks, i, {n}), ' '))")
@@ -330,6 +338,8 @@ def dup_ngram_mass(docs: DataFrame) -> DataFrame:
            # cluster scale use persist(DISK_ONLY) if the (doc, gram)
            # table outgrows executor memory.
            .cache())
+    if caches is not None:
+        caches.append(per)
     df_g = per.groupBy("gram").agg(F.count(F.lit(1)).alias("nd"))
     return (per.join(df_g, "gram")
             .groupBy("doc_id")

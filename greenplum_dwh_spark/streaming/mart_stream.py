@@ -488,7 +488,6 @@ def neardup_ingest_foreach_batch(store, corpus_table: str,
     of rejecting docs against their own half-committed bands."""
     from greenplum_dwh_spark.operators.dedup import (
         BAND_CAP, JACCARD_THRESHOLD, _minhash_bands, _pairs_with_jaccard)
-    from pyspark.sql import Window
 
     thr = JACCARD_THRESHOLD if threshold is None else threshold
     cap = BAND_CAP if band_cap is None else band_cap
@@ -506,9 +505,16 @@ def neardup_ingest_foreach_batch(store, corpus_table: str,
                .join(F.broadcast(batch_ids), "doc_id", "left_anti")
                .join(F.broadcast(bands.select("band").distinct()),
                      "band", "semi"))
-        w = Window.partitionBy("band")
-        idx = (idx.withColumn("_bn", F.count(F.lit(1)).over(w))
-               .filter(F.col("_bn") <= cap).drop("_bn"))
+        # hot-band cap over the COMBINED corpus+batch occupancy — the
+        # same population incremental_minhash_pairs counts (its
+        # _guarded_bands window runs over new and base rows together),
+        # so the cap trips at identical band sizes in both faces; an
+        # index-only count would keep a band the batch itself pushes
+        # over the cap and diverge from the batch fold
+        occ = (idx.select("band").unionByName(bands.select("band"))
+               .groupBy("band").agg(F.count(F.lit(1)).alias("_bn")))
+        hot = occ.filter(F.col("_bn") > cap).select("band")
+        idx = idx.join(F.broadcast(hot), "band", "left_anti")
         cand = (bands.alias("a").join(idx.alias("b"), "band")
                 .select(F.col("a.doc_id").alias("doc_a"),
                         F.col("b.doc_id").alias("doc_b"))

@@ -49,6 +49,12 @@ _ANCHOR = "anchor"
 # child is skipped during directory scans), so in-flight backfill
 # copies can never be mistaken for a table by anything reading base_dir
 _STAGING = ".staging"
+#: staging entries older than this are swept on init as crash
+#: leftovers; younger ones are presumed LIVE — a second TableStore on
+#: the same base_dir (a mere reader included: read() needs an
+#: instance) must not delete the staged files of an in-flight
+#: overwrite_partitions in another instance of the same process
+_STAGING_TTL_S = 6 * 3600
 
 N_BUCKETS = 16
 
@@ -60,10 +66,23 @@ class TableStore:
         os.makedirs(base_dir, exist_ok=True)
         # sweep staging leftovers from a crashed backfill (round-4
         # ADVICE: a SIGKILL between the staging write and the cleanup
-        # leaked a full data copy with no reaper).  Single-writer
-        # assumption, same as the manifest pointer: anything under
-        # .staging at init time is by definition dead.
-        shutil.rmtree(os.path.join(base_dir, _STAGING), ignore_errors=True)
+        # leaked a full data copy with no reaper) — but AGE-GATED:
+        # constructing a TableStore is how reads happen too, and an
+        # unconditional rmtree here deleted the live staging of a
+        # concurrent writer's in-flight overwrite_partitions.  Only
+        # entries past _STAGING_TTL_S (far beyond any single staged
+        # write) are dead with certainty.
+        sroot = os.path.join(base_dir, _STAGING)
+        if os.path.isdir(sroot):
+            import time
+            now = time.time()
+            for entry in os.listdir(sroot):
+                p = os.path.join(sroot, entry)
+                try:
+                    if now - os.path.getmtime(p) > _STAGING_TTL_S:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass  # entry vanished under us (concurrent sweep)
 
     # ---- generic helpers -------------------------------------------------
     def _path(self, name: str, *parts: str) -> str:

@@ -87,13 +87,20 @@ def run(spark, sf_dir: str) -> dict:
     # the LM stage; short docs have no mass row and are KEPT.
     from greenplum_dwh_spark.operators.text_analysis import (
         dup_ngram_mass)
-    mass = dup_ngram_mass(docs)
+    held: list = []
+    mass = dup_ngram_mass(docs, caches=held)
     dup_cut = mass.agg(F.expr("percentile(dup_bps, 0.98)")).first()[0]
     if dup_cut is not None:
+        # materialize the tiny id cut (>98th-pct tail) eagerly, so the
+        # stage's corpus-sized (doc, gram) cache can be RELEASED here
+        # instead of riding docs' lineage — and being re-pinned —
+        # through every later stage's action
         worst = (mass.filter(F.col("dup_bps") > dup_cut)
-                 .select("doc_id"))
+                 .select("doc_id").localCheckpoint())
         docs = docs.join(worst, "doc_id", "left_anti")
     stats["after_dup_gram_filter"] = docs.count()
+    for c in held:
+        c.unpersist()
 
     # 3c. LM quality filter (the CCNet step): score survivors under
     # the bigram LM built FROM the survivors, drop the lowest-scoring

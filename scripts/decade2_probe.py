@@ -69,6 +69,14 @@ def main() -> None:
         return
     artifact: dict = {"queries": {}, "data_factor": 10.0}
     run = QUERIES
+    if len(sys.argv) > 1 and (sys.argv[1] != "--only"
+                              or len(sys.argv) != 3):
+        # fail fast on a forgotten/mistyped flag: silently running the
+        # FULL probe re-pays ~10 min of sf10 jaccard wall and
+        # overwrites BENCH_decade2.json with a full re-measure
+        raise SystemExit(
+            f"usage: decade2_probe.py [--only q1,q2] — got "
+            f"{sys.argv[1:]}; queries: {', '.join(QUERIES)}")
     if len(sys.argv) > 2 and sys.argv[1] == "--only":
         # re-measure a subset and MERGE into the existing artifact
         # (the full jaccard probe is ~10 min of sf10 wall; a new

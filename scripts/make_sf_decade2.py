@@ -24,12 +24,13 @@ Replication design (K copies of sf0.1's documents, default 100):
   rotation+vowel-digits left same-rotation replicas differing only
   at vowel positions, ~12 per prefix — exactly the threshold.)
 
-- word grams stay (near-)disjoint across replicas: same-rotation
-  replicas imprint different digit patterns into every vowel-bearing
-  word; accidental cross-replica gram collisions between DIFFERENT
-  base words are possible in principle but negligible (the jaccard
-  probe's candidate observable verifies the ~linear growth
-  directly);
+- word grams stay (near-)disjoint across replicas: any two replicas'
+  char maps agree on ≤ 4 of the 26 letters (asserted at build), so
+  essentially every word's image differs between replicas and a
+  shared word 2-gram needs BOTH its words to collide; accidental
+  cross-replica gram collisions between DIFFERENT base words are
+  possible in principle but negligible (the jaccard probe's
+  candidate observable verifies the ~linear growth directly);
 - ``n_chars`` / ``lang`` are kept as-is: fuzzy_doc_pairs blocks on
   (lang, n_chars/8), and length-profile collisions growing linearly
   with corpus size is exactly the behavior the probe must include;

@@ -588,3 +588,61 @@ def test_drop_repeated_span_dups_keeps_one_per_template(spark):
     import pytest
     with pytest.raises(ValueError, match="suffix cap"):
         dedup.drop_repeated_span_dups(docs, min_len=21)
+
+
+def test_repeated_spans_control_chars_cleansed(spark):
+    """Round-5 code review: the adjacency lemma needs the separator
+    (' ') to sort below every token character, and raw-crawl "words"
+    carrying tabs/control bytes (< 0x20) violated it — doc A's suffix
+    ending exactly at its last token, doc B continuing it, and a
+    tab-carrying doc C sorting strictly BETWEEN them made both
+    adjacent lag pairs report lcp 6 and under-reported A/B's true
+    7-token span.  The operator now cleanses ``[\\x00-\\x20]+`` runs
+    into single separators before splitting, so its contract is
+    "tokens = cleansed whitespace-split words"; the brute force over
+    the SAME cleansed tokenization is the oracle."""
+    import re
+    texts = [
+        "j0 j1 j2 j3 j4 j5 j6",                 # A: ends at its run
+        "j0 j1 j2 j3 j4 j5 j6 x1 x2",           # B: continues it
+        "z0 z1 j0 j1 j2 j3 j4 j5 j6\tk0 k1",    # C: tab inside a word
+        "pre\x01fix a b c d e f g h",           # control byte in word
+        "a b c d e f g h post",
+        "iso\x02lated doc with no shared run",
+    ]
+    toks = [re.sub(r"[\x00-\x20]+", " ", t).strip().split(" ")
+            for t in texts]
+    cap, min_span = 20, 5
+
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    best: dict[int, tuple[int, str]] = {}
+    for da, ta in enumerate(toks):
+        for db, tb in enumerate(toks):
+            if da == db:
+                continue
+            for i in range(len(ta) - min_span + 1):
+                for j in range(len(tb) - min_span + 1):
+                    l = min(lcp(ta[i:i + cap], tb[j:j + cap]), cap)
+                    if l < min_span:
+                        continue
+                    span = " ".join(ta[i:i + l])
+                    cur = best.get(da)
+                    if (cur is None or l > cur[0]
+                            or (l == cur[0] and span < cur[1])):
+                        best[da] = (l, span)
+
+    got = {r["doc_id"]: (r["span_len"], r["span"])
+           for r in dedup.repeated_spans(_docs_df(spark, texts)).collect()}
+    assert got == best
+    # the planted scenario's ground truths, explicitly
+    assert got[0] == (7, "j0 j1 j2 j3 j4 j5 j6")
+    assert got[1] == (7, "j0 j1 j2 j3 j4 j5 j6")
+    assert got[2][0] == 7
+    assert got[3] == (8, "a b c d e f g h")

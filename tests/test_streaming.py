@@ -745,3 +745,84 @@ def test_stream_neardup_ingest_matches_batch_fold(spark, tmp_path):
     assert ({r["doc_id"] for r in
              store.read("index").select("doc_id").distinct().collect()}
             == {d for d, _ in got_corpus})
+
+
+def test_stream_neardup_ingest_hot_band_cap_matches_batch(spark, tmp_path):
+    """Round-5 code review: the ingest handler capped bands on the
+    INDEX-ONLY count (batch rows excluded, batch side never capped),
+    while incremental_minhash_pairs caps on the combined new+base
+    occupancy — so near the cap the two faces diverged: the stream
+    rejected a dup whose band the batch itself pushed over the cap,
+    the batch fold accepted it.  band_cap=1 plants exactly that case:
+    doc 2 is an exact dup of accepted doc 1, every shared band holds
+    1 index row + 1 batch row = 2 > cap, so BOTH faces must drop the
+    band and ACCEPT doc 2 (recall loss by design, identically)."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import types as T
+
+    from greenplum_dwh_spark.operators.dedup import (
+        incremental_minhash_pairs)
+    from greenplum_dwh_spark.streaming.mart_stream import (
+        neardup_ingest_foreach_batch)
+    from greenplum_dwh_spark.tablestore import TableStore
+
+    mk = lambda p: " ".join(f"{p}{i}" for i in range(15))  # noqa: E731
+    tx, ty = mk("a"), mk("b")
+    batches = [
+        [(1, tx)],
+        [(2, tx), (3, ty)],   # 2 = exact dup of 1, band pushed hot
+    ]
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    doc_schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                               T.StructField("text", T.StringType())])
+    idx_schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                               T.StructField("band", T.StringType())])
+    store.init_append("corpus", doc_schema)
+    store.init_append("index", idx_schema)
+
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    handler = neardup_ingest_foreach_batch(store, "corpus", "index",
+                                           "rejects", band_cap=1)
+    ckpt = str(tmp_path / "ingest_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(
+            "doc_id long, text string").parquet(str(src) + "/*.parquet")
+        q = (stream.writeStream.foreachBatch(handler)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, doc_schema).coalesce(1) \
+            .write.parquet(str(src / f"b{i}.parquet"))
+        drain()
+
+    # independent model: fold the batch operator at the SAME cap
+    corpus_model: list = []
+    rejects_model: set = set()
+    for rows in batches:
+        new_ids = {i for i, _ in rows}
+        union = spark.createDataFrame(corpus_model + rows, doc_schema)
+        pairs = incremental_minhash_pairs(
+            union, F.col("doc_id").isin(list(new_ids)), band_cap=1)
+        rej = {(r["new_doc"], r["base_doc"]) for r in pairs.collect()}
+        rejects_model |= rej
+        rejected = {a for a, _ in rej}
+        corpus_model += [r for r in rows if r[0] not in rejected]
+
+    got_corpus = {(r["doc_id"], r["text"])
+                  for r in store.read("corpus").collect()}
+    assert got_corpus == set(corpus_model)
+    try:
+        got_rejects = {(r["new_doc"], r["base_doc"])
+                       for r in store.read("rejects").collect()}
+    except AnalysisException:
+        got_rejects = set()  # zero-row overwrite leaves no footers
+    assert got_rejects == rejects_model
+    # the planted divergence: the hot band is dropped on BOTH faces,
+    # so the exact dup is ACCEPTED by both (and nothing is rejected)
+    assert {d for d, _ in got_corpus} == {1, 2, 3}
+    assert got_rejects == set()

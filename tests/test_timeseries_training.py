@@ -542,14 +542,17 @@ def test_overwrite_partitions_staging_dir_cleaned(spark, tmp_path):
 
 def test_tablestore_init_sweeps_crashed_staging(spark, tmp_path):
     """Round-4 ADVICE: a hard crash between the staging write and its
-    cleanup leaks a full data copy — TableStore init must sweep the
-    .staging root, and the dotted root must be invisible to a Spark
-    read of base_dir children."""
+    cleanup leaks a full data copy — TableStore init must sweep STALE
+    .staging entries.  Round-5 code review: the sweep must be
+    age-gated, because constructing a TableStore is also how READS
+    happen — a fresh (possibly live, another instance's in-flight
+    backfill) staging entry must survive init."""
     import os
+    import time
 
     from pyspark.sql import types as T
 
-    from greenplum_dwh_spark.tablestore import TableStore
+    from greenplum_dwh_spark.tablestore import _STAGING_TTL_S, TableStore
     base = str(tmp_path / "store")
     ts = TableStore(spark, base)
     schema = T.StructType([T.StructField("k", T.LongType()),
@@ -557,13 +560,21 @@ def test_tablestore_init_sweeps_crashed_staging(spark, tmp_path):
     ts.init_append("t", schema, partition_cols=["day"])
     ts.append("t", spark.createDataFrame([(1, "d0"), (2, "d1")], schema),
               partition_cols=["day"])
-    # simulate the crash leftover
-    dead = os.path.join(base, ".staging", "t__backfill_deadbeef")
-    os.makedirs(dead, exist_ok=True)
-    with open(os.path.join(dead, "part-0.parquet"), "w") as f:
-        f.write("junk")
+
+    def plant(name: str, age_s: float) -> str:
+        d = os.path.join(base, ".staging", name)
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, "part-0.parquet"), "w") as f:
+            f.write("junk")
+        old = time.time() - age_s
+        os.utime(d, (old, old))
+        return d
+
+    dead = plant("t__backfill_deadbeef", _STAGING_TTL_S + 60)
+    live = plant("t__backfill_cafecafe", 0.0)
     TableStore(spark, base)  # fresh init = recovery point
-    assert not os.path.isdir(os.path.join(base, ".staging"))
+    assert not os.path.isdir(dead)   # crash leftover reaped
+    assert os.path.isdir(live)       # in-flight staging untouched
     assert ts.read("t").count() == 2  # table untouched by the sweep
 
 

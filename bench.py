@@ -36,8 +36,14 @@ GUARDED_QUERIES = ("dedup_minhash_lsh", "dedup_simhash")
 
 #: queries whose plan runs the PPJoin pruning stack; after each one's
 #: action the surviving-candidate count (the exact-verify volume) is
-#: harvested into the bench JSON (round-4 verdict item 4's observable)
-PPJOIN_QUERIES = ("dedup_jaccard_prefix",)
+#: harvested into the bench JSON (round-4 verdict item 4's observable).
+#: The char and containment variants joined in round 5 once their
+#: observables measured the same thing as the word variant's —
+#: containment previously counted raw probe candidates BEFORE the
+#: signature pre-filter (review fix), which would have recorded ~10.9M
+#: at sf1 under a name documented as the exact-verify volume
+PPJOIN_QUERIES = ("dedup_jaccard_prefix", "dedup_char_jaccard",
+                  "dedup_containment")
 
 
 def band_guard_metrics_for(name: str) -> dict | None:
@@ -83,6 +89,8 @@ def bench_queries() -> dict:
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
         "dedup_simhash": dedup.dedup_simhash,
         "dedup_jaccard_prefix": dedup.dedup_jaccard_prefix,
+        "dedup_char_jaccard": dedup.dedup_char_jaccard,
+        "dedup_containment": dedup.dedup_containment,
         "text_quality": text_analysis.text_quality,
         "dup_ngram_fraction": text_analysis.dup_ngram_fraction,
         "text_fingerprint": text_analysis.text_fingerprint,

@@ -31,7 +31,15 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 QUERIES = ("dedup_jaccard_prefix", "fuzzy_doc_pairs",
-           "dedup_repeated_spans", "dup_ngram_fraction")
+           "dedup_repeated_spans", "dup_ngram_fraction",
+           # banded-LSH representative: under the replication model
+           # its band keys stay sparse (32 bands of r=2 64-bit hashes
+           # — key space is effectively unbounded, unlike simhash's
+           # 10×64-value alphabet, which SATURATES past ~100k docs by
+           # construction and is the wrong probe for this decade), so
+           # candidates should track the data factor; the band-guard
+           # drop counts are harvested to verify no silent recall loss
+           "dedup_minhash_lsh")
 SCALES = {"sf1": os.path.join(REPO, ".bigdata/sf1"),
           "sf10": os.path.join(REPO, ".bigdata/sf10")}
 
@@ -43,7 +51,8 @@ def inner(query: str, sf_dir: str) -> None:
     fn = {"dedup_jaccard_prefix": dedup.dedup_jaccard_prefix,
           "fuzzy_doc_pairs": training_data.fuzzy_doc_pairs,
           "dedup_repeated_spans": dedup.dedup_repeated_spans,
-          "dup_ngram_fraction": text_analysis.dup_ngram_fraction}[query]
+          "dup_ngram_fraction": text_analysis.dup_ngram_fraction,
+          "dedup_minhash_lsh": dedup.dedup_minhash_lsh}[query]
     spark = get_spark("decade2_probe",
                       extra_conf={"spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")
@@ -60,6 +69,10 @@ def inner(query: str, sf_dir: str) -> None:
         m = dedup.last_ppjoin_metrics()
         if m:
             extra["n_candidates"] = m["n_candidates"]
+    if query == "dedup_minhash_lsh":
+        g = dedup.last_band_guard_metrics()
+        if g:
+            extra["band_guard"] = g
     print(json.dumps({"best_sec": round(best, 3), **extra}))
 
 

@@ -39,7 +39,13 @@ QUERIES = ("dedup_jaccard_prefix", "fuzzy_doc_pairs",
            # construction and is the wrong probe for this decade), so
            # candidates should track the data factor; the band-guard
            # drop counts are harvested to verify no silent recall loss
-           "dedup_minhash_lsh")
+           "dedup_minhash_lsh",
+           # the gram-dense worst case: at sf1 (shared 9k-gram
+           # universe) its match multiset grows quadratically with
+           # corpus; sf10's per-replica char remap makes vocabulary
+           # FRESH, so this probe measures the linear-under-new-data
+           # claim BASELINE.md makes for it
+           "dedup_char_jaccard")
 SCALES = {"sf1": os.path.join(REPO, ".bigdata/sf1"),
           "sf10": os.path.join(REPO, ".bigdata/sf10")}
 
@@ -52,7 +58,8 @@ def inner(query: str, sf_dir: str) -> None:
           "fuzzy_doc_pairs": training_data.fuzzy_doc_pairs,
           "dedup_repeated_spans": dedup.dedup_repeated_spans,
           "dup_ngram_fraction": text_analysis.dup_ngram_fraction,
-          "dedup_minhash_lsh": dedup.dedup_minhash_lsh}[query]
+          "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+          "dedup_char_jaccard": dedup.dedup_char_jaccard}[query]
     spark = get_spark("decade2_probe",
                       extra_conf={"spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")
@@ -65,7 +72,7 @@ def inner(query: str, sf_dir: str) -> None:
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         best = min(best, time.time() - t0)
     extra = {}
-    if query == "dedup_jaccard_prefix":
+    if query in ("dedup_jaccard_prefix", "dedup_char_jaccard"):
         m = dedup.last_ppjoin_metrics()
         if m:
             extra["n_candidates"] = m["n_candidates"]

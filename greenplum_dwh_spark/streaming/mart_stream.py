@@ -500,22 +500,29 @@ def neardup_ingest_foreach_batch(store, corpus_table: str,
                 .dropDuplicates(["doc_id"]))
         bands, sets = _minhash_bands(docs)
         bands = bands.cache()
+        from greenplum_dwh_spark.operators.dedup import _guarded_bands
         batch_ids = docs.select("doc_id")
         idx = (store.read(index_table)
                .join(F.broadcast(batch_ids), "doc_id", "left_anti")
                .join(F.broadcast(bands.select("band").distinct()),
                      "band", "semi"))
-        # hot-band cap over the COMBINED corpus+batch occupancy — the
-        # same population incremental_minhash_pairs counts (its
-        # _guarded_bands window runs over new and base rows together),
-        # so the cap trips at identical band sizes in both faces; an
-        # index-only count would keep a band the batch itself pushes
-        # over the cap and diverge from the batch fold
-        occ = (idx.select("band").unionByName(bands.select("band"))
-               .groupBy("band").agg(F.count(F.lit(1)).alias("_bn")))
-        hot = occ.filter(F.col("_bn") > cap).select("band")
-        idx = idx.join(F.broadcast(hot), "band", "left_anti")
-        cand = (bands.alias("a").join(idx.alias("b"), "band")
+        # hot-band cap over the COMBINED corpus+batch occupancy via
+        # the SAME _guarded_bands the batch operator uses — the cap
+        # trips at identical band sizes in both faces (an index-only
+        # count would keep a band the batch itself pushes over the
+        # cap and diverge from the batch fold), the window's exchange
+        # is the one the band join needs anyway (one shuffle, one
+        # pass over the index subtree), and the per-batch drop counts
+        # surface through last_band_guard_metrics like every other
+        # banded path
+        tagged = (bands.select("doc_id", "band")
+                  .withColumn("is_new", F.lit(True))
+                  .unionByName(idx.select("doc_id", "band")
+                               .withColumn("is_new", F.lit(False))))
+        observed, counted, keep = _guarded_bands(tagged, cap)
+        new_side = observed.filter(keep & F.col("is_new"))
+        base_side = counted.filter(keep & ~F.col("is_new"))
+        cand = (new_side.alias("a").join(base_side.alias("b"), "band")
                 .select(F.col("a.doc_id").alias("doc_a"),
                         F.col("b.doc_id").alias("doc_b"))
                 .distinct())

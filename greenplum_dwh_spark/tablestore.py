@@ -79,8 +79,24 @@ class TableStore:
             for entry in os.listdir(sroot):
                 p = os.path.join(sroot, entry)
                 try:
-                    if now - os.path.getmtime(p) > _STAGING_TTL_S:
-                        shutil.rmtree(p, ignore_errors=True)
+                    # age by the NEWEST mtime among the entry and its
+                    # immediate children, not the dir alone: a staged
+                    # parquet write updates _temporary/ as tasks land,
+                    # while the top dir's mtime stays at write START —
+                    # anchoring there would reap a >TTL-long LIVE write
+                    mt = os.path.getmtime(p)
+                    if os.path.isdir(p):
+                        for c in os.listdir(p):
+                            mt = max(mt, os.path.getmtime(
+                                os.path.join(p, c)))
+                    if now - mt > _STAGING_TTL_S:
+                        if os.path.isdir(p):
+                            shutil.rmtree(p, ignore_errors=True)
+                        else:
+                            # stray plain file: rmtree would raise
+                            # NotADirectoryError and (suppressed)
+                            # leak it forever
+                            os.remove(p)
                 except OSError:
                     pass  # entry vanished under us (concurrent sweep)
 

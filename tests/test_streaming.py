@@ -826,3 +826,12 @@ def test_stream_neardup_ingest_hot_band_cap_matches_batch(spark, tmp_path):
     # so the exact dup is ACCEPTED by both (and nothing is rejected)
     assert {d for d, _ in got_corpus} == {1, 2, 3}
     assert got_rejects == set()
+    # the streaming face's cap drops are observable like every other
+    # banded path (the handler routes through _guarded_bands); the
+    # fold re-ran the batch operator last, so re-run one stream batch
+    # to make the stream's observation the most recent
+    handler(spark.createDataFrame(batches[1], doc_schema), 1)
+    from greenplum_dwh_spark.operators.dedup import (
+        last_band_guard_metrics)
+    g = last_band_guard_metrics()
+    assert g is not None and g["dropped_rows"] >= 2  # idx+batch rows

@@ -564,17 +564,30 @@ def test_tablestore_init_sweeps_crashed_staging(spark, tmp_path):
     def plant(name: str, age_s: float) -> str:
         d = os.path.join(base, ".staging", name)
         os.makedirs(d, exist_ok=True)
-        with open(os.path.join(d, "part-0.parquet"), "w") as f:
+        part = os.path.join(d, "part-0.parquet")
+        with open(part, "w") as f:
             f.write("junk")
+        # age is judged by the NEWEST mtime among the entry and its
+        # children (a live write keeps touching children) — backdate
+        # both to make the entry count as dead
         old = time.time() - age_s
+        os.utime(part, (old, old))
         os.utime(d, (old, old))
         return d
 
     dead = plant("t__backfill_deadbeef", _STAGING_TTL_S + 60)
     live = plant("t__backfill_cafecafe", 0.0)
+    # stray plain FILE under .staging: rmtree alone would raise
+    # NotADirectoryError (suppressed) and leak it forever
+    stray = os.path.join(base, ".staging", "stray.lock")
+    with open(stray, "w") as f:
+        f.write("x")
+    old = time.time() - _STAGING_TTL_S - 60
+    os.utime(stray, (old, old))
     TableStore(spark, base)  # fresh init = recovery point
     assert not os.path.isdir(dead)   # crash leftover reaped
     assert os.path.isdir(live)       # in-flight staging untouched
+    assert not os.path.exists(stray)  # stale stray file reaped too
     assert ts.read("t").count() == 2  # table untouched by the sweep
 
 

@@ -646,3 +646,62 @@ def test_repeated_spans_control_chars_cleansed(spark):
     assert got[1] == (7, "j0 j1 j2 j3 j4 j5 j6")
     assert got[2][0] == 7
     assert got[3] == (8, "a b c d e f g h")
+
+
+def test_repeated_spans_fuzz_control_chars_vs_brute_force(spark):
+    """Hypothesis sweep over corpora whose 'words' embed tabs/control
+    bytes: the cleansed-tokenization operator must equal the all-pairs
+    brute force on the SAME cleansed tokens for every generated
+    corpus — the property form of the planted adjacency-lemma
+    regression (one planted shape can't cover every way a dirty
+    suffix can sort between two clean ones)."""
+    import re
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    # words over a tiny vocabulary so overlaps are dense, with
+    # control bytes injected INSIDE words by the generator
+    word = st.sampled_from(
+        ["aa", "bb", "cc", "a\tb", "c\x01d", "e", "f\x1fg"])
+    text = st.lists(word, min_size=6, max_size=18).map(" ".join)
+
+    @given(st.lists(text, min_size=2, max_size=8))
+    @settings(max_examples=15, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow,
+                                     HealthCheck.function_scoped_fixture])
+    def run(texts):
+        toks = [re.sub(r"[\x00-\x20]+", " ", t).strip().split(" ")
+                for t in texts]
+        cap, min_span = 20, 5
+
+        def lcp(a, b):
+            n = 0
+            for x, y in zip(a, b):
+                if x != y:
+                    break
+                n += 1
+            return n
+
+        best: dict[int, tuple[int, str]] = {}
+        for da, ta in enumerate(toks):
+            for db, tb in enumerate(toks):
+                if da == db:
+                    continue
+                for i in range(len(ta) - min_span + 1):
+                    for j in range(len(tb) - min_span + 1):
+                        l = min(lcp(ta[i:i + cap], tb[j:j + cap]), cap)
+                        if l < min_span:
+                            continue
+                        span = " ".join(ta[i:i + l])
+                        cur = best.get(da)
+                        if (cur is None or l > cur[0]
+                                or (l == cur[0] and span < cur[1])):
+                            best[da] = (l, span)
+
+        got = {r["doc_id"]: (r["span_len"], r["span"])
+               for r in dedup.repeated_spans(
+                   _docs_df(spark, texts)).collect()}
+        assert got == best
+
+    run()

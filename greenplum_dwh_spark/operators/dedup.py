@@ -813,16 +813,21 @@ def containment_pairs(docs: DataFrame,
             .join(ex.alias("b"), "g")
             .filter(smaller_first)
             .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
-    # exact-rational verify from the SAME snapped threshold as the
-    # probe bound (see _verified_pairs); observe=True counts the
-    # pairs that SURVIVE the signature pre-filter — the exact-verify
-    # volume last_ppjoin_metrics documents — not the raw probe
-    # candidates (which run ~10.9 M at sf1 vs a true-pair-sized
-    # survivor set)
+                    F.col("b.doc_id").alias("doc_b")))
+    # the raw match MULTISET flows straight into the signature
+    # pre-filter; dedupe_survivors distincts AFTER it, so the dedup
+    # shuffle only ever sees the ~true-pair-sized survivor set — the
+    # same restructure the jaccard path got in round 5 (a pre-filter
+    # distinct was measured at 3.5 s on the 3.1 M candidate pairs the
+    # small shared vocabulary admits at sf0.1).  observe=True counts
+    # the distinct survivors — the exact-verify volume
+    # last_ppjoin_metrics documents — not the raw probe rows (which
+    # run ~10.9 M at sf1 vs a true-pair-sized survivor set).
+    # Exact-rational verify from the SAME snapped threshold as the
+    # probe bound (see _verified_pairs).
     return _verified_pairs(cand, grams, _snap(threshold),
-                           kind="containment", observe=True)
+                           kind="containment", dedupe_survivors=True,
+                           observe=True)
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -1067,7 +1072,6 @@ OVERLAP_PLANT_MOD = 43
 #: while jaccard ≈ 0.5 sits BELOW the near-dup thresholds, so only
 #: the asymmetric operator finds it
 CONTAIN_PLANT_MOD = 53
-CONTAIN_SHIFT = 10_000_000
 
 
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1075,9 +1079,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     half_text = F.expr(
         "array_join(slice(split(text, ' '), 1, "
         "greatest(cast(size(split(text, ' ')) / 2 as int), 3)), ' ')")
+    # planted ids are NEGATIVE (-id - 1): collision-proof against any
+    # non-negative corpus id space.  The previous fixed +10M shift
+    # landed exactly on the derived big-data corpora's replica-offset
+    # id space (851 duplicate doc_ids at sf1) — a duplicated doc_id
+    # puts two texts under one key and silently corrupts the gram and
+    # signature indexes for that id
     planted = (docs.filter(F.col("doc_id") % CONTAIN_PLANT_MOD == 0)
-               .select((F.col("doc_id") + CONTAIN_SHIFT)
-                       .alias("doc_id"),
+               .select((-F.col("doc_id") - 1).alias("doc_id"),
                        half_text.alias("text")))
     return containment_pairs(docs.unionByName(planted))
 
@@ -1347,7 +1356,7 @@ ORACLES = {
         WITH u AS (
           SELECT doc_id, text FROM documents
           UNION ALL
-          SELECT doc_id + {CONTAIN_SHIFT},
+          SELECT -doc_id - 1,
                  array_to_string(list_slice(string_split(text, ' '), 1,
                      greatest(len(string_split(text, ' ')) // 2, 3)),
                      ' ')

@@ -74,8 +74,11 @@ _RUN_FIRST = [
     "union_labeled_rules", "window_lag_hop", "window_last_scd1",
     "window_lead_scd2",
     # (b) touched in round 5 — must re-green fresh
+    # (dq_constraint_violations joined late: its planted keys went
+    # negative to kill the replica-offset collision class)
     "dedup_jaccard_prefix", "dedup_char_jaccard", "dedup_containment",
     "dedup_simhash", "fuzzy_doc_pairs", "merge_upsert_orders",
+    "dq_constraint_violations",
     # (c) r03-green, diff-adjacent families first (share dedup.py /
     # curation funnel modules with this round's changes), then the
     # rows the round-4 verdict named

@@ -73,9 +73,13 @@ def constraint_violations(df: DataFrame,
     return long
 
 
-#: planted violations for the driver demo (shifted keys, disjoint
-#: from the other plant families)
-DQ_SHIFT = 40_000_000
+#: planted violations for the driver demo use NEGATIVE keys
+#: (-key - 1…3): collision-proof against any non-negative corpus key
+#: space.  The previous +40M shift landed exactly on the derived
+#: big-data corpora's replica-offset keys (900k-key overlap at sf1 —
+#: the planted "one violation per class" became four unique-key
+#: violations there; counts stayed oracle-consistent, the narrative
+#: didn't)
 
 
 def dq_constraint_violations(spark: SparkSession,
@@ -93,11 +97,11 @@ def dq_constraint_violations(spark: SparkSession,
     plants = spark.createDataFrame(
         [(r.o_orderkey, r.o_custkey, r.o_totalprice,
           r.o_orderstatus),                              # duplicate key
-         (r.o_orderkey + DQ_SHIFT, None, r.o_totalprice,
+         (-r.o_orderkey - 1, None, r.o_totalprice,
           r.o_orderstatus),                              # null custkey
-         (r.o_orderkey + DQ_SHIFT + 1, r.o_custkey, -1.0,
+         (-r.o_orderkey - 2, r.o_custkey, -1.0,
           r.o_orderstatus),                              # negative price
-         (r.o_orderkey + DQ_SHIFT + 2, r.o_custkey,
+         (-r.o_orderkey - 3, r.o_custkey,
           r.o_totalprice, "X")],                         # bad status
         o.schema)
     planted = o.unionByName(plants)
@@ -157,11 +161,11 @@ ORACLES = {
           FROM orders
           UNION ALL SELECT o_orderkey, o_custkey, o_totalprice,
                            o_orderstatus FROM f
-          UNION ALL SELECT o_orderkey + {DQ_SHIFT}, NULL,
+          UNION ALL SELECT -o_orderkey - 1, NULL,
                            o_totalprice, o_orderstatus FROM f
-          UNION ALL SELECT o_orderkey + {DQ_SHIFT} + 1, o_custkey,
+          UNION ALL SELECT -o_orderkey - 2, o_custkey,
                            -1.0, o_orderstatus FROM f
-          UNION ALL SELECT o_orderkey + {DQ_SHIFT} + 2, o_custkey,
+          UNION ALL SELECT -o_orderkey - 3, o_custkey,
                            o_totalprice, 'X' FROM f),
         wide AS (SELECT
           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT

@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 
 from greenplum_dwh_spark.sources.tpch import Tables
 
-#: key shift for planted "added" rows (beyond any real o_orderkey)
+#: key shift for planted "added" rows — MUST stay beyond any real
+#: o_orderkey at every probed scale (checked: sf1's replica-offset
+#: keys top out at 90.1 M; a derived corpus whose keys reach 100 M
+#: would alias planted adds onto real rows and corrupt the diff, the
+#: collision class the dedup_containment plant actually hit at sf1)
 ADD_SHIFT = 100_000_000
 
 

@@ -78,7 +78,7 @@ _RUN_FIRST = [
     # negative to kill the replica-offset collision class)
     "dedup_jaccard_prefix", "dedup_char_jaccard", "dedup_containment",
     "dedup_simhash", "fuzzy_doc_pairs", "merge_upsert_orders",
-    "dq_constraint_violations",
+    "dq_constraint_violations", "table_diff_orders",
     # (c) r03-green, diff-adjacent families first (share dedup.py /
     # curation funnel modules with this round's changes), then the
     # rows the round-4 verdict named
@@ -89,7 +89,7 @@ _RUN_FIRST = [
     "chunk_documents", "remove_boilerplate_lines", "scrub_pii",
     "mixture_sampling_rates", "bigram_lm_counts", "split_leakage_safe",
     "split_train_holdout", "sample_hash_stratified", "shard_and_order",
-    "table_diff_orders", "zorder_keys_orders", "padding_waste_by_order",
+    "zorder_keys_orders", "padding_waste_by_order",
     "rank_fusion_rrf", "vocab_topk_coverage",
 ]
 _RUN_LAST = [

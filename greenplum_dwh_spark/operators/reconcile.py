@@ -24,12 +24,18 @@ from pyspark.sql import functions as F
 
 from greenplum_dwh_spark.sources.tpch import Tables
 
-#: key shift for planted "added" rows — MUST stay beyond any real
-#: o_orderkey at every probed scale (checked: sf1's replica-offset
-#: keys top out at 90.1 M; a derived corpus whose keys reach 100 M
-#: would alias planted adds onto real rows and corrupt the diff, the
-#: collision class the dedup_containment plant actually hit at sf1)
-ADD_SHIFT = 100_000_000
+#: planted "added"/"inserted" rows carry NEGATIVE keys (-key - 1):
+#: collision-proof against any non-negative corpus key space.  The
+#: previous fixed +100 M/+200 M shifts sat one replica decade above
+#: sf1's real keys (90.1 M) — a derived orders corpus at the next
+#: decade would have aliased every planted add onto a real row and
+#: silently reclassified the diff, the collision class the
+#: dedup_containment plant actually hit at sf1.
+def plant_key(k):
+    """Key a planted row derives from real key ``k`` — negative, so
+    it can never collide with real data (same recipe in the DuckDB
+    oracles and the tests)."""
+    return -k - 1
 
 
 def table_diff(left: DataFrame, right: DataFrame, key: str,
@@ -82,7 +88,7 @@ def _planted_snapshot(orders: DataFrame) -> DataFrame:
     added = (_normalized(orders)
              .filter(F.col("o_orderkey") % 17 == 0)
              .withColumn("o_orderkey",
-                         F.col("o_orderkey") + ADD_SHIFT))
+                         -F.col("o_orderkey") - 1))
     return kept.unionByName(added)
 
 
@@ -187,10 +193,9 @@ def merge_upsert(target: DataFrame, changes: DataFrame,
     return survivors.unionByName(upserts)
 
 
-#: planted changeset moduli (delete precedence on overlap) and the
-#: insert key shift (disjoint from table_diff's ADD_SHIFT plants)
+#: planted changeset moduli (delete precedence on overlap); inserted
+#: keys use the same collision-proof negative mapping (plant_key)
 UPD_MOD, DEL_MOD, INS_MOD = 31, 37, 41
-INS_SHIFT = 2 * ADD_SHIFT
 
 
 def _planted_changes(orders: DataFrame) -> DataFrame:
@@ -202,8 +207,7 @@ def _planted_changes(orders: DataFrame) -> DataFrame:
     deletes = (n.filter(F.col("o_orderkey") % DEL_MOD == 0)
                .withColumn("action", F.lit("delete")))
     inserts = (n.filter(F.col("o_orderkey") % INS_MOD == 0)
-               .withColumn("o_orderkey",
-                           F.col("o_orderkey") + INS_SHIFT)
+               .withColumn("o_orderkey", -F.col("o_orderkey") - 1)
                .withColumn("o_orderstatus", F.lit("N"))
                .withColumn("action", F.lit("upsert")))
     return updates.unionByName(deletes).unionByName(inserts)
@@ -248,7 +252,7 @@ ORACLES = {
           SELECT o_orderkey FROM base
           WHERE o_orderkey % {DEL_MOD} = 0),
         inserts AS (
-          SELECT o_orderkey + {INS_SHIFT} AS o_orderkey,
+          SELECT -o_orderkey - 1 AS o_orderkey,
                  'N' AS o_orderstatus, cents
           FROM base WHERE o_orderkey % {INS_MOD} = 0),
         touched AS (
@@ -279,7 +283,7 @@ ORACLES = {
                  o_orderpriority
           FROM base WHERE o_orderkey % 101 <> 0
           UNION ALL
-          SELECT o_orderkey + {ADD_SHIFT}, o_orderstatus, cents,
+          SELECT -o_orderkey - 1, o_orderstatus, cents,
                  o_orderpriority
           FROM base WHERE o_orderkey % 17 = 0),
         li AS (SELECT o_orderkey, {_DG} AS l_digest FROM base),

@@ -522,10 +522,16 @@ def neardup_ingest_foreach_batch(store, corpus_table: str,
         observed, counted, keep = _guarded_bands(tagged, cap)
         new_side = observed.filter(keep & F.col("is_new"))
         base_side = counted.filter(keep & ~F.col("is_new"))
+        # localCheckpoint: the rejects plan consumes cand TWICE (the
+        # verify join and the base-doc semi-join), and _guarded_bands'
+        # CollectMetrics node must execute exactly once per plan or
+        # metric retrieval breaks — materializing the (small)
+        # candidate list runs the guard once and hands both consumers
+        # plain rows
         cand = (new_side.alias("a").join(base_side.alias("b"), "band")
                 .select(F.col("a.doc_id").alias("doc_a"),
                         F.col("b.doc_id").alias("doc_b"))
-                .distinct())
+                .distinct()).localCheckpoint()
         base = (store.read(corpus_table)
                 .join(cand.select(F.col("doc_b").alias("doc_id"))
                       .distinct(), "doc_id", "semi")

@@ -79,16 +79,19 @@ class TableStore:
             for entry in os.listdir(sroot):
                 p = os.path.join(sroot, entry)
                 try:
-                    # age by the NEWEST mtime among the entry and its
-                    # immediate children, not the dir alone: a staged
-                    # parquet write updates _temporary/ as tasks land,
-                    # while the top dir's mtime stays at write START —
-                    # anchoring there would reap a >TTL-long LIVE write
+                    # age by the NEWEST mtime ANYWHERE under the entry
+                    # (os.walk), not the top dir alone: an in-flight
+                    # Spark parquet write mutates only deep paths
+                    # (stage/_temporary/0/_temporary/attempt_*/…), so
+                    # every shallower dir's mtime stays at write START
+                    # and a shallow anchor would reap a >TTL-long LIVE
+                    # write.  Entries are rare and short-lived; the
+                    # walk is bounded by one staged write's file count
                     mt = os.path.getmtime(p)
-                    if os.path.isdir(p):
-                        for c in os.listdir(p):
+                    for root, dirs, files in os.walk(p):
+                        for c in dirs + files:
                             mt = max(mt, os.path.getmtime(
-                                os.path.join(p, c)))
+                                os.path.join(root, c)))
                     if now - mt > _STAGING_TTL_S:
                         if os.path.isdir(p):
                             shutil.rmtree(p, ignore_errors=True)

@@ -167,7 +167,7 @@ def test_ohlc_single_exchange(spark, sf_dir):
 
 
 def test_table_diff_classifies_exactly_the_planted_changes(spark, sf_dir):
-    from greenplum_dwh_spark.operators.reconcile import (ADD_SHIFT,
+    from greenplum_dwh_spark.operators.reconcile import (plant_key,
                                                          table_diff_orders)
     out = table_diff_orders(spark, sf_dir).collect()
     by = {}
@@ -176,7 +176,7 @@ def test_table_diff_classifies_exactly_the_planted_changes(spark, sf_dir):
     keys = [r.o_orderkey for r in spark.read.parquet(
         f"{sf_dir}/orders.parquet").select("o_orderkey").collect()]
     assert by.get("removed", set()) == {k for k in keys if k % 101 == 0}
-    assert by.get("added", set()) == {k + ADD_SHIFT for k in keys
+    assert by.get("added", set()) == {plant_key(k) for k in keys
                                       if k % 17 == 0}
     # repriced rows that were NOT simultaneously removed
     assert by.get("changed", set()) == {k for k in keys

@@ -24,6 +24,38 @@ def _docs_df(spark, texts):
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
 
 
+def _brute_force_spans(toks, cap=20, min_span=5):
+    """All-pairs all-offsets reference model for repeated_spans: per
+    doc the max capped cross-doc LCP with the lexicographically-
+    smallest span among the maxima — shared by the planted, random
+    and control-char-fuzz equivalence tests so the reference
+    semantics live in exactly one place."""
+    def lcp(a, b):
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return n
+
+    best: dict[int, tuple[int, str]] = {}
+    for da, ta in enumerate(toks):
+        for db, tb in enumerate(toks):
+            if da == db:
+                continue
+            for i in range(len(ta) - min_span + 1):
+                for j in range(len(tb) - min_span + 1):
+                    l = min(lcp(ta[i:i + cap], tb[j:j + cap]), cap)
+                    if l < min_span:
+                        continue
+                    span = " ".join(ta[i:i + l])
+                    cur = best.get(da)
+                    if (cur is None or l > cur[0]
+                            or (l == cur[0] and span < cur[1])):
+                        best[da] = (l, span)
+    return best
+
+
 # ---------------------------------------------------------------- hot band
 
 
@@ -530,31 +562,7 @@ def test_repeated_spans_equals_brute_force(spark):
     texts.append(texts[0])
     texts.append("q1 q2 " + texts[3])
     toks = [t.split(" ") for t in texts]
-    cap, min_span = 20, 5
-
-    def lcp(a, b):
-        n = 0
-        for x, y in zip(a, b):
-            if x != y:
-                break
-            n += 1
-        return n
-
-    best: dict[int, tuple[int, str]] = {}
-    for da, ta in enumerate(toks):
-        for db, tb in enumerate(toks):
-            if da == db:
-                continue
-            for i in range(len(ta) - min_span + 1):
-                for j in range(len(tb) - min_span + 1):
-                    l = min(lcp(ta[i:i + cap], tb[j:j + cap]), cap)
-                    if l < min_span:
-                        continue
-                    span = " ".join(ta[i:i + l])
-                    cur = best.get(da)
-                    if (cur is None or l > cur[0]
-                            or (l == cur[0] and span < cur[1])):
-                        best[da] = (l, span)
+    best = _brute_force_spans(toks)
 
     got = {r["doc_id"]: (r["span_len"], r["span"])
            for r in dedup.repeated_spans(_docs_df(spark, texts)).collect()}
@@ -612,31 +620,7 @@ def test_repeated_spans_control_chars_cleansed(spark):
     ]
     toks = [re.sub(r"[\x00-\x20]+", " ", t).strip().split(" ")
             for t in texts]
-    cap, min_span = 20, 5
-
-    def lcp(a, b):
-        n = 0
-        for x, y in zip(a, b):
-            if x != y:
-                break
-            n += 1
-        return n
-
-    best: dict[int, tuple[int, str]] = {}
-    for da, ta in enumerate(toks):
-        for db, tb in enumerate(toks):
-            if da == db:
-                continue
-            for i in range(len(ta) - min_span + 1):
-                for j in range(len(tb) - min_span + 1):
-                    l = min(lcp(ta[i:i + cap], tb[j:j + cap]), cap)
-                    if l < min_span:
-                        continue
-                    span = " ".join(ta[i:i + l])
-                    cur = best.get(da)
-                    if (cur is None or l > cur[0]
-                            or (l == cur[0] and span < cur[1])):
-                        best[da] = (l, span)
+    best = _brute_force_spans(toks)
 
     got = {r["doc_id"]: (r["span_len"], r["span"])
            for r in dedup.repeated_spans(_docs_df(spark, texts)).collect()}
@@ -673,31 +657,7 @@ def test_repeated_spans_fuzz_control_chars_vs_brute_force(spark):
     def run(texts):
         toks = [re.sub(r"[\x00-\x20]+", " ", t).strip().split(" ")
                 for t in texts]
-        cap, min_span = 20, 5
-
-        def lcp(a, b):
-            n = 0
-            for x, y in zip(a, b):
-                if x != y:
-                    break
-                n += 1
-            return n
-
-        best: dict[int, tuple[int, str]] = {}
-        for da, ta in enumerate(toks):
-            for db, tb in enumerate(toks):
-                if da == db:
-                    continue
-                for i in range(len(ta) - min_span + 1):
-                    for j in range(len(tb) - min_span + 1):
-                        l = min(lcp(ta[i:i + cap], tb[j:j + cap]), cap)
-                        if l < min_span:
-                            continue
-                        span = " ".join(ta[i:i + l])
-                        cur = best.get(da)
-                        if (cur is None or l > cur[0]
-                                or (l == cur[0] and span < cur[1])):
-                            best[da] = (l, span)
+        best = _brute_force_spans(toks)
 
         got = {r["doc_id"]: (r["span_len"], r["span"])
                for r in dedup.repeated_spans(

@@ -391,7 +391,7 @@ def test_merge_upsert_resolves_conflicting_changes(spark):
 def test_merge_upsert_orders_plants_all_classes(spark, sf_dir):
     """The planted changeset exercises update, delete AND insert, and
     the merged profile reflects them: inserted keys surface as the 'N'
-    status group beyond INS_SHIFT."""
+    status group on the collision-proof negative key range."""
     from greenplum_dwh_spark.operators import reconcile as rc
     from greenplum_dwh_spark.sources.tpch import Tables
     o = Tables(spark, sf_dir).orders
@@ -404,7 +404,7 @@ def test_merge_upsert_orders_plants_all_classes(spark, sf_dir):
     prof = {r["o_orderstatus"]: r for r in
             rc.merge_upsert_orders(spark, sf_dir).collect()}
     assert "N" in prof
-    assert prof["N"]["min_key"] >= rc.INS_SHIFT
+    assert prof["N"]["max_key"] < 0  # plant_key: all inserts negative
 
 
 def test_label_centroids_mergeable_partials(spark, sf_dir):

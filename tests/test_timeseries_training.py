@@ -561,22 +561,29 @@ def test_tablestore_init_sweeps_crashed_staging(spark, tmp_path):
     ts.append("t", spark.createDataFrame([(1, "d0"), (2, "d1")], schema),
               partition_cols=["day"])
 
-    def plant(name: str, age_s: float) -> str:
+    def plant(name: str, age_s: float, deep_age_s: float) -> str:
+        # mimic an in-flight Spark staged write: the only fresh mtimes
+        # sit DEEP under _temporary (task attempt dirs) while every
+        # shallower dir keeps its write-START mtime
         d = os.path.join(base, ".staging", name)
-        os.makedirs(d, exist_ok=True)
-        part = os.path.join(d, "part-0.parquet")
+        deep = os.path.join(d, "_temporary", "0", "_temporary")
+        os.makedirs(deep, exist_ok=True)
+        part = os.path.join(deep, "attempt_0.parquet")
         with open(part, "w") as f:
             f.write("junk")
-        # age is judged by the NEWEST mtime among the entry and its
-        # children (a live write keeps touching children) — backdate
-        # both to make the entry count as dead
         old = time.time() - age_s
-        os.utime(part, (old, old))
-        os.utime(d, (old, old))
+        fresh = time.time() - deep_age_s
+        os.utime(part, (fresh, fresh))
+        for p in (deep, os.path.dirname(deep),
+                  os.path.dirname(os.path.dirname(deep)), d):
+            os.utime(p, (old, old))
         return d
 
-    dead = plant("t__backfill_deadbeef", _STAGING_TTL_S + 60)
-    live = plant("t__backfill_cafecafe", 0.0)
+    dead = plant("t__backfill_deadbeef",
+                 _STAGING_TTL_S + 60, _STAGING_TTL_S + 60)
+    # live = a write started LONG ago whose tasks are still landing:
+    # only the deep attempt file is fresh — the sweep must walk to it
+    live = plant("t__backfill_cafecafe", _STAGING_TTL_S + 60, 0.0)
     # stray plain FILE under .staging: rmtree alone would raise
     # NotADirectoryError (suppressed) and leak it forever
     stray = os.path.join(base, ".staging", "stray.lock")

@@ -51,12 +51,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #: so the ordering IS the verification-freshness lever.  Round-5
 #: rotation (round-4 verdict item 1, mechanical): (a) the 21 queries
 #: whose latest green row is r02 — two rounds stale, the oldest debt —
-#: then (b) the 6 queries whose code paths changed in round 5 (PPJoin
+#: then (b) the 8 queries whose code paths changed in round 5 (PPJoin
 #: two-stage verify → jaccard/char/containment; SimHash recall-probe
-#: refactor; fuzzy_doc_pairs segment blocking; merge_upsert order_col),
-#: then (c) 23 of the 45 r03-green queries, dedup/curation families
+#: refactor; fuzzy_doc_pairs segment blocking; merge_upsert order_col;
+#: late joiners dq_constraint_violations + table_diff_orders, whose
+#: planted keys went collision-proof negative),
+#: then (c) 22 of the 45 r03-green queries, dedup/curation families
 #: first since they share modules with this round's diffs.  The
-#: remaining 22 r03-green and all 50 r04-green rows fall in
+#: remaining 23 r03-green and all 50 r04-green rows fall in
 #: registration order after these; the 7 no-oracle-by-design queries
 #: sit in _RUN_LAST so they never burn a budget slot on a rows-only
 #: check while oracle debt exists.
@@ -74,8 +76,6 @@ _RUN_FIRST = [
     "union_labeled_rules", "window_lag_hop", "window_last_scd1",
     "window_lead_scd2",
     # (b) touched in round 5 — must re-green fresh
-    # (dq_constraint_violations joined late: its planted keys went
-    # negative to kill the replica-offset collision class)
     "dedup_jaccard_prefix", "dedup_char_jaccard", "dedup_containment",
     "dedup_simhash", "fuzzy_doc_pairs", "merge_upsert_orders",
     "dq_constraint_violations", "table_diff_orders",

@@ -11,7 +11,8 @@ classification is a pure projection over the join output.
 
 The driver query plants a deterministic "new snapshot" of ``orders``
 (drops every 101st key, reprices every 13th, appends every 17th under
-a shifted key) and diffs it against the original — the same
+a collision-proof negative key — :func:`plant_key`) and diffs it
+against the original — the same
 plant-then-operate discipline as scrub_pii/remove_boilerplate_lines,
 so all three change classes are exercised for real and the DuckDB
 oracle replays the identical plant.
@@ -88,7 +89,7 @@ def _planted_snapshot(orders: DataFrame) -> DataFrame:
     added = (_normalized(orders)
              .filter(F.col("o_orderkey") % 17 == 0)
              .withColumn("o_orderkey",
-                         -F.col("o_orderkey") - 1))
+                         plant_key(F.col("o_orderkey"))))
     return kept.unionByName(added)
 
 
@@ -207,7 +208,8 @@ def _planted_changes(orders: DataFrame) -> DataFrame:
     deletes = (n.filter(F.col("o_orderkey") % DEL_MOD == 0)
                .withColumn("action", F.lit("delete")))
     inserts = (n.filter(F.col("o_orderkey") % INS_MOD == 0)
-               .withColumn("o_orderkey", -F.col("o_orderkey") - 1)
+               .withColumn("o_orderkey",
+                           plant_key(F.col("o_orderkey")))
                .withColumn("o_orderstatus", F.lit("N"))
                .withColumn("action", F.lit("upsert")))
     return updates.unionByName(deletes).unionByName(inserts)

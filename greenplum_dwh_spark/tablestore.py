@@ -78,21 +78,38 @@ class TableStore:
             now = time.time()
             for entry in os.listdir(sroot):
                 p = os.path.join(sroot, entry)
-                try:
-                    # age by the NEWEST mtime ANYWHERE under the entry
-                    # (os.walk), not the top dir alone: an in-flight
-                    # Spark parquet write mutates only deep paths
-                    # (stage/_temporary/0/_temporary/attempt_*/…), so
-                    # every shallower dir's mtime stays at write START
-                    # and a shallow anchor would reap a >TTL-long LIVE
-                    # write.  Entries are rare and short-lived; the
-                    # walk is bounded by one staged write's file count
-                    mt = os.path.getmtime(p)
-                    for root, dirs, files in os.walk(p):
+
+                # age by the NEWEST mtime ANYWHERE under the entry
+                # (os.walk), not the top dir alone: an in-flight
+                # Spark parquet write mutates only deep paths
+                # (stage/_temporary/0/_temporary/attempt_*/…), so
+                # every shallower dir's mtime stays at write START
+                # and a shallow anchor would reap a >TTL-long LIVE
+                # write.  Each stat is suppressed individually — one
+                # broken symlink must not abort aging for the whole
+                # entry and leak a dead tree forever — and the scan
+                # stops at the first within-TTL mtime (liveness
+                # proven), so the common live-entry case does not
+                # stat the entire staged copy on every init
+                def newest_is_live(top: str) -> bool:
+                    def fresh(q: str) -> bool:
+                        try:
+                            return (now - os.path.getmtime(q)
+                                    <= _STAGING_TTL_S)
+                        except OSError:
+                            return False  # vanished/unstat-able child
+                    if fresh(top):
+                        return True
+                    for root, dirs, files in os.walk(top):
+                        # os.walk is lazy — returning mid-walk stops
+                        # the traversal at the first fresh mtime
                         for c in dirs + files:
-                            mt = max(mt, os.path.getmtime(
-                                os.path.join(root, c)))
-                    if now - mt > _STAGING_TTL_S:
+                            if fresh(os.path.join(root, c)):
+                                return True
+                    return False
+
+                try:
+                    if not newest_is_live(p):
                         if os.path.isdir(p):
                             shutil.rmtree(p, ignore_errors=True)
                         else:

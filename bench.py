@@ -148,10 +148,26 @@ def bench_queries() -> dict:
     }
 
 
+def host_load() -> dict:
+    """1/5/15-min load averages + CPU count, stamped into every bench
+    artifact so round-over-round comparisons can normalize for
+    co-tenant noise instead of re-litigating it (round-5 verdict
+    item 5: the r05 artifact read 42.3 s under a load burst where the
+    same code measures 32-36 s on a calm host)."""
+    try:
+        one, five, fifteen = os.getloadavg()
+    except OSError:  # pragma: no cover - getloadavg is POSIX-only
+        one = five = fifteen = -1.0
+    return {"load_1m": round(one, 2), "load_5m": round(five, 2),
+            "load_15m": round(fifteen, 2),
+            "cpus": os.cpu_count() or -1}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    load_before = host_load()
 
     queries = bench_queries()
     from greenplum_dwh_spark.session import get_spark
@@ -215,6 +231,7 @@ def main() -> None:
         "band_guard": band_guard,
         "ppjoin": ppjoin,
         "sf": sf,
+        "host": {"before": load_before, "after": host_load()},
     }))
 
 

@@ -253,7 +253,9 @@ def main() -> None:
                       extra_conf={"spark.ui.enabled": "false",
                                   "spark.sql.shuffle.partitions": "8"})
     spark.sparkContext.setLogLevel("ERROR")
+    from bench import host_load
     tmp = tempfile.mkdtemp(prefix="bench_stream_")
+    load_before = host_load()
     try:
         result = {
             "metric": "streaming_paths",
@@ -261,6 +263,7 @@ def main() -> None:
             "cdc_apply": bench_cdc_apply(spark, tmp),
             "neardup_ingest": bench_neardup_ingest(spark, tmp),
         }
+        result["host"] = {"before": load_before, "after": host_load()}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     with open(OUT_PATH, "w") as f:

@@ -368,13 +368,16 @@ _BPE_PAIRS = ("case when size(t) >= 2 then transform("
               "else cast(array() as array<string>) end")
 
 
-def bpe_encode_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bpe_encode_top_words(spark: SparkSession, sf_dir: str,
+                         caches: list | None = None) -> DataFrame:
     t = Tables(spark, sf_dir)
     words = (t.documents
              .select(F.explode(_tok()).alias("w"))
              .groupBy("w")
              .agg(F.count(F.lit(1)).alias("c"))
              .cache())          # vocabulary-sized; read every round
+    if caches is not None:     # dup_ngram_mass's ownership contract:
+        caches.append(words)   # caller unpersists after consuming
     cur = words.select(
         "w", "c",
         F.concat(F.lit("  "), F.regexp_replace("w", "(.)", "$1  "))

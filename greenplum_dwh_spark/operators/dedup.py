@@ -445,7 +445,8 @@ def simhash_band_guard_probe(docs: DataFrame,
 
 
 def jaccard_prefix_pairs(docs: DataFrame,
-                         threshold: float = PREFIX_THRESHOLD) -> DataFrame:
+                         threshold: float = PREFIX_THRESHOLD,
+                         caches: list | None = None) -> DataFrame:
     """Exact word-2-gram jaccard join via PPJoin-style prefix +
     positional filtering (Xiao et al., "Efficient Similarity Joins for
     Near Duplicate Detection" — public set-similarity-join literature,
@@ -474,18 +475,23 @@ def jaccard_prefix_pairs(docs: DataFrame,
     non-dup pairs share few prefix tokens (small c) and fail the α
     test, so only near-dups reach the verify join."""
     grams = H.with_word_shingles(docs, n=2).cache()
-    return _prefix_filtered_pairs(docs, grams, threshold)
+    if caches is not None:
+        caches.append(grams)
+    return _prefix_filtered_pairs(docs, grams, threshold, caches=caches)
 
 
 def char_jaccard_pairs(docs: DataFrame,
-                       threshold: float = CHAR_JACCARD_THRESHOLD) -> DataFrame:
+                       threshold: float = CHAR_JACCARD_THRESHOLD,
+                       caches: list | None = None) -> DataFrame:
     """Exact character-4-gram jaccard join — the char-level member of
     the n-gram jaccard family (robust to tokenization differences:
     whitespace/punctuation edits barely move char-gram sets).  Same
     PPJoin prefix/size/positional filtering as the word variant, over
     :func:`H.char_ngrams` sets."""
     grams = H.with_char_ngrams(docs).cache()
-    return _prefix_filtered_pairs(docs, grams, threshold)
+    if caches is not None:
+        caches.append(grams)
+    return _prefix_filtered_pairs(docs, grams, threshold, caches=caches)
 
 
 def _snap(threshold):
@@ -695,7 +701,8 @@ def _verified_pairs(pairs: DataFrame, sets_df: DataFrame, fr,
 
 
 def _prefix_filtered_pairs(docs: DataFrame, grams: DataFrame,
-                           threshold: float) -> DataFrame:
+                           threshold: float,
+                           caches: list | None = None) -> DataFrame:
     """PPJoin core over a (doc_id, s=token array) set index ``grams``
     (see :func:`jaccard_prefix_pairs` for the base filter derivations).
 
@@ -749,6 +756,8 @@ def _prefix_filtered_pairs(docs: DataFrame, grams: DataFrame,
                       <= F.col("n") - _ceil_mul(F.col("n"), fr) + 1)
               .select("doc_id", "g", "n", "rk")
               .cache())
+    if caches is not None:
+        caches.append(prefix)
     na, nb = F.col("a.n"), F.col("b.n")
     ra, rb = F.col("a.rk"), F.col("b.rk")
     alpha = _ceil_mul(na + nb, t_factor)
@@ -771,8 +780,8 @@ CONTAINMENT_THRESHOLD = 0.9
 
 
 def containment_pairs(docs: DataFrame,
-                      threshold: float = CONTAINMENT_THRESHOLD
-                      ) -> DataFrame:
+                      threshold: float = CONTAINMENT_THRESHOLD,
+                      caches: list | None = None) -> DataFrame:
     """Asymmetric containment join over word-2-gram sets: pairs with
     ``|A∩B| / min(|A|,|B|) ≥ t`` — the subset-duplicate detector.
     Symmetric jaccard MISSES these: a document fully contained in one
@@ -793,6 +802,8 @@ def containment_pairs(docs: DataFrame,
     Returns (doc_a, doc_b, containment) with ``doc_a`` the smaller
     (or tie-lower-id) side."""
     grams = H.with_word_shingles(docs, n=2).cache()
+    if caches is not None:
+        caches.append(grams)
     ex = grams.select("doc_id", F.explode("s").alias("g"),
                       F.size("s").alias("n"))
     freq = ex.groupBy("g").agg(F.count(F.lit(1)).alias("df"))

@@ -169,12 +169,16 @@ def tokens_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   into FUZZY_MAX_DIST+1 = 13 fixed segments; with ≤ 12 edits,
 #   pigeonhole leaves ≥ 1 segment of the lower-id side UNTOUCHED, and
 #   an untouched segment appears verbatim in the other prefix shifted
-#   by at most the net indel count ≤ 12.  So: lower-id docs emit
-#   their 13 segments, higher-id docs emit every substring of each
-#   segment's length within ±12 of its home position, and the
-#   candidate join is a pure equi-join on (lang, blk, segment,
-#   substring) — exact (no qualifying pair can miss) with candidate
-#   volume Σ matching-substring collisions instead of block².
+#   by at most FUZZY_MAX_SHIFT = 6 (not 12: the segment path only
+#   compares equal-length 40-char prefixes, where #ins = #del, so a
+#   shift of δ costs ≥ 2|δ| edits — see FUZZY_MAX_SHIFT).  So:
+#   lower-id docs emit their 13 segments, higher-id docs emit every
+#   substring of each segment's length within ±6 of its home
+#   position, and the candidate join is a pure equi-join on
+#   xxhash64(lang, blk, segment, substring) — exact (value equality
+#   implies hash equality; a 64-bit collision only adds a candidate
+#   the verify removes) with candidate volume Σ matching-substring
+#   collisions instead of block².
 #
 # Both paths feed one exact levenshtein verify, so the output is
 # byte-identical to the plain plan and the DuckDB oracle.  Prefixes
@@ -183,6 +187,19 @@ def tokens_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # regardless of block size.
 FUZZY_PREFIX = 40
 FUZZY_MAX_DIST = 12
+#: maximum position shift of an untouched segment — HALF the edit
+#: budget, not all of it: the segment path only ever compares
+#: full-40-char prefixes (is_big requires length == FUZZY_PREFIX), and
+#: between EQUAL-LENGTH strings every alignment has #insertions =
+#: #deletions = k, so the running (ins − del) offset that displaces an
+#: untouched segment is bounded by k ≤ FUZZY_MAX_DIST // 2.  (Formally:
+#: segment at start s matching at p means the left parts' lengths
+#: differ by |p−s|, costing ≥ |p−s| edits, and the right parts'
+#: lengths differ by the same amount, costing ≥ |p−s| again —
+#: 2|p−s| ≤ τ.)  Halving the window halves the probe explode AND the
+#: random 3-char collision volume, the measured sf10 cost driver
+#: (round-5 verdict item 2: blocking-entropy saturation)
+FUZZY_MAX_SHIFT = FUZZY_MAX_DIST // 2
 #: blocks above this many members route through the segment filter;
 #: measured crossover on the derived decades: at ~440-member blocks
 #: (sf1) the plain join wins (1.7 s vs 12.2 s all-segment), at
@@ -217,6 +234,16 @@ def _plain_block_pairs(a: DataFrame, b: DataFrame) -> DataFrame:
 def _segment_block_pairs(big: DataFrame) -> DataFrame:
     """PassJoin candidates within the over-split blocks (see module
     comment).  ``big`` rows all have a full 40-char prefix."""
+    # the join key (lang, blk, i, seg) is carried as ONE xxhash64
+    # long: value equality implies hash equality, so no qualifying
+    # pair can be lost, and a 64-bit collision merely adds a spurious
+    # candidate the exact levenshtein verify removes — while the
+    # probe-side shuffle row shrinks from ~45 B (two strings + two
+    # ints) to 16 B (measured at sf10: the 73 M-row probe shuffle,
+    # not the join or the explode, dominated the path)
+    def _key(i_col):
+        return F.xxhash64("lang", "blk", i_col, "seg").alias("k")
+
     segs = big.select(
         "doc_id", "lang", "blk",
         F.explode(F.array(*[
@@ -224,47 +251,61 @@ def _segment_block_pairs(big: DataFrame) -> DataFrame:
                      F.substring("pre", s, l).alias("seg"))
             for i, s, l in _FUZZY_SEGS])).alias("x")
     ).select("doc_id", "lang", "blk",
-             F.col("x.i").alias("i"), F.col("x.seg").alias("seg"))
+             F.col("x.i").alias("i"), F.col("x.seg").alias("seg")
+             ).select("doc_id", _key(F.col("i")))
     probe_structs = []
     for i, s, l in _FUZZY_SEGS:
-        lo = max(1, s - FUZZY_MAX_DIST)
-        hi = min(FUZZY_PREFIX - l + 1, s + FUZZY_MAX_DIST)
+        lo = max(1, s - FUZZY_MAX_SHIFT)
+        hi = min(FUZZY_PREFIX - l + 1, s + FUZZY_MAX_SHIFT)
         for p in range(lo, hi + 1):
             probe_structs.append(
                 F.struct(F.lit(i).alias("i"),
                          F.substring("pre", p, l).alias("seg")))
     probes = big.select(
         "doc_id", "lang", "blk",
-        # array_distinct: the same substring often recurs across the
-        # ±12 window — one row per distinct (i, substring) is enough
-        F.explode(F.array_distinct(F.array(*probe_structs))).alias("x")
+        # NO array_distinct: deduping the ~165 (i, substring) structs
+        # costs a quadratic ~13k struct compares per row (measured at
+        # sf10: the expression eval, not the join, dominated the
+        # path), while the duplicates it removes are <20% of probe
+        # rows — emitting them is cheaper than comparing for them,
+        # and the candidate .distinct() downstream absorbs the dups
+        F.explode(F.array(*probe_structs)).alias("x")
     ).select("doc_id", "lang", "blk",
-             F.col("x.i").alias("i"), F.col("x.seg").alias("seg"))
+             F.col("x.i").alias("i"), F.col("x.seg").alias("seg")
+             ).select("doc_id", _key(F.col("i")))
     # shuffle-hash hint: both sides are explode outputs whose size
     # estimates still reflect the pre-explode scan, so the planner
     # otherwise picks a broadcast join and dies building a multi-GiB
-    # hash relation from the ~268×-exploded probe side (observed at
+    # hash relation from the ~165×-exploded probe side (observed at
     # the derived sf10: "Cannot broadcast the table larger than
     # 8.0 GiB").  Building the hash table on the 13×-exploded segment
     # side per partition is the right physical plan at every scale.
     return (segs.alias("a").hint("shuffle_hash")
-            .join(probes.alias("b"), ["lang", "blk", "i", "seg"])
+            .join(probes.alias("b"), ["k"])
             .filter(F.col("a.doc_id") < F.col("b.doc_id"))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
 
 
-def _prefix_hist(col) -> F.Column:
-    """26-dim letter histogram of a prefix (count of c = len −
-    len(translate(c away))).  Digits/spaces are deliberately not
+_HIST_ALPHABET = "abcdefghijklmnopqrstuvwxyz"
+
+
+def _prefix_hist_cols(col, prefix: str) -> list[F.Column]:
+    """26 FLAT int columns — the per-letter histogram of a prefix
+    (count of c = len − len(translate(c away))), one named column per
+    letter rather than an array.  Digits/spaces are deliberately not
     counted: a histogram over a SUBSET of the alphabet still yields a
     valid edit-distance lower bound (edits touching uncounted chars
-    simply don't move it)."""
-    return F.array(*[
-        (F.length(col)
-         - F.length(F.translate(col, ch, ""))).cast("int")
-        for ch in "abcdefghijklmnopqrstuvwxyz"])
+    simply don't move it).  Flat columns keep the L1 compare below in
+    plain whole-stage codegen arithmetic — the zip_with/aggregate HOF
+    formulation allocated two arrays + a lambda frame per candidate
+    row (the repo-wide finding from the PPJoin signature rework:
+    flat long/int columns beat array HOFs 6-25× on hot paths)."""
+    return [(F.length(col)
+             - F.length(F.translate(col, ch, ""))).cast("int")
+            .alias(f"{prefix}{ch}")
+            for ch in _HIST_ALPHABET]
 
 
 def _levenshtein_verify(cand: DataFrame, d: DataFrame) -> DataFrame:
@@ -273,19 +314,17 @@ def _levenshtein_verify(cand: DataFrame, d: DataFrame) -> DataFrame:
     L1, so ``ed ≥ L1(hist_a, hist_b)/2`` — a 26-element compare
     (~60× cheaper than the 40×40 DP) that prunes the bulk of the
     candidate volume before levenshtein runs (at the derived sf10 the
-    segment join emits 51.6 M candidates for ~2.6 M real pairs)."""
-    pre_map = F.broadcast(d.select("doc_id", "pre",
-                                   _prefix_hist(F.col("pre"))
-                                   .alias("hist")))
-    pa = pre_map.select(F.col("doc_id").alias("doc_a"),
-                        F.col("pre").alias("a_pre"),
-                        F.col("hist").alias("a_h"))
-    pb = pre_map.select(F.col("doc_id").alias("doc_b"),
-                        F.col("pre").alias("b_pre"),
-                        F.col("hist").alias("b_h"))
-    l1 = F.aggregate(
-        F.zip_with("a_h", "b_h", lambda x, y: F.abs(x - y)),
-        F.lit(0), lambda acc, v: acc + v)
+    segment join emits ~4.4 M candidates for ~3.4 k real pairs)."""
+    pre_map = d.select("doc_id", "pre",
+                       *_prefix_hist_cols(F.col("pre"), "h_"))
+    pa = F.broadcast(pre_map.select(
+        F.col("doc_id").alias("doc_a"), F.col("pre").alias("a_pre"),
+        *[F.col(f"h_{ch}").alias(f"a_{ch}") for ch in _HIST_ALPHABET]))
+    pb = F.broadcast(pre_map.select(
+        F.col("doc_id").alias("doc_b"), F.col("pre").alias("b_pre"),
+        *[F.col(f"h_{ch}").alias(f"b_{ch}") for ch in _HIST_ALPHABET]))
+    l1 = sum((F.abs(F.col(f"a_{ch}") - F.col(f"b_{ch}"))
+              for ch in _HIST_ALPHABET), start=F.lit(0))
     return (cand.join(pa, "doc_a").join(pb, "doc_b")
             .filter(l1 <= 2 * FUZZY_MAX_DIST)
             .select("doc_a", "doc_b",
@@ -293,7 +332,28 @@ def _levenshtein_verify(cand: DataFrame, d: DataFrame) -> DataFrame:
             .filter(F.col("edit_dist") <= FUZZY_MAX_DIST))
 
 
-def fuzzy_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fuzzy_doc_pairs(spark: SparkSession, sf_dir: str,
+                    big_keys: list[tuple[str, int]] | None = None
+                    ) -> DataFrame:
+    """Blocked fuzzy matching (see module comment for the adaptive
+    plain/PassJoin routing).
+
+    NOTE (round-5 ADVICE): when ``big_keys`` is None this function
+    runs an EAGER Spark job at plan-construction time — the
+    block-count aggregate below — so every call pays one small job
+    even if the returned DataFrame is never executed, and the chosen
+    routing can go stale if the underlying table changes between
+    build and execution.  Composing callers (loops, libraries) should
+    precompute the over-split keys once and pass them in::
+
+        keys = [(r["lang"], r["blk"]) for r in
+                docs.groupBy("lang", "blk").count()
+                    .filter(F.col("count") > FUZZY_BLOCK_SPLIT)
+                    .collect()]
+        fuzzy_doc_pairs(spark, sf_dir, big_keys=keys)
+
+    Pass ``big_keys=[]`` to force the classic single blocked
+    self-join (bypasses the planning job entirely)."""
     d = _fuzzy_docs(spark, sf_dir)
     # driver-side stats decision (AQE-style planning from a tiny
     # aggregate): the block-count table is bounded by the KEY
@@ -302,10 +362,11 @@ def fuzzy_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver action.  With no oversized block (every tested scale up
     # to the derived sf1) the plan IS the classic single blocked
     # self-join — zero overhead for the common case.
-    big_keys = [(r["lang"], r["blk"]) for r in
-                d.groupBy("lang", "blk").count()
-                .filter(F.col("count") > FUZZY_BLOCK_SPLIT)
-                .select("lang", "blk").collect()]
+    if big_keys is None:
+        big_keys = [(r["lang"], r["blk"]) for r in
+                    d.groupBy("lang", "blk").count()
+                    .filter(F.col("count") > FUZZY_BLOCK_SPLIT)
+                    .select("lang", "blk").collect()]
     if not big_keys:
         return _levenshtein_verify(_plain_block_pairs(d, d), d)
     is_big = (F.concat_ws("|", "lang", F.col("blk").cast("string"))
@@ -313,13 +374,19 @@ def fuzzy_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
               & (F.length("pre") == FUZZY_PREFIX))
     small = d.filter(~is_big)
     big = d.filter(is_big)
+    # NO small↔big bridge legs: they are structurally EMPTY.  A pair
+    # crossing the partition would share (lang, blk) with one side in
+    # ``big`` — full 40-char prefix ⇔ n_chars ≥ FUZZY_PREFIX ⇔
+    # blk ≥ FUZZY_PREFIX // 8 — and the other in ``small`` within the
+    # same big key, which forces a SHORT prefix ⇔ n_chars < 40 ⇔
+    # blk ≤ 4: the two blk constraints contradict.  (An over-split
+    # key whose docs are all short — blk ≤ 4 — routes entirely
+    # through the plain path because is_big is false for every row.)
+    # The two bridge joins this replaces scanned the corpus twice to
+    # emit zero rows — 20 s of the 47 s sf10 wall (round-6 measure).
     cand = (
         # small↔small and every pair touching a short-prefix doc
         _plain_block_pairs(small, small)
-        # small↔big bridges (same block, one side under the split):
-        # plain join — the small side bounds the fan-out
-        .unionByName(_plain_block_pairs(small, big))
-        .unionByName(_plain_block_pairs(big, small))
         # big↔big: the segment filter
         .unionByName(_segment_block_pairs(big)))
     return _levenshtein_verify(cand, d)

@@ -492,6 +492,23 @@ def neardup_ingest_foreach_batch(store, corpus_table: str,
     thr = JACCARD_THRESHOLD if threshold is None else threshold
     cap = BAND_CAP if band_cap is None else band_cap
 
+    # init the rejects table with an explicit schema at factory time
+    # (round-5 ADVICE): it is otherwise materialized only by per-batch
+    # dynamic overwrites, so a stream that never rejects anything
+    # would leave no schema-bearing parquet under it and
+    # store.read(rejects_table) would die on schema inference.
+    # doc ids are long — the contract of the documents table and the
+    # stream≡batch fixtures; jac is the plain-double exact verify
+    from pyspark.sql import types as T
+    rejects_schema = T.StructType([
+        T.StructField("new_doc", T.LongType()),
+        T.StructField("base_doc", T.LongType()),
+        T.StructField("jac", T.DoubleType()),
+        T.StructField("_batch_id", T.LongType()),
+    ])
+    store.init_append(rejects_table, rejects_schema,
+                      partition_cols=["_batch_id"])
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         from greenplum_dwh_spark.functions import hashing as H
         if not batch_df.take(1):
@@ -550,7 +567,8 @@ def neardup_ingest_foreach_batch(store, corpus_table: str,
             .distinct(), "doc_id", "left_anti")
         store.overwrite_partitions(
             rejects_table,
-            rejects.withColumn("_batch_id", F.lit(int(batch_id))),
+            rejects.withColumn("_batch_id",
+                               F.lit(int(batch_id)).cast("long")),
             "_batch_id")
         acc_ids = accepted.select("doc_id")
         store.append(index_table,

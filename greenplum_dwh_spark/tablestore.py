@@ -55,8 +55,41 @@ _STAGING = ".staging"
 #: instance) must not delete the staged files of an in-flight
 #: overwrite_partitions in another instance of the same process
 _STAGING_TTL_S = 6 * 3600
+#: heartbeat period for live staging entries — far below the TTL so a
+#: single missed beat (GC pause, NFS hiccup) can never age a live
+#: stage past the sweep gate
+_HEARTBEAT_S = 300
 
 N_BUCKETS = 16
+
+
+def _start_heartbeat(path: str,
+                     interval_s: float = _HEARTBEAT_S) -> "threading.Event":
+    """Touch ``path`` now and every ``interval_s`` until the returned
+    Event is set.  Staging mtimes freeze the moment Spark's staging
+    write finishes, but the phase that follows (re-read, distinct
+    collect, dynamic overwrite of the TARGET) can outlive
+    _STAGING_TTL_S on a big backfill — and the init sweep of any
+    concurrent TableStore would then reap the LIVE stage mid-overwrite
+    (round-5 ADVICE).  A daemon thread touching an underscore-hidden
+    marker (invisible to spark.read's file index) decouples liveness
+    from Spark's write-phase mtimes."""
+    import threading
+    import time
+    stop = threading.Event()
+
+    def _beat() -> None:
+        while True:
+            try:
+                with open(path, "w") as f:
+                    f.write(str(time.time()))
+            except OSError:
+                pass  # stage swept/renamed under us; owner is done
+            if stop.wait(interval_s):
+                return
+
+    threading.Thread(target=_beat, daemon=True).start()
+    return stop
 
 
 class TableStore:
@@ -199,8 +232,13 @@ class TableStore:
         # swept on TableStore init after a hard crash — round-4 ADVICE)
         stage = os.path.join(self.base_dir, _STAGING,
                              f"{name}__backfill_{uuid.uuid4().hex}")
+        heartbeat = None
         try:
             df.write.mode("overwrite").parquet(stage)
+            # started AFTER the staging write: Spark's overwrite would
+            # delete a pre-created marker, and the write's own deep
+            # mtimes keep the entry live until it finishes
+            heartbeat = _start_heartbeat(os.path.join(stage, "_heartbeat"))
             staged = self.spark.read.parquet(stage)
             vals = [r[0] for r in staged.select(partition_col)
                     .distinct().collect()]
@@ -213,6 +251,8 @@ class TableStore:
              .partitionBy(partition_col)
              .parquet(self._path(name)))
         finally:
+            if heartbeat is not None:
+                heartbeat.set()
             shutil.rmtree(stage, ignore_errors=True)
         return {"replaced_partitions": sorted(map(str, vals))}
 

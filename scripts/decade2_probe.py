@@ -80,7 +80,9 @@ def inner(query: str, sf_dir: str) -> None:
         g = dedup.last_band_guard_metrics()
         if g:
             extra["band_guard"] = g
-    print(json.dumps({"best_sec": round(best, 3), **extra}))
+    from bench import host_load
+    print(json.dumps({"best_sec": round(best, 3), "host": host_load(),
+                      **extra}))
 
 
 def main() -> None:

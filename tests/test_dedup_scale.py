@@ -665,3 +665,32 @@ def test_repeated_spans_fuzz_control_chars_vs_brute_force(spark):
         assert got == best
 
     run()
+
+
+def test_ppjoin_caches_ownership_contract(spark):
+    """Round-5 ADVICE: the PPJoin family's pinned intermediates
+    (grams + prefix index) must be releasable by the caller — the
+    ``caches`` list contract from dup_ngram_mass.  A long-lived
+    session composing these verbs otherwise accumulates pinned
+    storage until LRU eviction."""
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab) for _ in range(25))
+             for _ in range(20)]
+    texts.append(texts[0])                    # one planted dup
+    docs = _docs_df(spark, texts)
+
+    caches: list = []
+    out = dedup.jaccard_prefix_pairs(docs, caches=caches).collect()
+    assert len(out) >= 1
+    assert len(caches) == 2                   # grams + prefix index
+    assert all(df.storageLevel.useMemory for df in caches)
+    for df in caches:
+        df.unpersist()
+    assert not any(df.storageLevel.useMemory for df in caches)
+
+    caches = []
+    dedup.containment_pairs(docs, caches=caches).collect()
+    assert len(caches) == 1                   # grams
+    for df in caches:
+        df.unpersist()

@@ -540,6 +540,40 @@ def test_overwrite_partitions_staging_dir_cleaned(spark, tmp_path):
     assert not staging.exists() or os.listdir(str(staging)) == []
 
 
+def test_staging_heartbeat_keeps_post_write_stage_live(tmp_path):
+    """Round-5 ADVICE: staging mtimes freeze once the staging write
+    finishes, so a post-staging phase longer than the TTL could see
+    its live stage reaped by a concurrent init sweep.  The heartbeat
+    thread must touch the marker immediately on start (liveness never
+    lags), keep touching on the interval, and stop when told."""
+    import os
+    import time
+
+    from greenplum_dwh_spark.tablestore import _start_heartbeat
+    stage = tmp_path / "stage"
+    stage.mkdir()
+    hb = str(stage / "_heartbeat")
+    stop = _start_heartbeat(hb, interval_s=0.1)
+    deadline = time.time() + 5
+    while not os.path.exists(hb) and time.time() < deadline:
+        time.sleep(0.01)
+    assert os.path.exists(hb)          # first touch is immediate
+    m0 = os.path.getmtime(hb)
+    deadline = time.time() + 5
+    while os.path.getmtime(hb) == m0 and time.time() < deadline:
+        time.sleep(0.05)
+    assert os.path.getmtime(hb) > m0   # beats on the interval
+    stop.set()
+    time.sleep(0.3)
+    m1 = os.path.getmtime(hb)
+    time.sleep(0.3)
+    assert os.path.getmtime(hb) == m1  # and stops when told
+    # the marker name is underscore-prefixed: Spark's file index
+    # treats it as hidden metadata, so the staged re-read never
+    # sees it as data
+    assert os.path.basename(hb).startswith("_")
+
+
 def test_tablestore_init_sweeps_crashed_staging(spark, tmp_path):
     """Round-4 ADVICE: a hard crash between the staging write and its
     cleanup leaks a full data copy — TableStore init must sweep STALE
@@ -673,6 +707,13 @@ def _fuzzy_fixture_docs():
         sub13[3 * seg] = "Q"
     sub13[37] = "Q"                                    # segment 13
     add("".join(sub13) + pad)                          # d5: dist 13
+    # d6: 6 deletions at the front + 6 insertions at the end (exact
+    # distance 12, equal lengths) — EVERY untouched segment sits at
+    # shift −FUZZY_MAX_SHIFT exactly, pinning the ±6 probe-window
+    # boundary (the round-6 equal-length tightening: #ins = #del ≤
+    # τ/2 between equal-length prefixes, so shifts beyond 6 are
+    # impossible and shifts of exactly 6 must still be found)
+    add(base[6:] + "QQQQQQ" + pad)
     for i in range(20):                                # far fillers
         add(chr(ord("A") + i) * 40 + pad)
     # a second, small block (44 chars → different length bucket)
@@ -680,6 +721,17 @@ def _fuzzy_fixture_docs():
     add(base2 + "tail")
     add("K" + base2[1:] + "tail")
     add("M" * 40 + "tail")
+    # a hot ALL-SHORT block (35-char docs → blk 4, prefixes < 40):
+    # over the monkeypatched split it becomes an over-split KEY whose
+    # rows can't use the segment grid — the router must keep the
+    # whole block on the plain path (is_big false row-wise), and no
+    # bridge leg exists to lose its pairs (blk ≥ 5 for every
+    # full-prefix doc, so small↔big pairs are structurally empty)
+    base3 = "nopqrstuvw" * 3 + "xyzab"
+    add(base3)
+    add("J" + base3[1:])                   # 1-edit pair, short block
+    for i in range(13):
+        add(chr(ord("a") + i) * 35)        # heat without pairs
     return docs
 
 
@@ -709,6 +761,7 @@ def test_fuzzy_segment_path_matches_bruteforce(spark, tmp_path,
                     truth.add((a_id, b_id, d))
     assert len(truth) >= 5                  # non-vacuous fixture
     assert (0, 2, 12) in truth              # the pigeonhole edge
+    assert (0, 6, 12) in truth              # the max-shift edge
     assert not any(a == 0 and b == 5 for a, b, _ in truth)
 
     def run():
@@ -720,7 +773,9 @@ def test_fuzzy_segment_path_matches_bruteforce(spark, tmp_path,
     hot = spark.read.parquet(str(tmp_path / "documents.parquet"))
     n_hot = (hot.groupBy("lang", (F.col("n_chars") / 8).cast("long"))
              .count().filter(F.col("count") > 10).count())
-    assert n_hot == 1                       # the route really fires
+    # two over-split keys: the 48-char block fires the segment route,
+    # the all-short 35-char block must stay on the plain path
+    assert n_hot == 2
     assert run() == truth                   # segment route
     monkeypatch.setattr(td, "FUZZY_BLOCK_SPLIT", 10 ** 9)
     assert run() == truth                   # plain route

@@ -48,49 +48,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Run order for the driver's correctness pass.  The driver truncates
 #: the tail of this dict when its global budget (~50 slots) runs out,
-#: so the ordering IS the verification-freshness lever.  Round-5
-#: rotation (round-4 verdict item 1, mechanical): (a) the 21 queries
-#: whose latest green row is r02 — two rounds stale, the oldest debt —
-#: then (b) the 8 queries whose code paths changed in round 5 (PPJoin
-#: two-stage verify → jaccard/char/containment; SimHash recall-probe
-#: refactor; fuzzy_doc_pairs segment blocking; merge_upsert order_col;
-#: late joiners dq_constraint_violations + table_diff_orders, whose
-#: planted keys went collision-proof negative),
-#: then (c) 22 of the 45 r03-green queries, dedup/curation families
-#: first since they share modules with this round's diffs.  The
-#: remaining 23 r03-green and all 50 r04-green rows fall in
-#: registration order after these; the 7 no-oracle-by-design queries
-#: sit in _RUN_LAST so they never burn a budget slot on a rows-only
-#: check while oracle debt exists.
+#: so the ordering IS the verification-freshness lever.  Round-6
+#: rotation (round-5 verdict item 1, mechanical): (a) the 25 queries
+#: whose latest green row is r03 — three rounds stale by now, the
+#: oldest debt, all 25 named by the verdict (10 of them judge-sampled
+#: bit-exact last session) — then (b) the queries whose code paths
+#: changed in round 6 (fuzzy_doc_pairs blocking rework; the
+#: char-jaccard dense-slice hybrid → jaccard/char/containment share
+#: the PPJoin core; dedup_minhash_lsh's banding machinery now also
+#: serves the hybrid's dense leg; dedup_simhash's probe gained the
+#: recall upper bound; merge_upsert backs the pruned CDC commit),
+#: then (c) r04-green rows by registration order with the remaining
+#: slots.  The 44 r04-green rows not listed fall in registration
+#: order after these; the 7 no-oracle-by-design queries sit in
+#: _RUN_LAST so they never burn a budget slot on a rows-only check
+#: while oracle debt exists.
 _RUN_FIRST = [
-    # (0) new in round 5, never driver-checked — protocol rule (a)
-    "dup_ngram_fraction", "bpe_encode_top_words", "dedup_repeated_spans",
-    # (a) latest green row is r02 — clear the two-round-stale debt
-    "q5_nation_revenue", "range_frame_hour_sum",
-    "range_join_hour_buckets", "range_join_tumbling_rewrite",
-    "rollup_status_priority", "scalar_subquery_acctbal",
-    "semi_join_big_orders", "set_except_customers",
-    "set_intersect_customers", "string_funcs_demo", "text_bm25_scaled",
-    "text_fingerprint", "text_langid", "text_quality",
-    "text_term_stats", "text_tokens", "tumbling_hourly",
-    "union_labeled_rules", "window_lag_hop", "window_last_scd1",
-    "window_lead_scd2",
-    # (b) touched in round 5 — must re-green fresh
-    "dedup_jaccard_prefix", "dedup_char_jaccard", "dedup_containment",
-    "dedup_simhash", "fuzzy_doc_pairs", "merge_upsert_orders",
-    "dq_constraint_violations", "table_diff_orders",
-    # (c) r03-green, diff-adjacent families first (share dedup.py /
-    # curation funnel modules with this round's changes), then the
-    # rows the round-4 verdict named
-    "canon_text_dedup", "dedup_embedding_clusters", "dedup_incremental",
-    "dedup_keep_best", "dedup_source_overlap",
-    "pit_lookup_orders", "gapfill_forward_fill",
-    "decontaminate_ngrams", "decontaminate_ngrams8_planted",
-    "chunk_documents", "remove_boilerplate_lines", "scrub_pii",
-    "mixture_sampling_rates", "bigram_lm_counts", "split_leakage_safe",
-    "split_train_holdout", "sample_hash_stratified", "shard_and_order",
-    "zorder_keys_orders", "padding_waste_by_order",
-    "rank_fusion_rrf", "vocab_topk_coverage",
+    # (a) latest green row is r03 — three rounds stale, clear it all
+    "argmax_order_per_customer", "big_spenders_having",
+    "covar_components_events", "cumulative_distinct_users",
+    "embedding_quantize", "full_outer_user_hours", "histogram_orders",
+    "key_skew_profile", "label_centroids_scaled", "order_keys_csv",
+    "outlier_iqr_events", "padding_waste_by_order",
+    "q10_returned_items", "q18_large_orders", "rank_fusion_rrf",
+    "resample_ohlc", "retention_cohorts", "sessionize_native_window",
+    "stats_moments_events", "text_repetition", "topk_docs_per_lang",
+    "unpivot_status_counts", "vocab_topk_coverage",
+    "window_nth_family", "zorder_keys_orders",
+    # (b) touched in round 6 — must re-green fresh
+    "fuzzy_doc_pairs", "dedup_char_jaccard", "dedup_jaccard_prefix",
+    "dedup_containment", "dedup_simhash", "dedup_minhash_lsh",
+    "merge_upsert_orders",
+    # (c) r04-green, registration order, filling the ~50-slot budget
+    "amount_diff_lag", "ann_cosine_topk", "ann_euclidean_topk",
+    "anti_join_no_orders", "asof_last_click", "bpe_pair_counts",
+    "chain_fraud_window", "contrastive_negatives",
+    "cube_status_priority", "dedup_clusters", "dedup_embedding",
+    "dedup_embedding_lsh", "dedup_exact", "distinct_parts_per_flag",
+    "dq_orders_profile", "embedding_hof_norms", "funnel_users",
+    "grouping_sets_priority_status",
 ]
 _RUN_LAST = [
     # no-oracle-by-design (rows-only checks; each pinned by tests —

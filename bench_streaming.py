@@ -186,6 +186,81 @@ def bench_cdc_apply(spark, tmp: str) -> dict:
     }
 
 
+def bench_cdc_pruned_scaling(spark, tmp: str) -> dict:
+    """The round-5 verdict item-6 witness: per-batch CDC wall must
+    scale with the buckets a batch TOUCHES, not the base size.  Two
+    bases (1× and 10× rows), identical single-bucket change batches
+    applied through (a) the pruned handler (read_buckets +
+    only_buckets commit — the production path) and (b) a full-diff
+    twin (read whole table, fingerprint both sides entirely — the
+    pre-round-6 path).  Handlers are invoked directly (foreachBatch
+    calling convention) so the row measures the merge+commit, not
+    trigger overhead.  Expected shape: pruned per-batch wall ~flat
+    across bases, full-diff wall growing with the base."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from greenplum_dwh_spark.operators.reconcile import merge_upsert
+    from greenplum_dwh_spark.streaming.mart_stream import (
+        cdc_apply_foreach_batch)
+    from greenplum_dwh_spark.tablestore import TableStore
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.LongType())])
+    out: dict = {}
+    # bases sized so the full-diff term is VISIBLE above the ~1 s
+    # fixed per-batch job overhead (at 100 k/1 M rows both variants
+    # measure scheduling, not scanning — the first cut of this row
+    # showed two flat lines and proved nothing)
+    for label, base_rows in (("base_1x", 10 * CDC_BASE_ROWS),
+                             ("base_10x", 100 * CDC_BASE_ROWS)):
+        store = TableStore(spark, os.path.join(tmp, f"sc_{label}"))
+        store.init_versioned("t", schema, key_col="k")
+        store.overwrite_versioned("t", spark.range(base_rows).select(
+            F.col("id").alias("k"), (F.col("id") * 10).alias("v")))
+        # change keys confined to ONE bucket (keys pre-filtered by the
+        # same hash the store buckets on), 2 batches per variant
+        keys = (spark.range(base_rows)
+                .select(F.col("id").alias("k"))
+                .withColumn("__b", F.pmod(F.xxhash64("k"), F.lit(16))
+                            .cast("int"))
+                .filter(F.col("__b") == 3).limit(2000).drop("__b")
+                .collect())
+        pruned = cdc_apply_foreach_batch(store, "t", "k", "seq")
+
+        def full_diff(batch_df, batch_id):
+            latest = batch_df.drop("seq")
+            store.overwrite_versioned(
+                "t", merge_upsert(store.read("t"), latest, "k"))
+
+        walls: dict = {}
+        for vname, handler in (("pruned", pruned),
+                               ("full_diff", full_diff)):
+            per_batch = []
+            for b in range(2):
+                ch = (spark.createDataFrame(
+                    [(r["k"], 1000 + b) for r in keys],
+                    "k long, v long")
+                    .withColumn("action", F.lit("upsert"))
+                    .withColumn("seq", F.lit(b)))
+                t0 = time.time()
+                handler(ch, b)
+                per_batch.append(time.time() - t0)
+            walls[vname] = round(min(per_batch), 3)
+        out[label] = {"base_rows": base_rows,
+                      "change_rows": len(keys),
+                      "touched_buckets": 1,
+                      "sec_per_batch": walls}
+    p1 = out["base_1x"]["sec_per_batch"]["pruned"]
+    p10 = out["base_10x"]["sec_per_batch"]["pruned"]
+    f1 = out["base_1x"]["sec_per_batch"]["full_diff"]
+    f10 = out["base_10x"]["sec_per_batch"]["full_diff"]
+    out["pruned_10x_ratio"] = round(p10 / p1, 2) if p1 else None
+    out["full_diff_10x_ratio"] = round(f10 / f1, 2) if f1 else None
+    return out
+
+
 def bench_neardup_ingest(spark, tmp: str) -> dict:
     """Continuous near-dup corpus ingestion: the sf0.01 documents
     table (500 docs, carries the generator's planted near-dups)
@@ -261,6 +336,7 @@ def main() -> None:
             "metric": "streaming_paths",
             "mart_stream": bench_mart_stream(spark, tmp),
             "cdc_apply": bench_cdc_apply(spark, tmp),
+            "cdc_pruned_scaling": bench_cdc_pruned_scaling(spark, tmp),
             "neardup_ingest": bench_neardup_ingest(spark, tmp),
         }
         result["host"] = {"before": load_before, "after": host_load()}

@@ -400,10 +400,22 @@ class TableStore:
                 .collect())
         return {r["__b"]: (r["fp"], r["n"]) for r in rows}
 
-    def overwrite_versioned(self, name: str, df: DataFrame) -> None:
+    def overwrite_versioned(self, name: str, df: DataFrame,
+                            only_buckets: list[int] | None = None) -> None:
         """MERGE-shaped commit: diff per-bucket fingerprints against the
         current version and rewrite only changed buckets. Identical
-        content commits nothing (steady-state no-op)."""
+        content commits nothing (steady-state no-op).
+
+        ``only_buckets`` is the PRUNED leg (round-5 verdict item 6):
+        ``df`` carries the new content of ONLY those buckets, every
+        other bucket is carried forward by manifest reference without
+        being read, fingerprinted, or rewritten — so a commit's cost
+        scales with the buckets its keys touch, not the base size
+        (the 100 TB replacement for the full-diff leg, which scans
+        both sides entirely).  A ``df`` row hashing OUTSIDE
+        ``only_buckets`` raises: it would otherwise vanish from the
+        table while its bucket's manifest entry kept the stale
+        version."""
         v_cur = self._current_version(name)
         bucket = self._bucket_col(name)
         # pin the anchor's column order: bucket files from different
@@ -415,8 +427,22 @@ class TableStore:
         df = df.select(*anchor_cols).persist()
         try:
             new_fp = self._fingerprints(df, bucket)
-            old_fp = (self._fingerprints(self.read(name), bucket)
-                      if v_cur >= 0 else {})
+            if only_buckets is not None:
+                allowed = {int(b) for b in only_buckets}
+                stray = set(new_fp) - allowed
+                if stray:
+                    raise ValueError(
+                        f"pruned commit to {name}: df rows hash into "
+                        f"buckets {sorted(stray)} outside "
+                        f"only_buckets={sorted(allowed)}")
+                # bucket-pruned old-side scan: only the listed buckets
+                # are read and hashed (read_buckets can't leak others)
+                old_fp = (self._fingerprints(
+                    self.read_buckets(name, sorted(allowed)), bucket)
+                    if v_cur >= 0 else {})
+            else:
+                old_fp = (self._fingerprints(self.read(name), bucket)
+                          if v_cur >= 0 else {})
             changed = {k for k in new_fp.keys() | old_fp.keys()
                        if new_fp.get(k) != old_fp.get(k)}
             if not changed and v_cur >= 0:
@@ -459,6 +485,23 @@ class TableStore:
             return self.spark.read.parquet(
                 *self._read_manifest_paths(name, v))
         return self.spark.read.parquet(self._path(name))
+
+    def read_buckets(self, name: str, buckets: list[int]) -> DataFrame:
+        """Bucket-pruned scan of a versioned table: only the listed
+        buckets' data files are read (plus the 0-row schema anchor, so
+        an empty bucket list still yields a typed frame).  This is the
+        manifest-level file pruning Delta/Iceberg get from data
+        skipping: a MERGE whose change keys hash into 2 of 16 buckets
+        reads 2 buckets, not the table."""
+        v = self._current_version(name)
+        if v < 0:
+            raise ValueError(f"{name} is not a versioned table")
+        manifest = self._manifest(name, v)
+        want = {int(b) for b in buckets}
+        paths = [self._path(name, _ANCHOR)] + [
+            self._path(name, f"b={k}", f"v={m}")
+            for k, m in sorted(manifest.items()) if k in want]
+        return self.spark.read.parquet(*paths)
 
     def read_version(self, name: str, version: int) -> DataFrame:
         """Time travel on a versioned table (the retained previous

@@ -32,7 +32,11 @@ import time
 #: queries whose plan runs through the hot-band guard
 #: (_guarded_bands); after each one's action, the most recent
 #: Observation is harvested into the bench JSON
-GUARDED_QUERIES = ("dedup_minhash_lsh", "dedup_simhash")
+GUARDED_QUERIES = ("dedup_minhash_lsh", "dedup_simhash",
+                   # round 6: the dense-slice hybrid's banded leg —
+                   # its hot-band drops are the hybrid's only recall
+                   # exposure, so they belong in the artifact
+                   "dedup_char_jaccard")
 
 #: queries whose plan runs the PPJoin pruning stack; after each one's
 #: action the surviving-candidate count (the exact-verify volume) is

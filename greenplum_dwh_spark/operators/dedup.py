@@ -938,8 +938,14 @@ def _prefix_filtered_pairs(docs: DataFrame, grams: DataFrame,
         # rather than silently losing.  Both legs feed the same exact
         # verify, so false candidates never reach the output.
         gcount = prefix.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
-        # ≤ |prefix| / cap rows by construction — broadcastable at any
-        # corpus size (at 100 TB: entries/256 gram keys, each ~8 B)
+        # dense grams are the HEAD of the gram-frequency distribution
+        # — universe-bounded (≤ alphabet⁴ for char grams) and in
+        # practice thousands of keys, so the broadcast is right at
+        # every realistic scale.  The worst-case bound |prefix|/cap is
+        # weak (a pathological corpus of only-heavy grams could
+        # overflow a broadcast); the parameter-free fallback is to
+        # drop this hint — the anti/semi joins below then shuffle on
+        # g, which gcount's aggregation already co-partitioned.
         dense_g = F.broadcast(
             gcount.filter(F.col("c") > dense_prefix_cap).select("g"))
         sparse = prefix.join(dense_g, "g", "left_anti")

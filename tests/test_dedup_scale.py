@@ -742,6 +742,36 @@ def test_char_jaccard_hybrid_matches_exact_twin(spark):
     assert pairs(dedup.CHAR_DENSE_PREFIX_CAP) == exact
 
 
+def test_char_jaccard_hybrid_random_sweep(spark):
+    """Seeded random corpora over a digits-and-spaces-bearing alphabet
+    (the shared-gram shape real corpora have), doc sizes straddling
+    the sketch-tier boundary (50-char docs sketch full, 160/200-char
+    docs sketch sampled), aggressive cap=3 so nearly every gram goes
+    dense: the hybrid must equal the pure-exact twin on every seed."""
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        texts = []
+        for i in range(12):
+            n = rng.choice((50, 160, 200))
+            s = "".join(rng.choice("abcdefgh 0123") for _ in range(n))
+            texts.append(s)
+            if i % 2 == 0:                     # near-dup partner
+                t = list(s)
+                for _ in range(max(1, n // 25)):
+                    t[rng.randrange(n)] = rng.choice("abcdefgh")
+                texts.append("".join(t))
+        docs = _docs_df(spark, texts)
+
+        def pairs(cap):
+            return {(r["doc_a"], r["doc_b"], round(r["jac"], 9))
+                    for r in dedup.char_jaccard_pairs(
+                        docs, dense_prefix_cap=cap).collect()}
+
+        exact = pairs(None)
+        assert pairs(3) == exact, seed
+        assert len(exact) >= 1, seed           # non-vacuous seed
+
+
 def test_ppjoin_caches_ownership_contract(spark):
     """Round-5 ADVICE: the PPJoin family's pinned intermediates
     (grams + prefix index) must be releasable by the caller — the

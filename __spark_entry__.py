@@ -49,7 +49,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: Run order for the driver's correctness pass.  The driver truncates
 #: the tail of this dict when its global budget (~50 slots) runs out,
 #: so the ordering IS the verification-freshness lever.  Round-6
-#: rotation (round-5 verdict item 1, mechanical): (a) the 25 queries
+#: rotation (round-5 verdict item 1, mechanical): (0) the two NEW
+#: round-6 queries (knn_doc_graph, lang_quota_sample — never
+#: driver-checked, budget ≤5 respected), then (a) the 25 queries
 #: whose latest green row is r03 — three rounds stale by now, the
 #: oldest debt, all 25 named by the verdict (10 of them judge-sampled
 #: bit-exact last session) — then (b) the queries whose code paths
@@ -64,6 +66,8 @@ def entry(spark: SparkSession) -> DataFrame:
 #: _RUN_LAST so they never burn a budget slot on a rows-only check
 #: while oracle debt exists.
 _RUN_FIRST = [
+    # (0) new in round 6, never driver-checked — protocol rule (a)
+    "knn_doc_graph", "lang_quota_sample",
     # (a) latest green row is r03 — three rounds stale, clear it all
     "argmax_order_per_customer", "big_spenders_having",
     "covar_components_events", "cumulative_distinct_users",
@@ -85,8 +89,7 @@ _RUN_FIRST = [
     "chain_fraud_window", "contrastive_negatives",
     "cube_status_priority", "dedup_clusters", "dedup_embedding",
     "dedup_embedding_lsh", "dedup_exact", "distinct_parts_per_flag",
-    "dq_orders_profile", "embedding_hof_norms", "funnel_users",
-    "grouping_sets_priority_status",
+    "dq_orders_profile", "embedding_hof_norms",
 ]
 _RUN_LAST = [
     # no-oracle-by-design (rows-only checks; each pinned by tests —

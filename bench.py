@@ -109,6 +109,9 @@ def bench_queries() -> dict:
         "range_join_tumbling_rewrite": relational.range_join_tumbling_rewrite,
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_repeated_spans": dedup.dedup_repeated_spans,
+        # round-6 additions: neighbor graph + quota sampling
+        "knn_doc_graph": dedup.knn_doc_graph,
+        "lang_quota_sample": curation.lang_quota_sample,
         "pack_documents": packing.pack_documents,
         # round-3 families: timeline algebra + curation verbs
         "gapfill_forward_fill": timeseries.gapfill_forward_fill,

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from greenplum_dwh_spark.functions import hashing as H
 from greenplum_dwh_spark.functions.hashing import md5_bucket
 from greenplum_dwh_spark.sources.tpch import Tables
 
@@ -431,6 +432,68 @@ def shard_and_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shard_order(Tables(spark, sf_dir).documents)
 
 
+#: per-language token budget for quota sampling (whitespace tokens —
+#: the text_tokens convention); sf-independent so bigger corpora
+#: select the same-sized head
+QUOTA_TOKENS = 800
+#: hash-prefix buckets for the distributed prefix sum; bucket id =
+#: top bits of the 60-bit order hash so bucket order == hash order
+QUOTA_BUCKETS = 32
+
+
+def quota_sample(docs: DataFrame,
+                 group_col: str = "lang",
+                 budget: int = QUOTA_TOKENS,
+                 n_buckets: int = QUOTA_BUCKETS) -> DataFrame:
+    """Token-budget quota sampling: per ``group_col``, keep documents
+    in deterministic hash order until the group's cumulative token
+    count reaches ``budget`` (kept iff cumulative INCLUSIVE of the
+    doc ≤ budget) — the data-mixing primitive behind "N tokens per
+    language/source" recipes.  Deterministic: the order key is an
+    md5-derived 60-bit hash of the doc id, so reruns, repartitioning
+    and engine choice all select the same head.
+
+    The naive plan is one window cumsum per group — which serializes
+    EVERY group through a single partition: a 100 TB corpus with an
+    80%-English slice would funnel 80 TB through one task.  This plan
+    is the classic DISTRIBUTED PREFIX SUM instead: docs land in
+    ``n_buckets`` hash-prefix buckets (bucket = top bits of the order
+    hash, so bucket order ≡ hash order); per-(group, bucket) token
+    subtotals cumulate in a tiny window over group×buckets rows; each
+    doc then needs only its LOCAL cumsum within its bucket plus the
+    bucket's offset — per-bucket windows parallelize n_buckets-wide
+    per group, and the only global pass is over the subtotal table
+    (groups × buckets rows, broadcast back).  Result is provably
+    identical to the single-window form, which is exactly what the
+    DuckDB oracle runs."""
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    h = H.hash60(F.col("doc_id").cast("string"))
+    shift = 60 - n_buckets.bit_length() + 1
+    assert (1 << (60 - shift)) == n_buckets, "n_buckets must be 2^k"
+    d = docs.select(F.col(group_col).alias("grp"), "doc_id",
+                    toks.alias("toks"), h.alias("h"),
+                    F.shiftright(h, shift).cast("int").alias("bkt"))
+    sub = (d.groupBy("grp", "bkt")
+           .agg(F.sum("toks").alias("sub")))
+    w_off = (Window.partitionBy("grp").orderBy("bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = sub.select(
+        "grp", "bkt",
+        F.coalesce(F.sum("sub").over(w_off), F.lit(0)).alias("off"))
+    w_loc = (Window.partitionBy("grp", "bkt").orderBy("h", "doc_id")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    return (d.join(F.broadcast(offsets), ["grp", "bkt"])
+            .withColumn("cum_toks",
+                        F.col("off") + F.sum("toks").over(w_loc))
+            .filter(F.col("cum_toks") <= budget)
+            .select(F.col("grp").alias(group_col), "doc_id", "toks",
+                    "cum_toks"))
+
+
+def lang_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quota_sample(Tables(spark, sf_dir).documents)
+
+
 QUERIES = {
     "decontaminate_ngrams": decontaminate_ngrams,
     "decontaminate_ngrams8_planted": decontaminate_ngrams8_planted,
@@ -442,6 +505,7 @@ QUERIES = {
     "bpe_pair_counts": bpe_pair_counts,
     "bpe_encode_top_words": bpe_encode_top_words,
     "shard_and_order": shard_and_order,
+    "lang_quota_sample": lang_quota_sample,
 }
 
 def _bpe_encode_oracle() -> str:
@@ -651,4 +715,24 @@ ORACLES = {
                row_number() OVER (PARTITION BY shard
                                   ORDER BY h, doc_id) AS pos
         FROM s""",
+    # the SINGLE-WINDOW formulation — the Spark side runs the
+    # distributed prefix sum (bucket subtotals + offsets + local
+    # cumsum), so this parity check IS the proof the decomposition
+    # is identical to the serial cumulative sum
+    "lang_quota_sample": f"""
+        WITH d AS (SELECT lang, doc_id,
+                          len(string_split(text, ' '))::BIGINT AS toks,
+                          {H.HASH60_SQL.format('doc_id::VARCHAR')} AS h
+                   FROM documents),
+        c AS (SELECT lang, doc_id, toks,
+                     -- ::BIGINT: DuckDB's windowed sum(BIGINT) yields
+                     -- a HUGEINT/DECIMAL, which the hash normalizer
+                     -- renders as '88.0' vs Spark's long '88'
+                     sum(toks) OVER (PARTITION BY lang
+                                     ORDER BY h, doc_id
+                                     ROWS UNBOUNDED PRECEDING)::BIGINT
+                         AS cum_toks
+              FROM d)
+        SELECT lang, doc_id, toks, cum_toks
+        FROM c WHERE cum_toks <= {QUOTA_TOKENS}""",
 }

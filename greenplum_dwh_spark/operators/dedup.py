@@ -1243,6 +1243,47 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_clusters(_docs(spark, sf_dir))
 
 
+#: neighbors kept per doc in the thresholded kNN document graph
+KNN_K = 3
+
+
+def knn_doc_pairs(docs: DataFrame, k: int = KNN_K,
+                  threshold: float = PREFIX_THRESHOLD) -> DataFrame:
+    """Thresholded k-nearest-neighbor document graph: for every doc,
+    its top-``k`` most-similar neighbors among the pairs with
+    word-2-gram jaccard ≥ ``threshold`` — the neighbor-graph shape
+    semantic-dedup clustering, curriculum mining and
+    retrieval-augmented-dedup pipelines consume (unthresholded kNN is
+    Ω(n²) by definition; thresholding it is what makes an exact
+    distributed plan possible).
+
+    Plan: the exact PPJoin core (:func:`jaccard_prefix_pairs`) emits
+    the sparse qualifying pair list ONCE; symmetrizing is a union of
+    two projections of that list (no second join); the top-k per doc
+    is a row_number over (jac DESC, neighbor) — a TOTAL order, since
+    equal-jaccard ties break on the neighbor id — which Spark
+    executes with WindowGroupLimit: each partition keeps only k rows
+    per doc BEFORE the window exchange, so the shuffle moves
+    O(docs·k), not the full edge list.  Both engines derive jac as
+    the same integer-ratio double, so the DESC ordering (and
+    therefore the graph) is bit-reproducible."""
+    pairs = jaccard_prefix_pairs(docs, threshold)
+    sym = (pairs.select(F.col("doc_a").alias("doc_id"),
+                        F.col("doc_b").alias("neighbor"), "jac")
+           .unionByName(
+               pairs.select(F.col("doc_b").alias("doc_id"),
+                            F.col("doc_a").alias("neighbor"), "jac")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jac"), "neighbor")
+    return (sym.withColumn("rnk", F.row_number().over(w)
+                           .cast("long"))
+            .filter(F.col("rnk") <= k)
+            .select("doc_id", "neighbor", "jac", "rnk"))
+
+
+def knn_doc_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return knn_doc_pairs(_docs(spark, sf_dir))
+
+
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keep_best_per_cluster(_docs(spark, sf_dir))
 
@@ -1484,6 +1525,7 @@ QUERIES = {
     "dedup_char_jaccard": dedup_char_jaccard,
     "dedup_clusters": dedup_clusters,
     "dedup_repeated_spans": dedup_repeated_spans,
+    "knn_doc_graph": knn_doc_graph,
 }
 
 _W3 = H.word_shingles_sql()
@@ -1759,4 +1801,20 @@ ORACLES = {
         FROM sides
         QUALIFY row_number() OVER (PARTITION BY d
                                    ORDER BY lcp DESC, span ASC) = 1""",
+    # symmetrized thresholded-pair list + per-doc top-K: jac is the
+    # identical integer-ratio double in both engines, so the
+    # (jac DESC, neighbor) order — total because ties break on the
+    # id — yields the same graph bit-for-bit
+    "knn_doc_graph": f"""
+        WITH pairs AS ({_jaccard_pairs_oracle(_W2, PREFIX_THRESHOLD)}),
+        sym AS (SELECT doc_a AS doc_id, doc_b AS neighbor, jac
+                FROM pairs
+                UNION ALL
+                SELECT doc_b, doc_a, jac FROM pairs)
+        SELECT doc_id, neighbor, jac,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY jac DESC, neighbor)::BIGINT
+                   AS rnk
+        FROM sym
+        QUALIFY rnk <= {KNN_K}""",
 }

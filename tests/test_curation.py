@@ -333,3 +333,64 @@ def test_bpe_encode_learns_and_applies_merges(spark, tmp_path):
     assert got == {"abab": (10, "abab", 1),
                    "ab": (5, "ab", 1),
                    "cd": (3, "cd", 1)}
+
+
+def test_quota_sample_prefix_sum_equals_serial_window(spark):
+    """The distributed prefix sum (bucket subtotals + offsets + local
+    cumsum) must equal the serial single-window cumulative sum on a
+    skewed fixture — one group holds 80% of the rows (the shape that
+    makes the naive per-group window a straggler at scale), another
+    group fits entirely under budget, and a third has exactly one
+    doc.  Run with a tiny bucket count so multiple buckets per group
+    actually carry offsets."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from greenplum_dwh_spark.functions import hashing as H
+    from greenplum_dwh_spark.operators.curation import quota_sample
+
+    rng = random.Random(5)
+    rows = []
+    did = 0
+    for lang, n in (("en", 80), ("de", 5), ("xx", 1)):
+        for _ in range(n):
+            rows.append((did, " ".join("w%d" % rng.randrange(50)
+                                       for _ in range(rng.randrange(5, 40))),
+                         lang))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    got = {tuple(r) for r in quota_sample(
+        docs, budget=300, n_buckets=4).collect()}
+
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    h = H.hash60(F.col("doc_id").cast("string"))
+    w = (Window.partitionBy("lang").orderBy("h", "doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    want = {tuple(r) for r in
+            docs.select("lang", "doc_id", toks.alias("toks"),
+                        h.alias("h"))
+            .withColumn("cum_toks", F.sum("toks").over(w))
+            .filter(F.col("cum_toks") <= 300)
+            .select("lang", "doc_id", "toks", "cum_toks").collect()}
+    assert got == want
+    # the under-budget group survives whole; the singleton survives
+    langs = {r[0] for r in got}
+    assert {"de", "xx"} <= langs
+    assert sum(1 for r in got if r[0] == "de") == 5
+    # budget actually binds on the heavy group
+    assert sum(1 for r in got if r[0] == "en") < 80
+    # keep rule: cumulative INCLUSIVE <= budget, so no overshoot
+    assert all(r[3] <= 300 for r in got)
+
+
+def test_quota_sample_rejects_non_power_of_two_buckets(spark):
+    import pytest
+
+    from greenplum_dwh_spark.operators.curation import quota_sample
+    docs = spark.createDataFrame([(1, "a b", "en")],
+                                 "doc_id long, text string, lang string")
+    with pytest.raises(AssertionError):
+        quota_sample(docs, n_buckets=24).collect()

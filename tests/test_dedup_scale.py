@@ -799,3 +799,49 @@ def test_ppjoin_caches_ownership_contract(spark):
     assert len(caches) == 1                   # grams
     for df in caches:
         df.unpersist()
+
+
+def test_knn_doc_graph_matches_bruteforce_and_prunes_topk(spark):
+    """knn_doc_pairs vs a python brute force over word-2-gram sets:
+    same thresholded neighbor graph, same (jac DESC, neighbor) total
+    order, ranks dense from 1 and capped at K.  The physical plan
+    must carry WindowGroupLimit so the top-K prunes BEFORE the window
+    exchange (the O(docs·K) shuffle claim)."""
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for i in range(15):
+        ws = [rng.choice(vocab) for _ in range(20)]
+        texts.append(" ".join(ws))
+        if i % 2 == 0:                       # several close variants
+            for j in range(1 + i % 3):
+                ws2 = list(ws)
+                ws2[j] = rng.choice(vocab)
+                texts.append(" ".join(ws2))
+    docs = _docs_df(spark, texts)
+
+    def shingles(t):
+        w = t.split(" ")
+        return set(" ".join(w[i:i+2]) for i in range(len(w)-1)) or {t}
+
+    sets = {i: shingles(t) for i, t in enumerate(texts)}
+    sym = {}
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if inter * 5 >= 3 * union:       # snapped 0.6 = 3/5
+                sym.setdefault(a, []).append((-inter / union, b))
+    want = set()
+    for a, ns in sym.items():
+        for rk, (negj, b) in enumerate(sorted(ns)[:dedup.KNN_K], 1):
+            want.add((a, b, round(-negj, 9), rk))
+
+    out = dedup.knn_doc_pairs(docs)
+    got = {(r["doc_id"], r["neighbor"], round(r["jac"], 9), r["rnk"])
+           for r in out.collect()}
+    assert got == want and len(want) >= 10
+    from greenplum_dwh_spark.plans import checks
+    assert "WindowGroupLimit" in checks.physical_plan(out)

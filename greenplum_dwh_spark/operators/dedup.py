@@ -932,11 +932,15 @@ def _prefix_filtered_pairs(docs: DataFrame, grams: DataFrame,
         # the pair.  Otherwise EVERY shared prefix gram is dense —
         # then both docs carry a dense prefix gram, both are in the
         # cohort, and the pair reaches the banded leg, which misses it
-        # only with probability (1 − t^r)^bands — (1 − 0.7²)^32 ≈
-        # 4.4e-10 at the char threshold — or through a hot-band-cap
-        # drop, which the band guard OBSERVES (last_band_guard_metrics)
-        # rather than silently losing.  Both legs feed the same exact
-        # verify, so false candidates never reach the output.
+        # only with probability (1 − t^r)^bands — (1 − 0.7³)^21 ≈
+        # 1.5e-4 at the char threshold with the r=3 default (r=3 over
+        # r=2 trades that 4.4e-10 → 1.5e-4 worst-case detection for
+        # ~13× fewer background-similarity band collisions, the
+        # measured sf0.1 cost driver; ≥ 1−3e-7 already at j=0.8) —
+        # or through a hot-band-cap drop, which the band guard
+        # OBSERVES (last_band_guard_metrics) rather than silently
+        # losing.  Both legs feed the same exact verify, so false
+        # candidates never reach the output.
         gcount = prefix.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
         # dense grams are the HEAD of the gram-frequency distribution
         # — universe-bounded (≤ alphabet⁴ for char grams) and in

@@ -45,13 +45,19 @@ QUERIES = ("dedup_jaccard_prefix", "fuzzy_doc_pairs",
            # corpus; sf10's per-replica char remap makes vocabulary
            # FRESH, so this probe measures the linear-under-new-data
            # claim BASELINE.md makes for it
-           "dedup_char_jaccard")
+           "dedup_char_jaccard",
+           # round-6 additions: the kNN graph inherits the PPJoin
+           # core's linearity plus a WindowGroupLimit top-K; quota
+           # sampling is the distributed prefix sum whose work is
+           # one corpus scan + a groups×buckets window
+           "knn_doc_graph", "lang_quota_sample")
 SCALES = {"sf1": os.path.join(REPO, ".bigdata/sf1"),
           "sf10": os.path.join(REPO, ".bigdata/sf10")}
 
 
 def inner(query: str, sf_dir: str) -> None:
-    from greenplum_dwh_spark.operators import (dedup, text_analysis,
+    from greenplum_dwh_spark.operators import (curation, dedup,
+                                               text_analysis,
                                                training_data)
     from greenplum_dwh_spark.session import get_spark
     fn = {"dedup_jaccard_prefix": dedup.dedup_jaccard_prefix,
@@ -59,7 +65,9 @@ def inner(query: str, sf_dir: str) -> None:
           "dedup_repeated_spans": dedup.dedup_repeated_spans,
           "dup_ngram_fraction": text_analysis.dup_ngram_fraction,
           "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
-          "dedup_char_jaccard": dedup.dedup_char_jaccard}[query]
+          "dedup_char_jaccard": dedup.dedup_char_jaccard,
+          "knn_doc_graph": dedup.knn_doc_graph,
+          "lang_quota_sample": curation.lang_quota_sample}[query]
     spark = get_spark("decade2_probe",
                       extra_conf={"spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")

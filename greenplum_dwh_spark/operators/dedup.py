@@ -388,6 +388,29 @@ def simhash_pairs(docs: DataFrame,
             .distinct())
 
 
+#: ceiling on the banded leg's per-pair miss probability at the join
+#: threshold; _pick_band_r chooses the largest r (fewest background
+#: collisions) that still meets it
+DENSE_MISS_BUDGET = 1e-3
+
+
+def _pick_band_r(threshold) -> int:
+    """Largest rows-per-band r ∈ {2..4} whose banded detection at
+    similarity exactly ``threshold`` misses with probability
+    ``(1 − t^r)^(64//r)`` ≤ :data:`DENSE_MISS_BUDGET` — the r=3
+    constant that is right at t=0.7 (miss 1.5e-4) is a FOOTGUN at
+    lower thresholds (t=0.5 with r=3 would miss 6‰... with r=2 it's
+    1e-4), so the hybrid derives r from the threshold it actually
+    joins at: bigger r cuts background-similarity collisions ~by a
+    factor of t_background per step (the measured sf0.1 cost driver),
+    so prefer the largest r the recall budget allows."""
+    t = float(threshold)
+    for r in (4, 3, 2):
+        if (1.0 - t ** r) ** (H.MINHASH_PERMS // r) <= DENSE_MISS_BUDGET:
+            return r
+    return 2
+
+
 def _binom_count_ub(x: int, p: float, alpha: float = 0.05) -> int:
     """Exact one-sided (1−alpha) upper confidence bound on a
     population count L when ``x`` members were observed under
@@ -835,7 +858,7 @@ def _prefix_filtered_pairs(docs: DataFrame, grams: DataFrame,
                            band_cap: int = BAND_CAP,
                            dense_element_mod: int = 4,
                            dense_sample_floor: int = 128,
-                           dense_band_r: int = 3) -> DataFrame:
+                           dense_band_r: int | None = None) -> DataFrame:
     """PPJoin core over a (doc_id, s=token array) set index ``grams``
     (see :func:`jaccard_prefix_pairs` for the base filter derivations).
 
@@ -967,6 +990,8 @@ def _prefix_filtered_pairs(docs: DataFrame, grams: DataFrame,
         # [K, K/t] overlap zone sketches twice, and the tier tag keeps
         # the band namespaces disjoint (a full-tier band must never
         # equi-join a sampled-tier band: different set transforms).
+        if dense_band_r is None:
+            dense_band_r = _pick_band_r(fr)
         small_lim = int((dense_sample_floor * fr.denominator)
                         // fr.numerator)
         tier_f = _set_bands(

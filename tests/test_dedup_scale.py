@@ -772,6 +772,41 @@ def test_char_jaccard_hybrid_random_sweep(spark):
         assert len(exact) >= 1, seed           # non-vacuous seed
 
 
+def test_hybrid_band_r_adapts_to_threshold(spark):
+    """The banded leg's rows-per-band derive from the join threshold
+    (miss budget 1e-3): the r=3 constant right at t=0.7 would miss
+    ~6‰ at t=0.5.  Pin the choices and verify the hybrid still equals
+    the exact twin at a LOW threshold where the adaptive rule matters
+    (t=0.5 → r=2)."""
+    assert dedup._pick_band_r(0.5) == 2
+    assert dedup._pick_band_r(0.6) == 2
+    assert dedup._pick_band_r(0.7) == 3
+    assert dedup._pick_band_r(0.8) == 4
+    # miss budget really holds at each choice
+    for t in (0.5, 0.6, 0.7, 0.8, 0.9):
+        r = dedup._pick_band_r(t)
+        bands = dedup.H.MINHASH_PERMS // r
+        assert (1 - t ** r) ** bands <= dedup.DENSE_MISS_BUDGET
+
+    rng = random.Random(23)
+    texts = []
+    for i in range(20):
+        s = "".join(rng.choice("abcdefgh 01") for _ in range(70))
+        texts.append(s)
+        if i % 2 == 0:
+            texts.append(s[:60] + "qqqqqqqqqq")   # mid-similarity pair
+    docs = _docs_df(spark, texts)
+
+    def pairs(cap):
+        return {(r["doc_a"], r["doc_b"], round(r["jac"], 9))
+                for r in dedup.char_jaccard_pairs(
+                    docs, threshold=0.5, dense_prefix_cap=cap).collect()}
+
+    exact = pairs(None)
+    assert len(exact) >= 5
+    assert pairs(2) == exact
+
+
 def test_ppjoin_caches_ownership_contract(spark):
     """Round-5 ADVICE: the PPJoin family's pinned intermediates
     (grams + prefix index) must be releasable by the caller — the

@@ -94,6 +94,22 @@ FAMILIES = {
                            "Generate map-side; every Exchange sits "
                            "behind a partial aggregate — raw gram "
                            "rows never cross the network"),
+    "dedup_char_jaccard": ("round-6 dense-slice hybrid: the exact "
+                           "prefix self-join AND the banded cohort "
+                           "leg each feed their own broadcast "
+                           "signature pre-filter (no Union before "
+                           "the filter — codegen fusion preserved); "
+                           "dense_g is a BroadcastExchange; only "
+                           "survivor pairs union"),
+    "knn_doc_graph": ("thresholded kNN: PPJoin pair list "
+                      "symmetrized by Union of two Projects (no "
+                      "second join); WindowGroupLimit keeps K rows "
+                      "per doc BEFORE the window Exchange"),
+    "lang_quota_sample": ("distributed prefix sum: subtotal "
+                          "HashAggregate + broadcast offsets join + "
+                          "per-(lang,bucket) windows — no "
+                          "whole-language single-partition window "
+                          "anywhere in the plan"),
 }
 
 

@@ -466,6 +466,96 @@ def kmv_sketch_foreach_batch(store, table: str, group_col: str,
     return handle
 
 
+def quota_admission_foreach_batch(store, admitted_table: str,
+                                  spent_table: str,
+                                  group_col: str = "lang",
+                                  budget: int | None = None):
+    """foreachBatch handler for BUDGET-CAPPED corpus admission — the
+    streaming face of
+    :func:`~greenplum_dwh_spark.operators.curation.quota_sample`
+    ("N tokens per language, then stop"): each micro-batch admits its
+    documents, in the same deterministic per-batch hash order the
+    batch operator uses, until every group's cumulative token spend
+    reaches ``budget``; later batches see earlier batches' spend and
+    admit only into the remaining headroom (arrival order ACROSS
+    batches — the streaming semantic; hash order WITHIN a batch).
+
+    REPLAY-IDEMPOTENT without a read-modify-write state table: both
+    outputs are ``_batch_id``-partitioned dynamic overwrites —
+    ``admitted_table`` carries the admitted docs, ``spent_table``
+    carries one row per (group, batch) with that batch's token spend
+    — and the headroom a batch reads is ``sum(spent) WHERE _batch_id
+    < this batch``.  Replaying batch N after a crash recomputes the
+    identical admission (earlier batches' spend is immutable, its own
+    partition overwrites with identical content); an additive
+    read-modify-write state would double-count on exactly the replay
+    foreachBatch must tolerate.
+
+    Scale notes: per batch this is the batch operator's distributed
+    prefix sum over BATCH-SIZED data (hash-prefix buckets keep a
+    skewed group off a single partition) plus a groups-×-batches-row
+    scan of the spent ledger (compacted by the ``_batch_id``
+    partition layout; groups are languages/sources — bounded);
+    nothing ever re-reads the admitted corpus."""
+    from pyspark.sql import types as T
+
+    from greenplum_dwh_spark.operators.curation import (QUOTA_TOKENS,
+                                                        quota_sample)
+    cap = QUOTA_TOKENS if budget is None else budget
+    spent_schema = T.StructType([
+        T.StructField("grp", T.StringType()),
+        T.StructField("spent", T.LongType()),
+        T.StructField("_batch_id", T.LongType()),
+    ])
+    store.init_append(spent_table, spent_schema,
+                      partition_cols=["_batch_id"])
+    # admitted table init'd with an explicit schema too (round-5
+    # ADVICE class: a table materialized only by per-batch overwrites
+    # is unreadable if the stream never writes one)
+    admitted_schema = T.StructType([
+        T.StructField(group_col, T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("toks", T.LongType()),
+        T.StructField("cum_toks", T.LongType()),
+        T.StructField("_batch_id", T.LongType()),
+    ])
+    store.init_append(admitted_table, admitted_schema,
+                      partition_cols=["_batch_id"])
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        prior = (store.read(spent_table)
+                 .filter(F.col("_batch_id") < F.lit(int(batch_id)))
+                 .groupBy("grp").agg(F.sum("spent").alias("used")))
+        # per-group remaining headroom drives a quota_sample over the
+        # BATCH with a per-group budget: express it by pre-charging
+        # the used tokens — quota_sample keeps cum <= budget, so
+        # admitting while used + cum <= cap is quota_sample at
+        # budget = cap - used, applied group-wise via the join below
+        sel = quota_sample(batch_df, group_col=group_col,
+                           budget=cap)  # upper bound; refined below
+        admitted = (sel.join(F.broadcast(prior),
+                             sel[group_col] == prior["grp"], "left")
+                    .withColumn("used", F.coalesce("used", F.lit(0)))
+                    .filter(F.col("used") + F.col("cum_toks") <= cap)
+                    .drop("grp", "used"))
+        store.overwrite_partitions(
+            admitted_table,
+            admitted.withColumn("_batch_id",
+                                F.lit(int(batch_id)).cast("long")),
+            "_batch_id")
+        spend = (admitted.groupBy(F.col(group_col).alias("grp"))
+                 .agg(F.sum("toks").alias("spent")))
+        store.overwrite_partitions(
+            spent_table,
+            spend.withColumn("_batch_id",
+                             F.lit(int(batch_id)).cast("long")),
+            "_batch_id")
+
+    return handle
+
+
 def neardup_ingest_foreach_batch(store, corpus_table: str,
                                  index_table: str, rejects_table: str,
                                  threshold: float | None = None,

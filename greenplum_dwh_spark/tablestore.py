@@ -176,6 +176,16 @@ class TableStore:
             if partition_cols:
                 w = w.partitionBy(*partition_cols)
             w.parquet(self._path(name))
+            if partition_cols:
+                # a PARTITIONED empty write emits no part files at all
+                # (only _SUCCESS), so a read before the first real
+                # append would die on schema inference — persist the
+                # declared schema as a sidecar; read() supplies it to
+                # the reader whenever present (round-6: the round-5
+                # rejects-table init only APPEARED to fix this — the
+                # empty-table read path was still inference-bound)
+                with open(self._path(name, "_schema.json"), "w") as f:
+                    f.write(schema.json())
 
     def append(self, name: str, df: DataFrame,
                partition_cols: list[str] | None = None) -> None:
@@ -484,6 +494,16 @@ class TableStore:
         if v >= 0:
             return self.spark.read.parquet(
                 *self._read_manifest_paths(name, v))
+        sidecar = self._path(name, "_schema.json")
+        if os.path.isfile(sidecar):
+            # partitioned append table: supply the declared schema so
+            # an all-empty table reads typed (no part files exist to
+            # infer from) — and non-empty reads skip the inference
+            # footer scan for free
+            with open(sidecar) as f:
+                schema = T.StructType.fromJson(json.load(f))
+            return self.spark.read.schema(schema).parquet(
+                self._path(name))
         return self.spark.read.parquet(self._path(name))
 
     def read_buckets(self, name: str, buckets: list[int]) -> DataFrame:

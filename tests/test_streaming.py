@@ -835,3 +835,106 @@ def test_stream_neardup_ingest_hot_band_cap_matches_batch(spark, tmp_path):
         last_band_guard_metrics)
     g = last_band_guard_metrics()
     assert g is not None and g["dropped_rows"] >= 2  # idx+batch rows
+
+
+def test_stream_quota_admission_matches_greedy_fold(spark, tmp_path):
+    """Budget-capped admission stream: draining the corpus through
+    micro-batches must equal the sequential greedy fold (per batch in
+    arrival order, per group in deterministic hash order, admit while
+    spent + toks <= budget), budgets must never overshoot, and
+    replaying a batch must leave both tables unchanged (the
+    batch-partitioned spent ledger makes the handler idempotent — an
+    additive state table would double-count exactly here)."""
+    import hashlib
+
+    from greenplum_dwh_spark.streaming.mart_stream import (
+        quota_admission_foreach_batch)
+    from greenplum_dwh_spark.tablestore import TableStore
+
+    cap = 120
+    rows = []
+    did = 0
+    for lang, n in (("en", 12), ("de", 4), ("xx", 1)):
+        for j in range(n):
+            rows.append((did, " ".join(f"w{k}" for k in range(7 + did % 23)),
+                         lang))
+            did += 1
+    batches = [rows[:6], rows[6:11], rows[11:]]
+
+    def h60(doc_id):
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+
+    spent = {}
+    want = set()
+    for bid, b in enumerate(batches):
+        per = {}
+        for doc_id, text, lang in b:
+            per.setdefault(lang, []).append((h60(doc_id), doc_id,
+                                             len(text.split(" "))))
+        for lang, docs in per.items():
+            cum = 0
+            for _, doc_id, toks in sorted(docs):
+                cum += toks
+                if spent.get(lang, 0) + cum <= cap:
+                    want.add((lang, doc_id, toks,
+                              spent.get(lang, 0) + cum, bid))
+                else:
+                    cum -= toks          # not admitted: no spend
+        for lang, doc_id, toks, cum, b_ in want:
+            pass
+        spent = {}
+        for lang, doc_id, toks, cum, b_ in want:
+            spent[lang] = max(spent.get(lang, 0), cum)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for bid, b in enumerate(batches):
+        spark.createDataFrame(b, "doc_id long, text string, lang string") \
+            .coalesce(1).write.parquet(str(src / f"b{bid}.parquet"))
+    store = TableStore(spark, str(tmp_path / "store"))
+    handler = quota_admission_foreach_batch(store, "admitted", "spent",
+                                            budget=cap)
+    stream = (spark.readStream.schema("doc_id long, text string, lang string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*.parquet"))
+    q = (stream.writeStream.foreachBatch(handler)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    def admitted_set():
+        return {(r["lang"], r["doc_id"], r["toks"], r["cum_toks"],
+                 r["_batch_id"])
+                for r in store.read("admitted").collect()}
+
+    # batch-local cum_toks in the table; the model tracked global cum —
+    # compare on global: batch-local cum + prior spent == model's cum
+    got = set()
+    prior = {}
+    for bid in range(len(batches)):
+        rows_b = sorted((r for r in admitted_set() if r[4] == bid),
+                        key=lambda r: r[3])
+        base = dict(prior)
+        for lang, doc_id, toks, cum_local, b_ in rows_b:
+            got.add((lang, doc_id, toks,
+                     base.get(lang, 0) + cum_local, b_))
+            prior[lang] = max(prior.get(lang, 0),
+                              base.get(lang, 0) + cum_local)
+    assert got == want and len(want) >= 8
+    # budgets never overshoot, per group
+    per_lang = {}
+    for lang, _, toks, _, _ in got:
+        per_lang[lang] = per_lang.get(lang, 0) + toks
+    assert all(v <= cap for v in per_lang.values())
+    # the under-budget groups are admitted whole
+    assert sum(1 for r in got if r[0] == "de") == 4
+    assert sum(1 for r in got if r[0] == "xx") == 1
+
+    # REPLAY batch 1: identical tables afterwards
+    before_admit = admitted_set()
+    before_spent = {tuple(r) for r in store.read("spent").collect()}
+    handler(spark.createDataFrame(
+        batches[1], "doc_id long, text string, lang string"), 1)
+    assert admitted_set() == before_admit
+    assert {tuple(r) for r in store.read("spent").collect()} \
+        == before_spent

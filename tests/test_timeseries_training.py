@@ -779,3 +779,36 @@ def test_fuzzy_segment_path_matches_bruteforce(spark, tmp_path,
     assert run() == truth                   # segment route
     monkeypatch.setattr(td, "FUZZY_BLOCK_SPLIT", 10 ** 9)
     assert run() == truth                   # plain route
+
+
+def test_empty_partitioned_init_reads_typed(spark, tmp_path):
+    """Round-6: init_append with partition_cols writes NO part files
+    (Spark emits only _SUCCESS for an empty partitioned write), so a
+    read before the first append must come from the schema sidecar —
+    typed, zero rows.  After a real append, reads must still see the
+    appended partitions with the declared column order."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from greenplum_dwh_spark.tablestore import TableStore
+
+    schema = T.StructType([
+        T.StructField("a", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("_batch_id", T.LongType())])
+    store = TableStore(spark, str(tmp_path / "s"))
+    store.init_append("t", schema, partition_cols=["_batch_id"])
+    empty = store.read("t")
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema] == ["a", "n", "_batch_id"]
+    assert empty.schema["_batch_id"].dataType == T.LongType()
+
+    store.append("t", spark.createDataFrame(
+        [("x", 1, 7)], schema), partition_cols=["_batch_id"])
+    got = store.read("t").collect()
+    assert [(r["a"], r["n"], r["_batch_id"]) for r in got] == [("x", 1, 7)]
+    # overwrite_partitions replay over the same partition stays clean
+    store.overwrite_partitions(
+        "t", spark.createDataFrame([("y", 2, 7)], schema), "_batch_id")
+    got2 = store.read("t").filter(F.col("_batch_id") == 7).collect()
+    assert [(r["a"], r["n"]) for r in got2] == [("y", 2)]

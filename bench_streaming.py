@@ -261,6 +261,58 @@ def bench_cdc_pruned_scaling(spark, tmp: str) -> dict:
     return out
 
 
+def bench_quota_admission(spark, tmp: str) -> dict:
+    """Budget-capped admission stream: the sf0.01 documents table
+    drained one shard per trigger through
+    quota_admission_foreach_batch with the default per-language token
+    budget.  Per-batch wall covers the prior-spend ledger scan, the
+    batch prefix sum and the two partition-overwrite writes."""
+    from pyspark.sql import functions as F
+
+    from greenplum_dwh_spark.streaming.mart_stream import (
+        quota_admission_foreach_batch)
+    from greenplum_dwh_spark.tablestore import TableStore
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL",
+                            "/root/testdata/sf0.01")
+    docs = (spark.read.parquet(os.path.join(sf_dir,
+                                            "documents.parquet"))
+            .select("doc_id", "text", "lang"))
+    n_docs = docs.count()
+    src = os.path.join(tmp, "quota_src")
+    os.makedirs(src)
+    n_batches = 4
+    for b in range(n_batches):
+        (docs.filter(F.pmod("doc_id", F.lit(n_batches)) == b)
+         .coalesce(1).write.parquet(os.path.join(src, f"b{b}.parquet")))
+    store = TableStore(spark, os.path.join(tmp, "quota_store"))
+    walls: list = []
+    handler = quota_admission_foreach_batch(store, "admitted", "spent")
+    stream = (spark.readStream
+              .schema("doc_id long, text string, lang string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/*.parquet"))
+    t0 = time.time()
+    q = (stream.writeStream
+         .foreachBatch(_timed(handler, walls))
+         .option("checkpointLocation", os.path.join(tmp, "quota_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    wall = time.time() - t0
+    admitted = store.read("admitted").count()
+    return {
+        "batches": len(walls),
+        "input_docs": n_docs,
+        "admitted_docs": int(admitted),
+        "wall_sec": round(wall, 3),
+        "batch_wall_sec": {
+            "mean": round(sum(walls) / max(len(walls), 1), 3),
+            "max": round(max(walls), 3) if walls else None,
+            "min": round(min(walls), 3) if walls else None,
+        },
+    }
+
+
 def bench_neardup_ingest(spark, tmp: str) -> dict:
     """Continuous near-dup corpus ingestion: the sf0.01 documents
     table (500 docs, carries the generator's planted near-dups)
@@ -338,6 +390,7 @@ def main() -> None:
             "cdc_apply": bench_cdc_apply(spark, tmp),
             "cdc_pruned_scaling": bench_cdc_pruned_scaling(spark, tmp),
             "neardup_ingest": bench_neardup_ingest(spark, tmp),
+            "quota_admission": bench_quota_admission(spark, tmp),
         }
         result["host"] = {"before": load_before, "after": host_load()}
     finally:

@@ -482,7 +482,9 @@ def quota_admission_foreach_batch(store, admitted_table: str,
 
     REPLAY-IDEMPOTENT without a read-modify-write state table: both
     outputs are ``_batch_id``-partitioned dynamic overwrites —
-    ``admitted_table`` carries the admitted docs, ``spent_table``
+    ``admitted_table`` carries the admitted docs (``cum_toks`` is the
+    BATCH-LOCAL cumulative; the group's global position is this plus
+    the earlier batches' spend), ``spent_table``
     carries one row per (group, batch) with that batch's token spend
     — and the headroom a batch reads is ``sum(spent) WHERE _batch_id
     < this batch``.  Replaying batch N after a crash recomputes the

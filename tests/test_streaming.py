@@ -880,8 +880,6 @@ def test_stream_quota_admission_matches_greedy_fold(spark, tmp_path):
                               spent.get(lang, 0) + cum, bid))
                 else:
                     cum -= toks          # not admitted: no spend
-        for lang, doc_id, toks, cum, b_ in want:
-            pass
         spent = {}
         for lang, doc_id, toks, cum, b_ in want:
             spent[lang] = max(spent.get(lang, 0), cum)

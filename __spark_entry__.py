@@ -48,48 +48,48 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Run order for the driver's correctness pass.  The driver truncates
 #: the tail of this dict when its global budget (~50 slots) runs out,
-#: so the ordering IS the verification-freshness lever.  Round-6
-#: rotation (round-5 verdict item 1, mechanical): (0) the two NEW
-#: round-6 queries (knn_doc_graph, lang_quota_sample — never
-#: driver-checked, budget ≤5 respected), then (a) the 25 queries
-#: whose latest green row is r03 — three rounds stale by now, the
-#: oldest debt, all 25 named by the verdict (10 of them judge-sampled
-#: bit-exact last session) — then (b) the queries whose code paths
-#: changed in round 6 (fuzzy_doc_pairs blocking rework; the
-#: char-jaccard dense-slice hybrid → jaccard/char/containment share
-#: the PPJoin core; dedup_minhash_lsh's banding machinery now also
-#: serves the hybrid's dense leg; dedup_simhash's probe gained the
-#: recall upper bound; merge_upsert backs the pruned CDC commit),
-#: then (c) r04-green rows by registration order with the remaining
-#: slots.  The 44 r04-green rows not listed fall in registration
-#: order after these; the 7 no-oracle-by-design queries sit in
-#: _RUN_LAST so they never burn a budget slot on a rows-only check
-#: while oracle debt exists.
+#: so the ordering IS the verification-freshness lever.  Round-7
+#: rotation (round-6 verdict item 1, mechanical): (0) the one NEW
+#: round-7 query (multimodal_av — the fused frames+audio kernel from
+#: the ledger consolidation, never driver-checked), then (a) the
+#: r04-latest-green queries — two rounds stale, all 27 named by the
+#: round-6 verdict, minus the four retired in the consolidation
+#: (multimodal_meta/resize/frames/audio folded into the survivors) —
+#: then (b) the queries whose code paths changed in round 7 (the
+#: fuzzy verify's (lang, blk) re-check + blocking-key insurance; the
+#: PPJoin/banding machinery around the dense-gram fallback legs and
+#: the simhash band-alphabet scaling), then (c) the oldest r05-green
+#: rows by registration order with the remaining slots.  Queries not
+#: listed fall in registration order after these; the 7
+#: no-oracle-by-design queries sit in _RUN_LAST so they never burn a
+#: budget slot on a rows-only check while oracle debt exists.
 _RUN_FIRST = [
-    # (0) new in round 6, never driver-checked — protocol rule (a)
-    "knn_doc_graph", "lang_quota_sample",
-    # (a) latest green row is r03 — three rounds stale, clear it all
-    "argmax_order_per_customer", "big_spenders_having",
-    "covar_components_events", "cumulative_distinct_users",
-    "embedding_quantize", "full_outer_user_hours", "histogram_orders",
-    "key_skew_profile", "label_centroids_scaled", "order_keys_csv",
-    "outlier_iqr_events", "padding_waste_by_order",
-    "q10_returned_items", "q18_large_orders", "rank_fusion_rrf",
-    "resample_ohlc", "retention_cohorts", "sessionize_native_window",
-    "stats_moments_events", "text_repetition", "topk_docs_per_lang",
-    "unpivot_status_counts", "vocab_topk_coverage",
-    "window_nth_family", "zorder_keys_orders",
-    # (b) touched in round 6 — must re-green fresh
+    # (0) new in round 7, never driver-checked — protocol rule (a)
+    "multimodal_av",
+    # (a) latest green row is r04 — two rounds stale, clear it all
+    # (multimodal_features/decode also carry their round-7 merged
+    # schemas, so this re-green checks the consolidation too)
+    "funnel_users", "grouping_sets_priority_status", "json_props_agg",
+    "last_week_threshold", "late_shipments", "lm_doc_scores",
+    "moving_sum_rows_frame", "multimodal_decode", "multimodal_features",
+    "nearest_click_event", "not_in_customers", "null_handling_demo",
+    "orders_calendar", "percentile_prices", "pivot_status_counts",
+    "q1_pricing_summary", "q3_segment_revenue", "rollup_merge_hourly",
+    "sessionize_events", "skew_salted_user_totals",
+    "text_bm25_topk_ranks", "tokens_posexplode", "window_rank_family",
+    # (b) touched in round 7 — must re-green fresh
     "fuzzy_doc_pairs", "dedup_char_jaccard", "dedup_jaccard_prefix",
     "dedup_containment", "dedup_simhash", "dedup_minhash_lsh",
-    "merge_upsert_orders",
-    # (c) r04-green, registration order, filling the ~50-slot budget
-    "amount_diff_lag", "ann_cosine_topk", "ann_euclidean_topk",
-    "anti_join_no_orders", "asof_last_click", "bpe_pair_counts",
-    "chain_fraud_window", "contrastive_negatives",
-    "cube_status_priority", "dedup_clusters", "dedup_embedding",
-    "dedup_embedding_lsh", "dedup_exact", "distinct_parts_per_flag",
-    "dq_orders_profile", "embedding_hof_norms",
+    # (c) oldest r05-green, registration order, filling the ~50 budget
+    "bpe_encode_top_words", "canon_text_dedup", "chunk_documents",
+    "decontaminate_ngrams", "decontaminate_ngrams8_planted",
+    "dedup_embedding_clusters", "dedup_incremental", "dedup_keep_best",
+    "dedup_repeated_spans", "dedup_source_overlap",
+    "dq_constraint_violations", "dup_ngram_fraction",
+    "gapfill_forward_fill", "mixture_sampling_rates",
+    "pit_lookup_orders", "q5_nation_revenue", "range_frame_hour_sum",
+    "range_join_hour_buckets", "range_join_tumbling_rewrite",
+    "remove_boilerplate_lines",
 ]
 _RUN_LAST = [
     # no-oracle-by-design (rows-only checks; each pinned by tests —

@@ -19,6 +19,10 @@ The banded-LSH queries additionally report their hot-band-guard drop
 metrics (``band_guard`` key: dropped_rows / dropped_buckets /
 max_band_size per query) so a recall-losing cap change is visible in
 the artifact record, not just in timings (round-3 verdict item 5).
+Since round 7 those observables (plus the PPJoin candidate counts)
+live in the ``BENCH_observables.json`` SIDECAR, not on the stdout
+line — the driver's tail capture is ~2 KB and the observables had
+pushed the headline total out of it (round-6 verdict item 2).
 """
 
 from __future__ import annotations
@@ -121,7 +125,6 @@ def bench_queries() -> dict:
         "text_repetition": text_analysis.text_repetition,
         # round-3 curation family additions
         "chunk_documents": curation.chunk_documents,
-        "bigram_lm_counts": curation.bigram_lm_counts,
         "resample_ohlc": timeseries.resample_ohlc,
         "decontaminate_ngrams": curation.decontaminate_ngrams,
         "table_diff_orders": reconcile.table_diff_orders,
@@ -147,9 +150,11 @@ def bench_queries() -> dict:
         "shard_and_order": curation.shard_and_order,
         "padding_waste_by_order": packing.padding_waste_by_order,
         # round-4 operator families (LM scoring, BPE induction,
-        # bidirectional nearest as-of)
+        # bidirectional nearest as-of).  bigram_lm_counts and
+        # bpe_pair_counts left the headline with the round-7 ledger
+        # consolidation — each is a strict sub-stage of a survivor
+        # (lm_doc_scores / bpe_encode_top_words)
         "lm_doc_scores": curation.lm_doc_scores,
-        "bpe_pair_counts": curation.bpe_pair_counts,
         "bpe_encode_top_words": curation.bpe_encode_top_words,
         "nearest_click_event": timeseries.nearest_click_event,
     }
@@ -230,16 +235,31 @@ def main() -> None:
         # evictor; an evicted block just recomputes.
 
     total = round(sum(timings.values()), 3)
+    host = {"before": load_before, "after": host_load()}
+    # ONE compact stdout line, total-first, observable detail in a
+    # sidecar (round-6 verdict item 2): the driver's capture keeps only
+    # the last ~2 KB of output, and the old single line — queries +
+    # band_guard + ppjoin + host — outgrew that window, head-truncating
+    # BENCH_r06.json into an unparseable tail.  Compact separators +
+    # ms-rounded timings keep this line ~1.7 KB for the 55-query
+    # headline, inside the window with margin.
     print(json.dumps({
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "band_guard": band_guard,
-        "ppjoin": ppjoin,
         "sf": sf,
-        "host": {"before": load_before, "after": host_load()},
-    }))
+        "host": host,
+        "queries": timings,
+    }, separators=(",", ":")))
+    sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_observables.json")
+    with open(sidecar, "w") as f:
+        json.dump({"metric": "headline_queries_total_wall",
+                   "value": total, "unit": "sec", "sf": sf,
+                   "host": host, "queries": timings,
+                   "band_guard": band_guard, "ppjoin": ppjoin},
+                  f, indent=1)
+        f.write("\n")
 
 
 if __name__ == "__main__":

@@ -140,14 +140,22 @@ def pack_payloads(docs: DataFrame) -> DataFrame:
             F.lit("text/plain").alias("mime")).alias("meta"))
 
 
-def extract_features(packed: DataFrame) -> DataFrame:
-    """Arrow-batched byte-level feature extraction over mapInPandas."""
+def extract_features(packed: DataFrame,
+                     include_meta: bool = False) -> DataFrame:
+    """Arrow-batched byte-level feature extraction over mapInPandas.
+
+    ``include_meta=True`` additionally carries the typed ``meta``
+    struct's fields THROUGH the kernel (n_bytes_meta / n_chars_meta /
+    mime) — the meta-vs-payload consistency projection in the SAME
+    single pass over the payloads, with no self-join back to the
+    packed frame (the round-7 consolidation of the former
+    ``multimodal_meta`` query: one scan, one Python stage)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
             sums = payloads.map(sum)
-            yield pd.DataFrame({
+            out = {
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "n_bytes": payloads.map(len).astype("int32"),
                 # exact integer ingredients (sum_bytes, n_bytes) make
@@ -160,10 +168,25 @@ def extract_features(packed: DataFrame) -> DataFrame:
                 "byte_max": payloads.map(
                     lambda b: max(b) if len(b) else 0).astype("int32"),
                 "head_hex": payloads.map(lambda b: b[:4].hex()),
-            })
+            }
+            if include_meta:
+                out["n_bytes_meta"] = pdf["n_bytes_meta"].astype("int32")
+                out["n_chars_meta"] = pdf["n_chars_meta"].astype("int32")
+                out["mime"] = pdf["mime"]
+            yield pd.DataFrame(out)
 
     from greenplum_dwh_spark.shipping import ensure_shipped
     ensure_shipped(packed.sparkSession)
+    if include_meta:
+        schema = T.StructType(FEATURE_SCHEMA.fields + [
+            T.StructField("n_bytes_meta", T.IntegerType()),
+            T.StructField("n_chars_meta", T.IntegerType()),
+            T.StructField("mime", T.StringType())])
+        return packed.select(
+            "doc_id", "payload",
+            F.col("meta.n_bytes").alias("n_bytes_meta"),
+            F.col("meta.n_chars").alias("n_chars_meta"),
+            F.col("meta.mime").alias("mime")).mapInPandas(run, schema)
     return packed.select("doc_id", "payload").mapInPandas(
         run, FEATURE_SCHEMA)
 
@@ -334,6 +357,61 @@ def audio_pcm16_stats(packed: DataFrame) -> DataFrame:
     ensure_shipped(packed.sparkSession)
     return packed.select("doc_id", "payload").mapInPandas(
         run, AUDIO_SCHEMA)
+
+
+AV_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("n_frames", T.IntegerType()),
+    T.StructField("n_sampled", T.IntegerType()),
+    T.StructField("sampled_md5", T.StringType()),
+    T.StructField("n_samples", T.IntegerType()),
+    T.StructField("sum_sq", T.LongType()),
+    T.StructField("peak", T.IntegerType()),
+])
+
+
+def av_stats(packed: DataFrame, frame_bytes: int = 64,
+             every_k: int = 4) -> DataFrame:
+    """Fused frame-sampling + PCM16 audio kernel: both stat families
+    from ONE Arrow batch pass over the payloads (the payload bytes are
+    decoded once, not once per modality) — the plan a 100 TB pipeline
+    wants when several per-doc kernels consume the same binary column.
+    Column semantics are identical to :func:`sample_frames` +
+    :func:`audio_pcm16_stats`; the unit test pins fused ≡ modular."""
+    import hashlib
+
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            nf_l, nsamp_l, dig_l, n_l, ss_l, pk_l = [], [], [], [], [], []
+            for p in pdf["payload"]:
+                b = bytes(p)
+                nf = len(b) // frame_bytes
+                sampled = [b[i * frame_bytes:(i + 1) * frame_bytes]
+                           for i in range(0, nf, every_k)]
+                nf_l.append(nf)
+                nsamp_l.append(len(sampled))
+                dig_l.append(hashlib.md5(
+                    "".join(s.hex() for s in sampled).encode()).hexdigest())
+                x = np.frombuffer(
+                    b[:len(b) - (len(b) % 2)], "<i2").astype(np.int64)
+                n_l.append(x.size)
+                ss_l.append(int((x * x).sum()))
+                pk_l.append(int(np.abs(x).max()) if x.size else 0)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_frames": pd.Series(nf_l, dtype="int32"),
+                "n_sampled": pd.Series(nsamp_l, dtype="int32"),
+                "sampled_md5": dig_l,
+                "n_samples": pd.Series(n_l, dtype="int32"),
+                "sum_sq": pd.Series(ss_l, dtype="int64"),
+                "peak": pd.Series(pk_l, dtype="int32"),
+            })
+
+    from greenplum_dwh_spark.shipping import ensure_shipped
+    ensure_shipped(packed.sparkSession)
+    return packed.select("doc_id", "payload").mapInPandas(run, AV_SCHEMA)
 
 
 def decode_images(packed: DataFrame) -> DataFrame:

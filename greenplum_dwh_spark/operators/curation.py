@@ -500,9 +500,13 @@ QUERIES = {
     "split_train_holdout": split_train_holdout,
     "chunk_documents": chunk_documents,
     "remove_boilerplate_lines": remove_boilerplate_lines,
-    "bigram_lm_counts": bigram_lm_counts,
+    # round-7 ledger consolidation (round-6 verdict item 3):
+    # ``bigram_lm_counts`` and ``bpe_pair_counts`` are retired as
+    # DRIVER queries — their kernels are strict sub-stages of the two
+    # survivors (lm_doc_scores rebuilds the identical bigram LM
+    # internally; bpe_encode_top_words re-derives pair counts every
+    # merge round) and stay pinned by the test_curation units
     "lm_doc_scores": lm_doc_scores,
-    "bpe_pair_counts": bpe_pair_counts,
     "bpe_encode_top_words": bpe_encode_top_words,
     "shard_and_order": shard_and_order,
     "lang_quota_sample": lang_quota_sample,
@@ -659,17 +663,6 @@ ORACLES = {
                string_agg(line, chr(10) ORDER BY pos) AS clean_text,
                count(*)::BIGINT AS n_lines_kept
         FROM kept GROUP BY doc_id""",
-    "bigram_lm_counts": """
-        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-                      FROM documents),
-        bi AS (
-          SELECT t[i] AS w1, t[i + 1] AS w2
-          FROM toks, unnest(range(1, len(t))) AS u(i)),
-        c AS (SELECT w1, w2, count(*)::BIGINT AS n_pair
-              FROM bi GROUP BY w1, w2)
-        SELECT w1, w2, n_pair,
-               sum(n_pair) OVER (PARTITION BY w1)::BIGINT AS n_w1
-        FROM c""",
     "lm_doc_scores": f"""
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                       FROM documents),
@@ -692,18 +685,6 @@ ORACLES = {
                (lm_score_sum // n_bigrams)::BIGINT AS lm_score_avg
         FROM scored""",
     "bpe_encode_top_words": _bpe_encode_oracle(),
-    "bpe_pair_counts": """
-        WITH words AS (
-          SELECT w, count(*)::BIGINT AS n_w
-          FROM documents, unnest(string_split(text, ' ')) AS u(w)
-          GROUP BY w),
-        p AS (
-          SELECT substr(w, i, 2) AS pair, w, n_w
-          FROM words, unnest(range(1, len(w))) AS r(i)
-          WHERE len(w) >= 2)
-        SELECT pair, sum(n_w)::BIGINT AS n_occ,
-               count(DISTINCT w)::BIGINT AS n_words
-        FROM p GROUP BY pair""",
     "shard_and_order": f"""
         WITH d AS (
           SELECT doc_id, md5(doc_id::VARCHAR) AS h FROM documents),

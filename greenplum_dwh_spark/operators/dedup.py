@@ -427,8 +427,12 @@ def _binom_count_ub(x: int, p: float, alpha: float = 0.05) -> int:
     for endpoint-disjoint lost pairs and the standard approximation
     otherwise."""
     import math
-    if x < 0 or not (0.0 < p < 1.0):
-        raise ValueError(f"need x >= 0, 0 < p < 1; got {x}, {p}")
+    if x < 0 or not (0.0 < p <= 1.0):
+        raise ValueError(f"need x >= 0, 0 < p <= 1; got {x}, {p}")
+    if p == 1.0:
+        # exhaustive sampling (sample_mod=1): the observed count IS the
+        # population count — exact, no bound widening (round-6 ADVICE)
+        return x
 
     def log_cdf_terms(big_l: int) -> float:
         s = 0.0

@@ -237,7 +237,10 @@ def _segment_block_pairs(big: DataFrame) -> DataFrame:
     # the join key (lang, blk, i, seg) is carried as ONE xxhash64
     # long: value equality implies hash equality, so no qualifying
     # pair can be lost, and a 64-bit collision merely adds a spurious
-    # candidate the exact levenshtein verify removes — while the
+    # candidate that _levenshtein_verify's (lang, blk) re-check
+    # removes (the verify re-asserts block equality from its broadcast
+    # maps, so even a colliding cross-block pair within edit distance
+    # cannot be emitted) — while the
     # probe-side shuffle row shrinks from ~45 B (two strings + two
     # ints) to 16 B (measured at sf10: the 73 M-row probe shuffle,
     # not the join or the explode, dominated the path)
@@ -315,17 +318,27 @@ def _levenshtein_verify(cand: DataFrame, d: DataFrame) -> DataFrame:
     (~60× cheaper than the 40×40 DP) that prunes the bulk of the
     candidate volume before levenshtein runs (at the derived sf10 the
     segment join emits ~4.4 M candidates for ~3.4 k real pairs)."""
-    pre_map = d.select("doc_id", "pre",
+    pre_map = d.select("doc_id", "lang", "blk", "pre",
                        *_prefix_hist_cols(F.col("pre"), "h_"))
     pa = F.broadcast(pre_map.select(
         F.col("doc_id").alias("doc_a"), F.col("pre").alias("a_pre"),
+        F.col("lang").alias("a_lang"), F.col("blk").alias("a_blk"),
         *[F.col(f"h_{ch}").alias(f"a_{ch}") for ch in _HIST_ALPHABET]))
     pb = F.broadcast(pre_map.select(
         F.col("doc_id").alias("doc_b"), F.col("pre").alias("b_pre"),
+        F.col("lang").alias("b_lang"), F.col("blk").alias("b_blk"),
         *[F.col(f"h_{ch}").alias(f"b_{ch}") for ch in _HIST_ALPHABET]))
     l1 = sum((F.abs(F.col(f"a_{ch}") - F.col(f"b_{ch}"))
               for ch in _HIST_ALPHABET), start=F.lit(0))
     return (cand.join(pa, "doc_a").join(pb, "doc_b")
+            # re-assert (lang, blk) equality from the broadcast maps:
+            # the segment path's hashed join key makes a cross-block
+            # 64-bit collision emit a spurious CANDIDATE, and this
+            # check (free — the maps are already joined) removes it,
+            # so the blocked-matching contract holds unconditionally,
+            # not just with 2^-64 probability (round-6 ADVICE)
+            .filter((F.col("a_lang") == F.col("b_lang"))
+                    & (F.col("a_blk") == F.col("b_blk")))
             .filter(l1 <= 2 * FUZZY_MAX_DIST)
             .select("doc_a", "doc_b",
                     F.levenshtein("a_pre", "b_pre").alias("edit_dist"))

@@ -515,7 +515,11 @@ class TableStore:
         reads 2 buckets, not the table."""
         v = self._current_version(name)
         if v < 0:
-            raise ValueError(f"{name} is not a versioned table")
+            # initialized-but-never-committed table (e.g. a CDC stream's
+            # very first batch against a base whose v0 commit hasn't
+            # landed): return the typed 0-row anchor, matching read()'s
+            # bootstrap behavior, instead of crashing the stream
+            return self.spark.read.parquet(self._path(name, _ANCHOR))
         manifest = self._manifest(name, v)
         want = {int(b) for b in buckets}
         paths = [self._path(name, _ANCHOR)] + [

@@ -48,7 +48,8 @@ class MergeRecordingStore(TableStore):
         super().__init__(spark, base_dir)
         self.merges: list[dict] = []
 
-    def overwrite_versioned(self, name: str, df) -> None:
+    def overwrite_versioned(self, name: str, df,
+                            only_buckets: list[int] | None = None) -> None:
         key = self._key_col(name)
         try:
             old = self.read(name)
@@ -88,7 +89,7 @@ class MergeRecordingStore(TableStore):
                 "insert": int(counts["insert"] or 0),
                 "update": int(counts["update"] or 0),
                 "delete": int(counts["delete"] or 0)})
-        super().overwrite_versioned(name, df)
+        super().overwrite_versioned(name, df, only_buckets=only_buckets)
 
     def _key_col(self, name: str) -> str:
         import json

@@ -837,11 +837,13 @@ def test_stream_neardup_ingest_hot_band_cap_matches_batch(spark, tmp_path):
     assert g is not None and g["dropped_rows"] >= 2  # idx+batch rows
 
 
-def test_stream_quota_admission_matches_greedy_fold(spark, tmp_path):
+def test_stream_quota_admission_matches_prefix_fold(spark, tmp_path):
     """Budget-capped admission stream: draining the corpus through
-    micro-batches must equal the sequential greedy fold (per batch in
+    micro-batches must equal the sequential prefix fold (per batch in
     arrival order, per group in deterministic hash order, admit while
-    spent + toks <= budget), budgets must never overshoot, and
+    the group's cumulative — spent + every batch doc so far, skipped
+    or not — stays <= budget; first overflow ends the group's batch),
+    budgets must never overshoot, and
     replaying a batch must leave both tables unchanged (the
     batch-partitioned spent ledger makes the handler idempotent — an
     additive state table would double-count exactly here)."""
@@ -872,14 +874,20 @@ def test_stream_quota_admission_matches_greedy_fold(spark, tmp_path):
             per.setdefault(lang, []).append((h60(doc_id), doc_id,
                                              len(text.split(" "))))
         for lang, docs in per.items():
+            # PREFIX semantics, matching quota_sample/the handler: the
+            # cumulative includes every doc in hash order (skipped docs
+            # are NOT refunded), so the first overflow ends the group's
+            # admissions for this batch.  The earlier greedy-fold model
+            # (cum -= toks on overflow, keep admitting later docs) only
+            # coincided with the implementation on this fixture
+            # (round-6 ADVICE) — model what the operator actually does.
             cum = 0
             for _, doc_id, toks in sorted(docs):
                 cum += toks
-                if spent.get(lang, 0) + cum <= cap:
-                    want.add((lang, doc_id, toks,
-                              spent.get(lang, 0) + cum, bid))
-                else:
-                    cum -= toks          # not admitted: no spend
+                if spent.get(lang, 0) + cum > cap:
+                    break
+                want.add((lang, doc_id, toks,
+                          spent.get(lang, 0) + cum, bid))
         spent = {}
         for lang, doc_id, toks, cum, b_ in want:
             spent[lang] = max(spent.get(lang, 0), cum)

@@ -192,6 +192,33 @@ def test_audio_pcm16_stats_match_struct_model(spark, sf_dir):
         assert r["peak"] == max((abs(x) for x in xs), default=0)
 
 
+def test_av_stats_fused_equals_modular(spark, sf_dir):
+    """The fused frames+audio kernel (one Arrow pass over the payload)
+    must equal the join of the two modular kernels row-for-row — the
+    round-7 consolidation's correctness contract."""
+    from greenplum_dwh_spark.multimodal.codec import (audio_pcm16_stats,
+                                                      av_stats,
+                                                      pack_payloads,
+                                                      sample_frames)
+    from greenplum_dwh_spark.sources.tpch import Tables
+    docs = Tables(spark, sf_dir).documents.limit(50)
+    packed = pack_payloads(docs)
+    fused = {r["doc_id"]: r.asDict() for r in
+             av_stats(packed, frame_bytes=64, every_k=4).collect()}
+    frames = {r["doc_id"]: r.asDict() for r in
+              sample_frames(packed, frame_bytes=64, every_k=4).collect()}
+    audio = {r["doc_id"]: r.asDict() for r in
+             audio_pcm16_stats(packed).collect()}
+    assert set(fused) == set(frames) == set(audio) and len(fused) == 50
+    for did, f in fused.items():
+        assert {k: f[k] for k in ("n_frames", "n_sampled", "sampled_md5")
+                } == {k: frames[did][k]
+                      for k in ("n_frames", "n_sampled", "sampled_md5")}
+        assert {k: f[k] for k in ("n_samples", "sum_sq", "peak")
+                } == {k: audio[did][k]
+                      for k in ("n_samples", "sum_sq", "peak")}
+
+
 def test_bm25_topk_matches_reference_model(spark, sf_dir):
     """ln-idf BM25 ranking vs an independently-coded pandas model:
     identical top-k ranking, scores within 1e-9."""

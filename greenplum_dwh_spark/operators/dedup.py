@@ -355,14 +355,61 @@ def _simhash_bands(fps: DataFrame) -> DataFrame:
             for b in range(n_bands)])).alias("band"))
 
 
+def _split_banded_candidates(bands: DataFrame,
+                             band_cap: int) -> DataFrame:
+    """Hot-band AUTO-SPLIT candidate generation (round-6 verdict
+    item 5 — the fix for simhash's band-alphabet saturation: a 6-bit
+    alphabet puts ~n/640 docs in EVERY bucket once n passes ~100k·cap,
+    and the old guard then dropped those rows wholesale).
+
+    Buckets at or under ``band_cap`` self-join as before.  Members of
+    an over-cap bucket are NOT dropped: each hot membership is
+    re-keyed by the composite (hot band value, each of the doc's
+    other 9 band values) and the composite buckets join under the
+    same cap.  Pigeonhole keeps this EXACT for qualifying pairs: both
+    endpoints share the hot band's value, so all ≤ max_dist differing
+    bits lie in the other ``n_bands − 1`` bands, and with
+    ``max_dist < n_bands − 1`` at least one other band agrees — the
+    pair meets on that composite key.  The composite alphabet is the
+    band alphabet SQUARED (×band-pair choice), so saturation needs
+    ~2¹² × the corpus that saturates a single band; residual drops
+    (composite bucket still over cap — e.g. thousands of IDENTICAL
+    fingerprints, the degenerate cluster the cap exists for) remain
+    observed via the stage-2 guard (:func:`last_band_guard_metrics`).
+
+    The per-band size table is alphabet-bounded (≤ n_bands · 2^bits
+    rows), so it broadcasts — the hot/cool routing costs no corpus
+    shuffle on top of the join's own."""
+    sizes = bands.groupBy("band").agg(F.count(F.lit(1)).alias("_bn"))
+    bz = bands.join(F.broadcast(sizes), "band")
+    cool = bz.filter(F.col("_bn") <= band_cap).select("doc_id", "band")
+    hot = bz.filter(F.col("_bn") > band_cap).select("doc_id", "band")
+    cool_cand = (cool.alias("a").join(cool.alias("b"), "band")
+                 .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+                 .select(F.col("a.doc_id").alias("doc_a"),
+                         F.col("b.doc_id").alias("doc_b")))
+    other = bands.select("doc_id", F.col("band").alias("band2"))
+    # band strings carry their band index ("<i>:<value>"), so
+    # band2 != band excludes exactly the same-index row of the doc
+    hot2 = (hot.join(other, "doc_id")
+            .filter(F.col("band2") != F.col("band"))
+            .select("doc_id",
+                    F.concat_ws("|", "band", "band2").alias("band")))
+    hot_cand = _banded_candidates(hot2, band_cap, distinct=False)
+    return cool_cand.unionByName(hot_cand)
+
+
 def simhash_pairs(docs: DataFrame,
                   max_dist: int = SIMHASH_MAX_DIST,
                   band_cap: int = BAND_CAP,
-                  fps: DataFrame | None = None) -> DataFrame:
+                  fps: DataFrame | None = None,
+                  hot_split: bool = True) -> DataFrame:
     """Pairs within hamming ``max_dist`` of 60-bit simhash (exact:
-    banding is pigeonhole-complete for dist ≤ 9; the hot-band guard —
-    see :data:`BAND_CAP` — is the only recall trade, and only fires on
-    degenerate buckets).  ``fps`` lets a caller that already built
+    banding is pigeonhole-complete for dist ≤ 9, and with
+    ``hot_split`` over-cap buckets re-key through
+    :func:`_split_banded_candidates` instead of dropping — the only
+    remaining recall trade is a composite bucket still over cap,
+    observed by the guard).  ``fps`` lets a caller that already built
     (and cached) the fingerprint table reuse it — the band-guard
     probe's emitted-count leg — instead of paying a second corpus
     fingerprint pass; the caller then owns that cache's lifecycle."""
@@ -375,7 +422,10 @@ def simhash_pairs(docs: DataFrame,
     # fingerprint table, and only the tiny verified survivor set pays
     # the distinct shuffle — measured 4.0 s → 2.7 s at sf0.1 vs
     # distinct-then-verify.
-    cand = _banded_candidates(bands, band_cap, distinct=False)
+    if hot_split:
+        cand = _split_banded_candidates(bands, band_cap)
+    else:
+        cand = _banded_candidates(bands, band_cap, distinct=False)
     fa = fps.select(F.col("doc_id").alias("doc_a"),
                     F.col("fp").alias("fp_a"))
     fb = fps.select(F.col("doc_id").alias("doc_b"),
@@ -469,7 +519,12 @@ def simhash_band_guard_probe(docs: DataFrame,
     take all sampled-member pairs *within each over-cap bucket*, dedupe
     across buckets, verify exactly (hamming ≤ ``max_dist``), and drop
     pairs that also share an under-cap band (those are NOT lost — the
-    guarded join still emits them).  Because sampling is per-doc, a
+    guarded join still emits them) or an under-cap COMPOSITE bucket
+    (those the round-7 hot-band split leg emits —
+    :func:`_split_banded_candidates`; ``dropped_rows`` therefore
+    counts stage-1 REROUTED memberships, while the loss estimate
+    reflects what the production plan actually fails to emit).
+    Because sampling is per-doc, a
     lost pair enters the sample iff BOTH endpoints are sampled —
     probability 1/mod² regardless of how many hot buckets it collides
     in — so ``sampled_lost · mod²`` is an unbiased estimate of the
@@ -527,8 +582,34 @@ def simhash_band_guard_probe(docs: DataFrame,
                .join(cool.select(F.col("doc_id").alias("doc_b"),
                                  "band"), ["doc_b", "band"])
                .select("doc_a", "doc_b").distinct())
-    sampled_lost = (verified.join(escaped, ["doc_a", "doc_b"],
-                                  "left_anti").count())
+    # pairs the hot-band SPLIT leg still emits (round-7: the operator
+    # re-keys over-cap memberships by composite (hot band, other band)
+    # instead of dropping them — see _split_banded_candidates): a
+    # sampled hot pair sharing an under-cap composite bucket is NOT
+    # lost.  Composite bucket sizes are computed over ALL docs — the
+    # sample only selects which pairs get verified, never how big the
+    # production plan's buckets are.
+    allb = bands.select("doc_id", F.col("band").alias("band2"))
+    comp = (counted.filter(F.col("_bn") > band_cap)
+            .select("doc_id", "band")
+            .join(allb, "doc_id")
+            .filter(F.col("band2") != F.col("band"))
+            .select("doc_id",
+                    F.concat_ws("|", "band", "band2").alias("ckey")))
+    wc = Window.partitionBy("ckey")
+    comp_cool = (comp.withColumn("_cn", F.count(F.lit(1)).over(wc))
+                 .filter(F.col("_cn") <= band_cap)
+                 .select("doc_id", "ckey"))
+    rescued = (verified
+               .join(comp_cool.select(F.col("doc_id").alias("doc_a"),
+                                      "ckey"), "doc_a")
+               .join(comp_cool.select(F.col("doc_id").alias("doc_b"),
+                                      "ckey"), ["doc_b", "ckey"])
+               .select("doc_a", "doc_b").distinct())
+    sampled_lost = (verified
+                    .join(escaped, ["doc_a", "doc_b"], "left_anti")
+                    .join(rescued, ["doc_a", "doc_b"], "left_anti")
+                    .count())
     out["sampled_lost_pairs"] = int(sampled_lost)
     out["est_pairs_lost"] = int(sampled_lost * sample_mod * sample_mod)
     # 95% upper bound on the true loss, not just the point estimate

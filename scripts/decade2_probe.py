@@ -34,12 +34,18 @@ QUERIES = ("dedup_jaccard_prefix", "fuzzy_doc_pairs",
            "dedup_repeated_spans", "dup_ngram_fraction",
            # banded-LSH representative: under the replication model
            # its band keys stay sparse (32 bands of r=2 64-bit hashes
-           # — key space is effectively unbounded, unlike simhash's
-           # 10×64-value alphabet, which SATURATES past ~100k docs by
-           # construction and is the wrong probe for this decade), so
-           # candidates should track the data factor; the band-guard
-           # drop counts are harvested to verify no silent recall loss
+           # — key space is effectively unbounded), so candidates
+           # should track the data factor; the band-guard drop counts
+           # are harvested to verify no silent recall loss
            "dedup_minhash_lsh",
+           # round 7: probe-able since the hot-band SPLIT — the 6-bit
+           # alphabet saturates past ~100k·cap docs by construction,
+           # but over-cap buckets now re-key through composite
+           # (band, other-band) buckets instead of dropping, so the
+           # probe measures the PLAN again, not the alphabet; the
+           # band-guard residual drops + the sampled recall lower
+           # bound land in the artifact (round-6 verdict item 5)
+           "dedup_simhash",
            # the gram-dense worst case: at sf1 (shared 9k-gram
            # universe) its match multiset grows quadratically with
            # corpus; sf10's per-replica char remap makes vocabulary
@@ -65,6 +71,7 @@ def inner(query: str, sf_dir: str) -> None:
           "dedup_repeated_spans": dedup.dedup_repeated_spans,
           "dup_ngram_fraction": text_analysis.dup_ngram_fraction,
           "dedup_minhash_lsh": dedup.dedup_minhash_lsh,
+          "dedup_simhash": dedup.dedup_simhash,
           "dedup_char_jaccard": dedup.dedup_char_jaccard,
           "knn_doc_graph": dedup.knn_doc_graph,
           "lang_quota_sample": curation.lang_quota_sample}[query]
@@ -84,10 +91,21 @@ def inner(query: str, sf_dir: str) -> None:
         m = dedup.last_ppjoin_metrics()
         if m:
             extra["n_candidates"] = m["n_candidates"]
-    if query == "dedup_minhash_lsh":
+    if query in ("dedup_minhash_lsh", "dedup_simhash"):
         g = dedup.last_band_guard_metrics()
         if g:
             extra["band_guard"] = g
+    if query == "dedup_simhash":
+        # the saturation-era acceptance evidence (round-6 verdict
+        # item 5): residual drops + a sampled 95% recall lower bound
+        # for the split plan, measured on the probe corpus itself
+        docs = spark.read.parquet(
+            os.path.join(sf_dir, "documents.parquet"))
+        # mod=8 keeps the probe's sampled hot-pair verification
+        # (O(Σ hot_bucket² / mod²)) tractable at the saturated sf10
+        # while the binomial UB still turns its count into a bound
+        extra["recall_probe"] = dedup.simhash_band_guard_probe(
+            docs, sample_mod=8)
     from bench import host_load
     print(json.dumps({"best_sec": round(best, 3), "host": host_load(),
                       **extra}))

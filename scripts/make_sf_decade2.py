@@ -58,9 +58,29 @@ SYMBOLS = ALPHABET + ALPHABET.upper() + "0123456789"
 
 
 def target_alphabet(r: int) -> str:
-    """The 26-char translate() image for replica r (see module doc)."""
+    """The 26-char translate() image for seed r (see module doc)."""
     import random
     return "".join(random.Random(1000 + r).sample(SYMBOLS, 26))
+
+
+def select_maps(k: int, max_shared: int = 4) -> list[str]:
+    """Greedy map selection for arbitrary K (round-7, for the
+    decade-3 fuzzy probe's sf30 build): walk the seed stream and skip
+    any candidate sharing more than ``max_shared`` letters with an
+    already-selected map.  At K ≤ 100 no seed is skipped (verified),
+    so the maps — and therefore the sf10 dataset — are byte-identical
+    to the original generator's; past ~150 maps the naive stream's
+    worst pair crosses the honesty bound (measured: 5 shared at
+    K=300) and the skip kicks in."""
+    maps = [ALPHABET]
+    seed = 1
+    while len(maps) < k:
+        cand = target_alphabet(seed)
+        seed += 1
+        if all(sum(a == b for a, b in zip(cand, m)) <= max_shared
+               for m in maps):
+            maps.append(cand)
+    return maps
 
 
 def main() -> None:
@@ -75,12 +95,17 @@ def main() -> None:
     os.makedirs(out_dir, exist_ok=True)
     # honesty guard: the worst pair of replica maps must share few
     # letters, or cross-replica prefixes creep under the fuzzy
-    # threshold (see module doc for the three failed designs)
-    maps = [target_alphabet(r) if r else ALPHABET for r in range(k)]
+    # threshold (see module doc for the three failed designs).
+    # select_maps enforces the bound by construction; the assert
+    # re-checks it (and pins the K<=100 byte-compatibility: the greedy
+    # walk skips nothing there, so sf10 regenerates identically)
+    maps = select_maps(k)
     worst = max(sum(a == b for a, b in zip(m1, m2))
                 for x, m1 in enumerate(maps)
                 for m2 in maps[x + 1:])
     assert worst <= 4, f"replica maps too close: share {worst} letters"
+    if k <= 100:
+        assert maps[1:] == [target_alphabet(r) for r in range(1, k)]
     base = spark.read.parquet(f"{src}/documents.parquet")
     parts = []
     for r in range(k):
@@ -88,8 +113,7 @@ def main() -> None:
                              F.col("doc_id") + F.lit(r * OFFSET))
         if r > 0:
             df = df.withColumn(
-                "text", F.translate("text", ALPHABET,
-                                    target_alphabet(r)))
+                "text", F.translate("text", ALPHABET, maps[r]))
         parts.append(df)
     out = parts[0]
     for p in parts[1:]:

@@ -14,16 +14,14 @@ from greenplum_dwh_spark.plans import checks
 
 
 def test_decontaminate_excludes_eval_docs_and_bounds(spark, sf_dir):
-    out = curation.decontaminate_ngrams(spark, sf_dir).collect()
+    df = curation.decontaminate_ngrams(spark, sf_dir)
+    out = df.collect()
     assert len(out) > 0  # the calibrated n actually fires on this corpus
     for r in out:
         assert r.doc_id % 97 != 0  # eval slice never flags itself
         assert 1 <= r.n_hit_grams <= r.n_hits
-
-
-def test_decontaminate_eval_side_is_broadcast(spark, sf_dir):
-    plan = checks.physical_plan(
-        curation.decontaminate_ngrams(spark, sf_dir))
+    # plan shape: the eval side joins as a broadcast, never a cartesian
+    plan = checks.physical_plan(df)
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -60,25 +58,19 @@ def test_chunks_cover_every_token_with_overlap(spark, sf_dir):
             assert b.tok_start <= a.tok_end + 1  # no token gap
         for c in chunks:
             assert c.tok_end - c.tok_start + 1 <= w
-
-
-def test_chunking_is_map_only(spark, sf_dir):
-    df = curation.chunk_documents(spark, sf_dir)
-    assert checks.exchange_count(df) == 0
+    # map-only: no shuffle at any corpus size
+    assert checks.exchange_count(
+        curation.chunk_documents(spark, sf_dir)) == 0
 
 
 def test_boilerplate_lines_removed_unique_lines_kept(spark, sf_dir):
-    out = curation.remove_boilerplate_lines(spark, sf_dir).collect()
-    for r in out:
+    df = curation.remove_boilerplate_lines(spark, sf_dir)
+    for r in df.collect():
         assert "subscribe to our newsletter today" not in r.clean_text
         assert "all rights reserved worldwide" not in r.clean_text
         assert f"ref code {r.doc_id}" in r.clean_text  # unique line kept
         assert r.n_lines_kept == len(r.clean_text.split("\n"))
-
-
-def test_boilerplate_removal_joins_are_not_cartesian(spark, sf_dir):
-    plan = checks.physical_plan(
-        curation.remove_boilerplate_lines(spark, sf_dir))
+    plan = checks.physical_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
 
@@ -128,6 +120,9 @@ def test_ohlc_bar_invariants(spark, sf_dir):
     total = out.agg(F.sum("n_events")).collect()[0][0]
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert total == n_events
+    # two windows + the groupBy all share one (user_id, hour) hash
+    # partitioning: exactly one shuffle exchange in the whole plan
+    assert checks.exchange_count(out) == 1
 
 
 def test_keep_best_keeper_dominates_cluster(spark, sf_dir):
@@ -159,13 +154,6 @@ def test_quantize_bounds_and_scale(spark, sf_dir):
     assert checks.exchange_count(out) == 0
 
 
-def test_ohlc_single_exchange(spark, sf_dir):
-    # two windows + the groupBy all share one (user_id, hour) hash
-    # partitioning: exactly one shuffle exchange in the whole plan
-    df = timeseries.resample_ohlc(spark, sf_dir)
-    assert checks.exchange_count(df) == 1
-
-
 def test_table_diff_classifies_exactly_the_planted_changes(spark, sf_dir):
     from greenplum_dwh_spark.operators.reconcile import (plant_key,
                                                          table_diff_orders)
@@ -181,10 +169,7 @@ def test_table_diff_classifies_exactly_the_planted_changes(spark, sf_dir):
     # repriced rows that were NOT simultaneously removed
     assert by.get("changed", set()) == {k for k in keys
                                         if k % 13 == 0 and k % 101 != 0}
-
-
-def test_table_diff_join_is_narrow_equi(spark, sf_dir):
-    from greenplum_dwh_spark.operators.reconcile import table_diff_orders
+    # plan shape: narrow full-outer equi-join on (key, digest)
     plan = checks.physical_plan(table_diff_orders(spark, sf_dir))
     assert "FullOuter" in plan
     assert "CartesianProduct" not in plan
@@ -267,19 +252,14 @@ def test_lm_doc_scores_invariants(spark, sf_dir):
     stats = out.agg(F.min("lm_score_avg").alias("lo"),
                     F.max("lm_score_avg").alias("hi")).first()
     assert stats["lo"] < stats["hi"]
-
-
-def test_lm_doc_scores_plan_broadcast_lm_one_corpus_shuffle(spark, sf_dir):
-    """The LM table joins as a broadcast (the only join preserving the
-    doc_id partitioning), so the corpus-sized side moves through
-    exactly ONE exchange — the explicit doc_id repartition; every
-    other exchange carries the aggregated vocab-sized LM table."""
-    from greenplum_dwh_spark.operators.curation import lm_doc_scores
-    df = lm_doc_scores(spark, sf_dir)
-    plan = checks.physical_plan(df)
+    # plan shape: the LM table joins as a broadcast (the only join
+    # preserving the doc_id partitioning), so the corpus-sized side
+    # moves through exactly ONE exchange — the explicit doc_id
+    # repartition; every other exchange carries the vocab-sized LM
+    plan = checks.physical_plan(out)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    assert not checks.has_python_udf(df)
+    assert not checks.has_python_udf(out)
 
 
 def test_bpe_pair_counts_totals(spark, sf_dir):
@@ -297,18 +277,14 @@ def test_bpe_pair_counts_totals(spark, sf_dir):
     assert got == want
     assert out.filter(F.col("n_words") > F.col("n_occ")).count() == 0
     assert out.filter(F.length("pair") != 2).count() == 0
-
-
-def test_bpe_pair_counts_shuffles_vocab_not_corpus(spark, sf_dir):
-    """The corpus reduces map-side to the word-count table (partial
-    aggregation before the first exchange); the pair explode runs
-    over the aggregated vocab only — two exchanges total, no joins."""
-    from greenplum_dwh_spark.operators.curation import bpe_pair_counts
-    df = bpe_pair_counts(spark, sf_dir)
-    assert checks.exchange_count(df) == 2
-    plan = checks.physical_plan(df)
+    # plan shape: the corpus reduces map-side to the word-count table
+    # (partial aggregation before the first exchange); the pair
+    # explode runs over the aggregated vocab only — two exchanges
+    # total, no joins
+    assert checks.exchange_count(out) == 2
+    plan = checks.physical_plan(out)
     assert "Join" not in plan
-    assert not checks.has_python_udf(df)
+    assert not checks.has_python_udf(out)
 
 
 def test_bpe_encode_learns_and_applies_merges(spark, tmp_path):

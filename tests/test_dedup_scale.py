@@ -476,6 +476,51 @@ def test_simhash_guard_probe_on_planted_hot_buckets(spark):
     assert probe["est_recall_lb"] == 0.0
 
 
+def test_simhash_hot_band_split_rescues_heterogeneous_buckets(spark):
+    """Round-6 verdict item 5: over-cap band buckets are SPLIT by
+    composite (hot band, other band) keys instead of dropped.  A
+    qualifying pair whose every shared band is hot — the saturation
+    failure mode of the 6-bit alphabet — must still be emitted when
+    its composite bucket is small, while the old drop plan misses it.
+    Synthetic fingerprints control band occupancy exactly."""
+    def fp(bands6):
+        assert len(bands6) == 10
+        return sum(v << (6 * j) for j, v in enumerate(bands6))
+
+    v0, v5 = 0b101010, 0b110011
+    d1 = [v0, 1, 2, 3, 4, v5, 10, 11, 12, 13]
+    # flip one bit in each of bands 1-4 and 6-9: hamming(d1, d2) = 8
+    d2 = [v0, 1 ^ 1, 2 ^ 2, 3 ^ 1, 4 ^ 4, v5,
+          10 ^ 2, 11 ^ 1, 12 ^ 4, 13 ^ 2]
+    rows = [(1, fp(d1)), (2, fp(d2))]
+    # docs 3-6 share ONLY band 0's value (making its bucket hot);
+    # docs 7-10 share ONLY band 5's value; everything else differs in
+    # every band, so no other pair is within hamming 8
+    for i, base in enumerate((17, 23, 29, 35)):
+        rows.append((3 + i, fp([v0] + [(base + 7 * k) % 64
+                                       for k in range(9)])))
+    for i, base in enumerate((41, 47, 53, 59)):
+        b = [(base + 11 * k) % 64 for k in range(9)]
+        rows.append((7 + i, fp(b[:5] + [v5] + b[5:])))
+    fps = spark.createDataFrame(rows, "doc_id long, fp long")
+
+    def pairs(hot_split):
+        return {(r["doc_a"], r["doc_b"])
+                for r in dedup.simhash_pairs(
+                    None, band_cap=3, fps=fps,
+                    hot_split=hot_split).collect()}
+
+    # ground truth by brute force
+    brute = {(a, b) for ai, (a, x) in enumerate(rows)
+             for b, y in rows[ai + 1:]
+             if bin(x ^ y).count("1") <= dedup.SIMHASH_MAX_DIST}
+    assert brute == {(1, 2)}                  # fixture is as designed
+    assert pairs(hot_split=False) == set()    # the old plan drops it
+    assert pairs(hot_split=True) == brute     # the split rescues it
+    g = dedup.last_band_guard_metrics()       # stage-2 residual guard
+    assert g is not None and g["dropped_rows"] == 0
+
+
 def test_binom_count_ub_exact_and_rule_of_three():
     """_binom_count_ub pinned against a brute-force exact binomial
     CDF (small cases) and the rule-of-three closed form at x=0."""

@@ -28,17 +28,15 @@ def test_gapfill_detects_and_fills_gaps(spark, sf_dir):
         assert (df.filter("NOT is_gap")
                 .filter(F.col("filled_cents") != F.col("observed_cents"))
                 .count()) == 0
+        # the spine is dense per user: one row per hour of the span
+        per_user = df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            ((F.unix_timestamp(F.max("hour"))
+              - F.unix_timestamp(F.min("hour")))
+             / 3600 + 1).cast("long").alias("expect"))
+        assert per_user.filter(F.col("n") != F.col("expect")).count() == 0
     finally:
         df.unpersist()
-
-
-def test_gapfill_spine_is_dense_per_user(spark, sf_dir):
-    df = gapfill_forward_fill(spark, sf_dir)
-    per_user = df.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        ((F.unix_timestamp(F.max("hour")) - F.unix_timestamp(F.min("hour")))
-         / 3600 + 1).cast("long").alias("expect"))
-    assert per_user.filter(F.col("n") != F.col("expect")).count() == 0
 
 
 def test_stats_moments_variance_nonnegative(spark, sf_dir):
@@ -421,6 +419,27 @@ def test_nearest_join_direction_and_ties(spark):
     assert out[4]["vid"] is None and out[4]["direction"] is None \
         and out[4]["delta_us"] is None
     assert out[5]["vid"] == 51 and out[5]["direction"] == "backward"
+    # NULL-time semantics (code-review regressions): a fact with NULL
+    # fact_time matches NOTHING, a NULL-time version never
+    # participates, and reserved internal column names are rejected
+    import pytest
+    nfacts = spark.createDataFrame(
+        [(1, 1, None), (2, 2, T(10))],
+        "k int, fid int, ft timestamp")
+    nversions = spark.createDataFrame(
+        [(1, T(8), 10), (1, T(12), 11),
+         (2, None, 20), (2, T(40), 21)],   # NULL-time version ignored
+        "k int, vt timestamp, vid int")
+    out = {r["k"]: r for r in nearest_join(
+        nfacts, nversions, key="k", fact_time="ft",
+        version_time="vt", version_tiebreak="vid").collect()}
+    assert out[1]["vid"] is None and out[1]["direction"] is None \
+        and out[1]["delta_us"] is None
+    assert out[2]["vid"] == 21 and out[2]["direction"] == "forward"
+    with pytest.raises(ValueError, match="internals"):
+        nearest_join(nfacts.withColumnRenamed("fid", "_tb"), nversions,
+                     key="k", fact_time="ft", version_time="vt",
+                     version_tiebreak="vid")
 
 
 def test_nearest_click_single_shuffle(spark, sf_dir):
@@ -437,36 +456,6 @@ def test_nearest_click_single_shuffle(spark, sf_dir):
     plan = checks.physical_plan(df)
     assert plan.count("Sort ") == 1 and plan.count("Window ") == 1
     assert not checks.has_python_udf(df)
-
-
-def test_nearest_join_null_times_never_match(spark):
-    """Code-review regressions: a fact with NULL fact_time matches
-    NOTHING (not the key's earliest version), a version with NULL
-    version_time never participates, and reserved internal column
-    names are rejected up front instead of silently overwritten."""
-    import datetime as dt
-
-    import pytest
-
-    from greenplum_dwh_spark.operators.timeseries import nearest_join
-    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)  # noqa: E731
-    facts = spark.createDataFrame(
-        [(1, 1, None), (2, 2, T(10))],
-        "k int, fid int, ft timestamp")
-    versions = spark.createDataFrame(
-        [(1, T(8), 10), (1, T(12), 11),
-         (2, None, 20), (2, T(40), 21)],   # NULL-time version ignored
-        "k int, vt timestamp, vid int")
-    out = {r["k"]: r for r in nearest_join(
-        facts, versions, key="k", fact_time="ft",
-        version_time="vt", version_tiebreak="vid").collect()}
-    assert out[1]["vid"] is None and out[1]["direction"] is None \
-        and out[1]["delta_us"] is None
-    assert out[2]["vid"] == 21 and out[2]["direction"] == "forward"
-    with pytest.raises(ValueError, match="internals"):
-        nearest_join(facts.withColumnRenamed("fid", "_tb"), versions,
-                     key="k", fact_time="ft", version_time="vt",
-                     version_tiebreak="vid")
 
 
 def test_nearest_join_equals_bruteforce_on_seeded_data(spark):

@@ -82,10 +82,13 @@ FAMILIES = {
                       "BroadcastHashJoin (preserving the doc_id "
                       "partitioning through the bigram Generate); "
                       "the corpus side crosses ONE Exchange"),
-    "bpe_pair_counts": ("corpus reduces map-side to the word-count "
-                        "table (partial_count before the first "
-                        "Exchange); pair Generate runs over the "
-                        "aggregated vocab; no joins"),
+    "dedup_simhash": ("hot-band split (round 7): the per-band size "
+                      "table is alphabet-bounded and joins back as a "
+                      "BROADCAST (no corpus window for the routing); "
+                      "cool buckets self-join; hot memberships re-key "
+                      "by composite (band, other band) through the "
+                      "same windowed guard — saturation re-routes "
+                      "instead of dropping"),
     "nearest_click_event": ("bidirectional as-of from ONE Exchange + "
                             "ONE Sort on user_id: last() over the "
                             "preceding frame and first() over the "

@@ -135,6 +135,9 @@ def last_band_guard_metrics() -> dict | None:
     # each row of a dropped bucket contributes 1/_bn → buckets count
     m["dropped_buckets"] = int(round(m.pop("dropped_buckets_frac") or 0.0))
     m["dropped_rows"] = int(m["dropped_rows"] or 0)
+    # an EMPTY guarded leg (e.g. simhash's hot-split stage 2 when no
+    # band is hot) observes max = NULL — report 0, not None
+    m["max_band_size"] = int(m["max_band_size"] or 0)
     return m
 
 

@@ -64,8 +64,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #: no-oracle-by-design queries sit in _RUN_LAST so they never burn a
 #: budget slot on a rows-only check while oracle debt exists.
 _RUN_FIRST = [
-    # (0) new in round 7, never driver-checked — protocol rule (a)
-    "multimodal_av",
+    # (0) new in round 7, never driver-checked — protocol rule (a);
+    # 3 new queries, at the round budget
+    "multimodal_av", "quality_percentile_filter", "gram_novelty_scores",
     # (a) latest green row is r04 — two rounds stale, clear it all
     # (multimodal_features/decode also carry their round-7 merged
     # schemas, so this re-green checks the consolidation too)
@@ -88,8 +89,10 @@ _RUN_FIRST = [
     "dq_constraint_violations", "dup_ngram_fraction",
     "gapfill_forward_fill", "mixture_sampling_rates",
     "pit_lookup_orders", "q5_nation_revenue", "range_frame_hour_sum",
-    "range_join_hour_buckets", "range_join_tumbling_rewrite",
-    "remove_boilerplate_lines",
+    "range_join_hour_buckets",
+    # (range_join_tumbling_rewrite and remove_boilerplate_lines — the
+    # two oldest-r05 rows displaced by the 2 extra new queries — lead
+    # round 8's stale list instead)
 ]
 _RUN_LAST = [
     # no-oracle-by-design (rows-only checks; each pinned by tests —

@@ -123,6 +123,9 @@ def bench_queries() -> dict:
         "sample_hash_stratified": training_data.sample_hash_stratified,
         "fuzzy_doc_pairs": training_data.fuzzy_doc_pairs,
         "text_repetition": text_analysis.text_repetition,
+        # round-7 additions: novelty scoring + per-group percentile cut
+        "gram_novelty_scores": text_analysis.gram_novelty_scores,
+        "quality_percentile_filter": curation.quality_percentile_filter,
         # round-3 curation family additions
         "chunk_documents": curation.chunk_documents,
         "resample_ohlc": timeseries.resample_ohlc,

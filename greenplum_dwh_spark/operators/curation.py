@@ -494,6 +494,52 @@ def lang_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quota_sample(Tables(spark, sf_dir).documents)
 
 
+#: keep docs with per-group percent_rank >= PCT_NUM/PCT_DEN (ascending
+#: score order — the "drop the worst 70% per language" CCNet-style cut)
+QUALITY_PCT_NUM = 7
+QUALITY_PCT_DEN = 10
+
+
+def quality_percentile_filter(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """Per-group percentile quality cut (round 7): keep the documents
+    whose rank in (score, doc_id) order within their language clears
+    the percentile bound — percent_rank ≥ 0.7 expressed as the exact
+    integer predicate ``DEN·(rank−1) ≥ NUM·(n−1)`` (the float-bound
+    trap class: a double percent_rank compared against 0.7 can round
+    across the boundary; integers cannot).  Score here is the token
+    count; any integer score column (e.g. ``lm_score_sum``) slots in.
+
+    Plan (the 100 TB story): the naive form is one window per
+    language — which serializes EVERY group through a single task, the
+    same funnel quota_sample's prefix sum designs out.  Same cure:
+    rank(doc) decomposes into the cumulative count of docs with a
+    strictly smaller score (a window over the tiny aggregated
+    (lang, score) table, broadcast back) plus the doc's row_number
+    within its (lang, score) cell — windows parallelize across score
+    values, and no corpus-sized per-language partition exists
+    anywhere.  Provably identical to the serial single-window rank,
+    which is exactly what the DuckDB oracle runs."""
+    toks = F.size(_tok()).cast("long")
+    d = (Tables(spark, sf_dir).documents
+         .select("lang", "doc_id", toks.alias("toks")))
+    sub = d.groupBy("lang", "toks").agg(F.count(F.lit(1)).alias("c"))
+    w_off = (Window.partitionBy("lang").orderBy("toks")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offs = sub.select(
+        "lang", "toks",
+        F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off"))
+    n_l = sub.groupBy("lang").agg(F.sum("c").alias("n_lang"))
+    w_loc = Window.partitionBy("lang", "toks").orderBy("doc_id")
+    num, den = QUALITY_PCT_NUM, QUALITY_PCT_DEN
+    return (d.join(F.broadcast(offs), ["lang", "toks"])
+            .join(F.broadcast(n_l), "lang")
+            .withColumn("rk", (F.col("off")
+                               + F.row_number().over(w_loc)).cast("long"))
+            .filter(den * (F.col("rk") - 1) >= num * (F.col("n_lang") - 1))
+            .select("lang", "doc_id", "toks", "rk", "n_lang"))
+
+
 QUERIES = {
     "decontaminate_ngrams": decontaminate_ngrams,
     "decontaminate_ngrams8_planted": decontaminate_ngrams8_planted,
@@ -510,6 +556,7 @@ QUERIES = {
     "bpe_encode_top_words": bpe_encode_top_words,
     "shard_and_order": shard_and_order,
     "lang_quota_sample": lang_quota_sample,
+    "quality_percentile_filter": quality_percentile_filter,
 }
 
 def _bpe_encode_oracle() -> str:
@@ -716,4 +763,21 @@ ORACLES = {
               FROM d)
         SELECT lang, doc_id, toks, cum_toks
         FROM c WHERE cum_toks <= {QUOTA_TOKENS}""",
+    # the serial single-window rank — the Spark side runs the
+    # decomposed (offset + per-cell row_number) form, so this parity
+    # check proves the decomposition identity; the keep predicate is
+    # the same exact-integer inequality on both engines
+    "quality_percentile_filter": f"""
+        WITH d AS (SELECT lang, doc_id,
+                          len(string_split(text, ' '))::BIGINT AS toks
+                   FROM documents),
+        r AS (SELECT lang, doc_id, toks,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY toks, doc_id) AS rk,
+                     count(*) OVER (PARTITION BY lang) AS n_lang
+              FROM d)
+        SELECT lang, doc_id, toks, rk, n_lang
+        FROM r
+        WHERE {QUALITY_PCT_DEN} * (rk - 1)
+              >= {QUALITY_PCT_NUM} * (n_lang - 1)""",
 }

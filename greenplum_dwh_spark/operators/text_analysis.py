@@ -350,6 +350,46 @@ def dup_ngram_mass(docs: DataFrame,
                 "CAST(dup_grams * 10000 DIV n_grams AS BIGINT)")))
 
 
+# Per-document n-gram NOVELTY (round 7; the data-value/contribution
+# signal behind "does this doc add anything the corpus hasn't seen"
+# pruning — the cross-document complement of dup_ngram_fraction's
+# mass view): for each doc, the fraction of its DISTINCT word-3-grams
+# whose FIRST corpus occurrence (min doc_id — arrival order) is this
+# doc.  A verbatim re-crawl scores 0.0; genuinely fresh text scores
+# near 1.0; template-heavy docs land in between, graded by how much
+# they add rather than whether they match.
+#
+# Scale shape: same skeleton as dup_ngram_mass — map-only gram
+# explode, per-(doc, gram) distinct, then a gram-keyed MIN aggregate
+# (map-side combinable, unlike a window over gram which would funnel
+# every doc sharing a stop-gram through one task) joined back to the
+# distinct gram table, and a final per-doc rollup.  The (doc, gram)
+# table is cached across its two references (the dup_ngram_mass
+# lesson: AQE stage reuse does not fire across the agg/probe
+# asymmetry).  Exact integer counts + one exact-int double division
+# keep the DuckDB oracle bit-identical.
+def gram_novelty_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = DUP_NGRAM_N
+    grams = (f"transform(sequence(1, size(toks) - {n - 1}), "
+             f"i -> array_join(slice(toks, i, {n}), ' '))")
+    per = (Tables(spark, sf_dir).documents
+           .select("doc_id", F.split("text", " ").alias("toks"))
+           .filter(F.size("toks") >= n)
+           .select("doc_id", F.explode(F.expr(grams)).alias("gram"))
+           .distinct()
+           .cache())
+    first = per.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    return (per.join(first, "gram")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+                 F.sum(F.when(F.col("first_doc") == F.col("doc_id"),
+                              F.lit(1)).otherwise(F.lit(0)))
+                 .cast("long").alias("n_novel"))
+            .withColumn("novel_frac",
+                        F.col("n_novel").cast("double")
+                        / F.col("n_grams")))
+
+
 # Heavy-hitter tokens via the parallel Space-Saving sketch
 # (functions/sketch.py): bounded memory per partition no matter the
 # vocabulary size — the scale alternative to an exact full-vocabulary
@@ -376,6 +416,7 @@ QUERIES = {
     "text_bm25_topk": text_bm25_topk,   # rows-only (float logs)
     "text_repetition": text_repetition,
     "dup_ngram_fraction": dup_ngram_fraction,
+    "gram_novelty_scores": gram_novelty_scores,
     "text_heavy_hitters": text_heavy_hitters,  # rows-only (sketch)
 }
 
@@ -543,4 +584,24 @@ ORACLES = {
                ((coalesce(sum(m) FILTER (nd > 1), 0) * 10000)
                    // sum(m))::BIGINT AS dup_bps
         FROM nd GROUP BY doc_id""",
+    "gram_novelty_scores": f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        g0 AS (
+          SELECT doc_id,
+                 unnest([array_to_string(w[i:i + {DUP_NGRAM_N - 1}],
+                                         ' ')
+                         for i in range(1, len(w)
+                                        - {DUP_NGRAM_N - 2})])
+                     AS gram
+          FROM toks WHERE len(w) >= {DUP_NGRAM_N}),
+        g AS (SELECT DISTINCT doc_id, gram FROM g0),
+        f AS (SELECT gram, min(doc_id) AS first_doc FROM g
+              GROUP BY gram)
+        SELECT doc_id,
+               count(*)::BIGINT AS n_grams,
+               sum((first_doc = doc_id)::INT)::BIGINT AS n_novel,
+               (sum((first_doc = doc_id)::INT)::DOUBLE / count(*))
+                   AS novel_frac
+        FROM g JOIN f USING (gram) GROUP BY doc_id""",
 }

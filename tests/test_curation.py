@@ -362,6 +362,87 @@ def test_quota_sample_prefix_sum_equals_serial_window(spark):
     assert all(r[3] <= 300 for r in got)
 
 
+def test_quality_percentile_decomposed_rank_equals_serial_window(spark,
+                                                                 tmp_path):
+    """The decomposed rank (per-(lang, score) offsets + cell-local
+    row_number — no per-language corpus window anywhere) must equal
+    the serial single-window percent_rank form on a skewed fixture,
+    and the exact-integer keep predicate must match the rational
+    percentile bound at the tie-heavy boundary."""
+    import random
+
+    from pyspark.sql import Window
+    from greenplum_dwh_spark.operators.curation import (
+        QUALITY_PCT_DEN, QUALITY_PCT_NUM, quality_percentile_filter)
+
+    rng = random.Random(9)
+    rows = []
+    did = 0
+    for lang, n in (("en", 120), ("de", 7), ("xx", 1)):
+        for _ in range(n):
+            # few distinct token counts → heavy rank ties at the cut
+            rows.append((did, " ".join("w" for _ in
+                                       range(rng.choice((5, 5, 8, 13)))),
+                         lang, "s", 1))
+            did += 1
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long") \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+
+    got = {tuple(r) for r in
+           quality_percentile_filter(spark, str(tmp_path)).collect()}
+
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    w = Window.partitionBy("lang").orderBy("toks", "doc_id")
+    want = {tuple(r) for r in
+            docs.select("lang", "doc_id",
+                        F.size(F.split("text", " ")).cast("long")
+                        .alias("toks"))
+            .withColumn("rk", F.row_number().over(w).cast("long"))
+            .withColumn("n_lang", F.count(F.lit(1)).over(
+                Window.partitionBy("lang")).cast("long"))
+            .filter(QUALITY_PCT_DEN * (F.col("rk") - 1)
+                    >= QUALITY_PCT_NUM * (F.col("n_lang") - 1))
+            .select("lang", "doc_id", "toks", "rk", "n_lang").collect()}
+    assert got == want
+    # singleton group: (n−1)=0 keeps its only doc
+    assert sum(1 for r in got if r[0] == "xx") == 1
+    # the cut actually bites on the heavy group (~30% kept)
+    n_en = sum(1 for r in got if r[0] == "en")
+    assert 0 < n_en < 120 and abs(n_en - 36) <= 2
+
+
+def test_gram_novelty_scores_semantics(spark, tmp_path):
+    """First doc of a template scores 1.0, a verbatim later copy 0.0,
+    and a half-borrowed doc lands exactly at its distinct-gram share;
+    the plan derives first-occurrence via a gram AGGREGATE (no window
+    over gram: a stop-gram would funnel its docs through one task)."""
+    from greenplum_dwh_spark.operators.text_analysis import (
+        gram_novelty_scores)
+    a = "the quick brown fox jumps over the lazy dog"
+    b = a                                    # verbatim re-crawl
+    c = "the quick brown fox says something entirely new today"
+    rows = [(0, a, "en", "s", len(a)), (1, b, "en", "s", len(b)),
+            (2, c, "en", "s", len(c))]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long") \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r["doc_id"]: r for r in
+           gram_novelty_scores(spark, str(tmp_path)).collect()}
+    assert out[0]["novel_frac"] == 1.0
+    assert out[1]["novel_frac"] == 0.0
+    # doc 2 shares exactly its first two 3-grams with doc 0
+    assert out[2]["n_novel"] == out[2]["n_grams"] - 2
+    assert out[2]["novel_frac"] == (out[2]["n_novel"]
+                                    / out[2]["n_grams"])
+    plan = checks.physical_plan(gram_novelty_scores(spark, str(tmp_path)))
+    assert "CartesianProduct" not in plan
+    # first_doc comes from partial_min aggregation, not a gram window
+    assert "partial_min" in plan.lower() or "min(doc_id" in plan
+
+
 def test_quota_sample_rejects_non_power_of_two_buckets(spark):
     import pytest
 

@@ -232,7 +232,7 @@ def main() -> None:
         # (e.g. the word-2-gram table shared by the jaccard and
         # containment variants) legitimately reuses the earlier
         # block — the blocks are not dead weight.  Clearing them was
-        # measured at +2.5 s on the 55-query run and would break
+        # measured at +2.5 s on the 55-query round-7 run and would break
         # round-over-round comparability with r01–r04, which ran
         # without it.  Storage pressure is bounded by the LRU
         # evictor; an evicted block just recomputes.
@@ -244,7 +244,7 @@ def main() -> None:
     # the last ~2 KB of output, and the old single line — queries +
     # band_guard + ppjoin + host — outgrew that window, head-truncating
     # BENCH_r06.json into an unparseable tail.  Compact separators +
-    # ms-rounded timings keep this line ~1.7 KB for the 55-query
+    # ms-rounded timings keep this line ~1.7 KB for the 57-query
     # headline, inside the window with margin.
     print(json.dumps({
         "metric": "headline_queries_total_wall",

@@ -513,26 +513,36 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str
     Plan (the 100 TB story): the naive form is one window per
     language — which serializes EVERY group through a single task, the
     same funnel quota_sample's prefix sum designs out.  Same cure:
-    rank(doc) decomposes into the cumulative count of docs with a
-    strictly smaller score (a window over the tiny aggregated
-    (lang, score) table, broadcast back) plus the doc's row_number
-    within its (lang, score) cell — windows parallelize across score
-    values, and no corpus-sized per-language partition exists
-    anywhere.  Provably identical to the serial single-window rank,
-    which is exactly what the DuckDB oracle runs."""
+    rank(doc) decomposes into the cumulative count of docs in strictly
+    smaller cells (a window over the tiny aggregated cell table,
+    broadcast back) plus the doc's row_number within its cell.  The
+    cell key is (score, hash-prefix bucket of the doc-id hash) — NOT
+    score alone: an integer score is low-cardinality by nature
+    (token counts cluster; degenerate case a constant), so a
+    (lang, score) cell can hold most of a language's corpus and would
+    re-create the single-task funnel inside the tie.  Sub-bucketing
+    ties by the hash prefix keeps every cell ~corpus/(scores×buckets)
+    and makes tie order (hash, doc_id) — deterministic, partitioning-
+    independent, and replayed verbatim by the serial single-window
+    oracle (ORDER BY toks, h, doc_id), so parity proves the
+    decomposition."""
     toks = F.size(_tok()).cast("long")
+    h = H.hash60(F.col("doc_id").cast("string"))
+    shift = 60 - QUOTA_BUCKETS.bit_length() + 1
     d = (Tables(spark, sf_dir).documents
-         .select("lang", "doc_id", toks.alias("toks")))
-    sub = d.groupBy("lang", "toks").agg(F.count(F.lit(1)).alias("c"))
-    w_off = (Window.partitionBy("lang").orderBy("toks")
+         .select("lang", "doc_id", toks.alias("toks"), h.alias("h"),
+                 F.shiftright(h, shift).cast("int").alias("bkt")))
+    sub = (d.groupBy("lang", "toks", "bkt")
+           .agg(F.count(F.lit(1)).alias("c")))
+    w_off = (Window.partitionBy("lang").orderBy("toks", "bkt")
              .rowsBetween(Window.unboundedPreceding, -1))
     offs = sub.select(
-        "lang", "toks",
+        "lang", "toks", "bkt",
         F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off"))
     n_l = sub.groupBy("lang").agg(F.sum("c").alias("n_lang"))
-    w_loc = Window.partitionBy("lang", "toks").orderBy("doc_id")
+    w_loc = Window.partitionBy("lang", "toks", "bkt").orderBy("h", "doc_id")
     num, den = QUALITY_PCT_NUM, QUALITY_PCT_DEN
-    return (d.join(F.broadcast(offs), ["lang", "toks"])
+    return (d.join(F.broadcast(offs), ["lang", "toks", "bkt"])
             .join(F.broadcast(n_l), "lang")
             .withColumn("rk", (F.col("off")
                                + F.row_number().over(w_loc)).cast("long"))
@@ -764,16 +774,20 @@ ORACLES = {
         SELECT lang, doc_id, toks, cum_toks
         FROM c WHERE cum_toks <= {QUOTA_TOKENS}""",
     # the serial single-window rank — the Spark side runs the
-    # decomposed (offset + per-cell row_number) form, so this parity
-    # check proves the decomposition identity; the keep predicate is
-    # the same exact-integer inequality on both engines
+    # decomposed (cell offsets + per-cell row_number) form, so this
+    # parity check proves the decomposition identity; tie order within
+    # a score is (hash, doc_id) — the bucket key is a hash PREFIX, so
+    # ordering by (toks, h, doc_id) here equals the Spark side's
+    # (toks, bkt, h, doc_id); the keep predicate is the same
+    # exact-integer inequality on both engines
     "quality_percentile_filter": f"""
         WITH d AS (SELECT lang, doc_id,
-                          len(string_split(text, ' '))::BIGINT AS toks
+                          len(string_split(text, ' '))::BIGINT AS toks,
+                          {H.HASH60_SQL.format('doc_id::VARCHAR')} AS h
                    FROM documents),
         r AS (SELECT lang, doc_id, toks,
                      row_number() OVER (PARTITION BY lang
-                                        ORDER BY toks, doc_id) AS rk,
+                                        ORDER BY toks, h, doc_id) AS rk,
                      count(*) OVER (PARTITION BY lang) AS n_lang
               FROM d)
         SELECT lang, doc_id, toks, rk, n_lang

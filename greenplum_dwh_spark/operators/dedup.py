@@ -138,6 +138,19 @@ def last_band_guard_metrics() -> dict | None:
     # an EMPTY guarded leg (e.g. simhash's hot-split stage 2 when no
     # band is hot) observes max = NULL — report 0, not None
     m["max_band_size"] = int(m["max_band_size"] or 0)
+    # if the latest guard entry was registered by the hot-band SPLIT,
+    # fold in its stage-1 saturation face: dropped_* above are then
+    # the COMPOSITE residual, and rerouted_rows/max_raw_band_size
+    # carry the raw single-band saturation the split absorbed (so a
+    # round-over-round artifact diff sees the alphabet saturating,
+    # not a guard that mysteriously stopped firing)
+    if _SPLIT_STAGE1 and _SPLIT_STAGE1[-1][0] == len(_GUARD_OBSERVATIONS):
+        try:
+            s = dict(_SPLIT_STAGE1[-1][1].get)
+        except Exception:
+            s = {}
+        m["rerouted_rows"] = int(s.get("rerouted_rows") or 0)
+        m["max_raw_band_size"] = int(s.get("max_raw_band_size") or 0)
     return m
 
 
@@ -358,6 +371,51 @@ def _simhash_bands(fps: DataFrame) -> DataFrame:
             for b in range(n_bands)])).alias("band"))
 
 
+#: (index-into-_GUARD_OBSERVATIONS, Observation) pairs for the
+#: hot-band split's STAGE-1 saturation metrics — paired with the
+#: stage-2 residual guard entry registered by the same split run, so
+#: last_band_guard_metrics can report both faces
+_SPLIT_STAGE1: list = []
+
+
+def _split_routing(bands: DataFrame, band_cap: int,
+                   observe_hot: bool = False):
+    """The ONE definition of the hot-band split's routing — shared by
+    the operator (:func:`_split_banded_candidates`) and the recall
+    probe's rescued-pair leg, so the probe can never drift into
+    grading a join the operator no longer runs.
+
+    Returns ``(cool, comp)``: under-cap (doc_id, band) memberships,
+    and over-cap memberships re-keyed by the composite (hot band
+    value, each of the doc's other band values) under the SAME
+    ``band`` column name.  The per-band size table is
+    alphabet-bounded (≤ n_bands · 2^bits rows), so it broadcasts —
+    the routing costs no corpus shuffle on top of the join's own.
+    ``observe_hot`` attaches the stage-1 saturation Observation
+    (rerouted_rows / max_raw_band_size) to the hot leg."""
+    from pyspark.sql import Observation
+    sizes = bands.groupBy("band").agg(F.count(F.lit(1)).alias("_bn"))
+    bz = bands.join(F.broadcast(sizes), "band")
+    cool = bz.filter(F.col("_bn") <= band_cap).select("doc_id", "band")
+    hot = bz.filter(F.col("_bn") > band_cap)
+    if observe_hot:
+        obs = Observation()
+        hot = hot.observe(
+            obs,
+            F.count(F.lit(1)).alias("rerouted_rows"),
+            F.max("_bn").alias("max_raw_band_size"))
+    else:
+        obs = None
+    other = bands.select("doc_id", F.col("band").alias("band2"))
+    # band strings carry their band index ("<i>:<value>"), so
+    # band2 != band excludes exactly the same-index row of the doc
+    comp = (hot.join(other, "doc_id")
+            .filter(F.col("band2") != F.col("band"))
+            .select("doc_id",
+                    F.concat_ws("|", "band", "band2").alias("band")))
+    return cool, comp, obs
+
+
 def _split_banded_candidates(bands: DataFrame,
                              band_cap: int) -> DataFrame:
     """Hot-band AUTO-SPLIT candidate generation (round-6 verdict
@@ -369,36 +427,29 @@ def _split_banded_candidates(bands: DataFrame,
     an over-cap bucket are NOT dropped: each hot membership is
     re-keyed by the composite (hot band value, each of the doc's
     other 9 band values) and the composite buckets join under the
-    same cap.  Pigeonhole keeps this EXACT for qualifying pairs: both
-    endpoints share the hot band's value, so all ≤ max_dist differing
-    bits lie in the other ``n_bands − 1`` bands, and with
-    ``max_dist < n_bands − 1`` at least one other band agrees — the
-    pair meets on that composite key.  The composite alphabet is the
-    band alphabet SQUARED (×band-pair choice), so saturation needs
-    ~2¹² × the corpus that saturates a single band; residual drops
-    (composite bucket still over cap — e.g. thousands of IDENTICAL
-    fingerprints, the degenerate cluster the cap exists for) remain
-    observed via the stage-2 guard (:func:`last_band_guard_metrics`).
-
-    The per-band size table is alphabet-bounded (≤ n_bands · 2^bits
-    rows), so it broadcasts — the hot/cool routing costs no corpus
-    shuffle on top of the join's own."""
-    sizes = bands.groupBy("band").agg(F.count(F.lit(1)).alias("_bn"))
-    bz = bands.join(F.broadcast(sizes), "band")
-    cool = bz.filter(F.col("_bn") <= band_cap).select("doc_id", "band")
-    hot = bz.filter(F.col("_bn") > band_cap).select("doc_id", "band")
+    same cap (:func:`_split_routing`).  Pigeonhole keeps this EXACT
+    for qualifying pairs: both endpoints share the hot band's value,
+    so all ≤ max_dist differing bits lie in the other ``n_bands − 1``
+    bands, and with ``max_dist < n_bands − 1`` at least one other
+    band agrees — the pair meets on that composite key.  The
+    composite alphabet is the band alphabet SQUARED (×band-pair
+    choice), so saturation needs ~2¹² × the corpus that saturates a
+    single band; residual drops (composite bucket still over cap —
+    e.g. thousands of IDENTICAL fingerprints, the degenerate cluster
+    the cap exists for) remain observed via the stage-2 guard, and
+    the stage-1 saturation itself (rerouted memberships, max raw
+    bucket) is observed alongside it — both land in
+    :func:`last_band_guard_metrics` so artifact readers see the
+    saturation signal AND the residual exposure, not one renamed as
+    the other."""
+    cool, comp, obs = _split_routing(bands, band_cap, observe_hot=True)
     cool_cand = (cool.alias("a").join(cool.alias("b"), "band")
                  .filter(F.col("a.doc_id") < F.col("b.doc_id"))
                  .select(F.col("a.doc_id").alias("doc_a"),
                          F.col("b.doc_id").alias("doc_b")))
-    other = bands.select("doc_id", F.col("band").alias("band2"))
-    # band strings carry their band index ("<i>:<value>"), so
-    # band2 != band excludes exactly the same-index row of the doc
-    hot2 = (hot.join(other, "doc_id")
-            .filter(F.col("band2") != F.col("band"))
-            .select("doc_id",
-                    F.concat_ws("|", "band", "band2").alias("band")))
-    hot_cand = _banded_candidates(hot2, band_cap, distinct=False)
+    hot_cand = _banded_candidates(comp, band_cap, distinct=False)
+    _SPLIT_STAGE1.append((len(_GUARD_OBSERVATIONS), obs))
+    del _SPLIT_STAGE1[:-_GUARD_KEEP]
     return cool_cand.unionByName(hot_cand)
 
 
@@ -585,20 +636,15 @@ def simhash_band_guard_probe(docs: DataFrame,
                .join(cool.select(F.col("doc_id").alias("doc_b"),
                                  "band"), ["doc_b", "band"])
                .select("doc_a", "doc_b").distinct())
-    # pairs the hot-band SPLIT leg still emits (round-7: the operator
-    # re-keys over-cap memberships by composite (hot band, other band)
-    # instead of dropping them — see _split_banded_candidates): a
-    # sampled hot pair sharing an under-cap composite bucket is NOT
-    # lost.  Composite bucket sizes are computed over ALL docs — the
-    # sample only selects which pairs get verified, never how big the
-    # production plan's buckets are.
-    allb = bands.select("doc_id", F.col("band").alias("band2"))
-    comp = (counted.filter(F.col("_bn") > band_cap)
-            .select("doc_id", "band")
-            .join(allb, "doc_id")
-            .filter(F.col("band2") != F.col("band"))
-            .select("doc_id",
-                    F.concat_ws("|", "band", "band2").alias("ckey")))
+    # pairs the hot-band SPLIT leg still emits (round-7): a sampled
+    # hot pair sharing an under-cap composite bucket is NOT lost.
+    # The composite memberships come from the SAME _split_routing the
+    # operator runs — the probe cannot drift into grading a join that
+    # no longer exists.  Composite bucket sizes are computed over ALL
+    # docs — the sample only selects which pairs get verified, never
+    # how big the production plan's buckets are.
+    comp = (_split_routing(bands, band_cap)[1]
+            .withColumnRenamed("band", "ckey"))
     wc = Window.partitionBy("ckey")
     comp_cool = (comp.withColumn("_cn", F.count(F.lit(1)).over(wc))
                  .filter(F.col("_cn") <= band_cap)

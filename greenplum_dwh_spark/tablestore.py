@@ -515,11 +515,17 @@ class TableStore:
         reads 2 buckets, not the table."""
         v = self._current_version(name)
         if v < 0:
-            # initialized-but-never-committed table (e.g. a CDC stream's
-            # very first batch against a base whose v0 commit hasn't
-            # landed): return the typed 0-row anchor, matching read()'s
-            # bootstrap behavior, instead of crashing the stream
-            return self.spark.read.parquet(self._path(name, _ANCHOR))
+            # initialized-but-never-committed table (reachable when a
+            # crash lands between init_versioned's anchor write and
+            # its v0 commit): return the typed 0-row anchor so a CDC
+            # stream's first batch bootstraps instead of crashing.
+            # A table with no anchor at all was never init_versioned'd
+            # — keep the explicit ValueError (callers use it for flow
+            # control; a raw Parquet PATH_NOT_FOUND would obscure it)
+            anchor = self._path(name, _ANCHOR)
+            if os.path.isdir(anchor):
+                return self.spark.read.parquet(anchor)
+            raise ValueError(f"{name} is not a versioned table")
         manifest = self._manifest(name, v)
         want = {int(b) for b in buckets}
         paths = [self._path(name, _ANCHOR)] + [

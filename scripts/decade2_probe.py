@@ -56,7 +56,12 @@ QUERIES = ("dedup_jaccard_prefix", "fuzzy_doc_pairs",
            # core's linearity plus a WindowGroupLimit top-K; quota
            # sampling is the distributed prefix sum whose work is
            # one corpus scan + a groups×buckets window
-           "knn_doc_graph", "lang_quota_sample")
+           "knn_doc_graph", "lang_quota_sample",
+           # round 7: novelty shares dup_ngram_fraction's skeleton
+           # (gram explode → map-combinable gram aggregate → join
+           # back) so it inherits that probe's linearity expectation;
+           # measured rather than assumed
+           "gram_novelty_scores")
 SCALES = {"sf1": os.path.join(REPO, ".bigdata/sf1"),
           "sf10": os.path.join(REPO, ".bigdata/sf10")}
 
@@ -74,7 +79,9 @@ def inner(query: str, sf_dir: str) -> None:
           "dedup_simhash": dedup.dedup_simhash,
           "dedup_char_jaccard": dedup.dedup_char_jaccard,
           "knn_doc_graph": dedup.knn_doc_graph,
-          "lang_quota_sample": curation.lang_quota_sample}[query]
+          "lang_quota_sample": curation.lang_quota_sample,
+          "gram_novelty_scores": text_analysis.gram_novelty_scores,
+          }[query]
     spark = get_spark("decade2_probe",
                       extra_conf={"spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")

@@ -94,13 +94,21 @@ def inner(sf_dir: str) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     spark.read.parquet(os.path.join(sf_dir, "documents.parquet")) \
         .write.mode("overwrite").format("noop").save()
-    best, n_pairs = float("inf"), -1
-    for _ in range(2):
+    # n_pairs rides an Observation on the second timed run — a
+    # separate .count() would re-execute the entire segment join a
+    # third time (+~50% probe wall at sf30) just for the row count
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+    best, obs = float("inf"), None
+    for i in range(2):
+        df = fuzzy_doc_pairs(spark, sf_dir)
+        if i == 1:
+            obs = Observation()
+            df = df.observe(obs, F.count(F.lit(1)).alias("n"))
         t0 = time.time()
-        out = fuzzy_doc_pairs(spark, sf_dir)
-        out.write.mode("overwrite").format("noop").save()
+        df.write.mode("overwrite").format("noop").save()
         best = min(best, time.time() - t0)
-    n_pairs = fuzzy_doc_pairs(spark, sf_dir).count()
+    n_pairs = int(dict(obs.get)["n"])
     from bench import host_load
     print(json.dumps({"best_sec": round(best, 3), "n_pairs": int(n_pairs),
                       "seg_df": seg_df_stats(spark, sf_dir),

@@ -30,7 +30,18 @@ def bench(sf_dir: str) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, cwd=REPO, capture_output=True, text=True, check=True)
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    r = json.loads(out.stdout.strip().splitlines()[-1])
+    # band_guard/ppjoin moved OFF bench.py's stdout line into the
+    # sidecar in round 7 (the driver's tail capture had truncated the
+    # headline total); read the sidecar HERE, before the next bench
+    # run overwrites it — the sf1 artifact must keep carrying the
+    # guard observables (a recall-losing cap change at sf1 has to be
+    # visible in the ratio record, round-3/4 verdict requirement)
+    with open(os.path.join(REPO, "BENCH_observables.json")) as f:
+        side = json.load(f)
+    r["band_guard"] = side.get("band_guard", {})
+    r["ppjoin"] = side.get("ppjoin", {})
+    return r
 
 
 def main() -> None:
@@ -65,11 +76,17 @@ def main() -> None:
     artifact["small_total"] = a["value"]
     artifact["ratios_vs_small"] = ratios
     artifact["flagged_over_3x"] = flagged
-    # when the big scale actually dropped rows, grade the recall loss
+    # when the big scale actually LOST rows, grade the recall loss
     # instead of only counting it (round-4 verdict item 2): the
     # estimator samples the dropped buckets and reports est_pairs_lost
-    # + a recall floor, merged into the same band_guard record
-    sim = artifact.get("band_guard", {}).get("dedup_simhash", {})
+    # + a recall floor, merged into the same band_guard record.  Since
+    # the round-7 hot-band split, dropped_rows is the STAGE-2 residual
+    # (rerouted memberships are not losses), so this triggers exactly
+    # when the plan can actually miss pairs.  sim is assigned back
+    # into the artifact explicitly: .get's detached {} default would
+    # otherwise swallow the probe results.
+    bg = artifact.setdefault("band_guard", {})
+    sim = bg.setdefault("dedup_simhash", {})
     if sim.get("dropped_rows", 0) > 0:
         out = subprocess.run(
             [sys.executable,

@@ -393,12 +393,15 @@ def test_quality_percentile_decomposed_rank_equals_serial_window(spark,
     got = {tuple(r) for r in
            quality_percentile_filter(spark, str(tmp_path)).collect()}
 
+    from greenplum_dwh_spark.functions import hashing as H
     docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
-    w = Window.partitionBy("lang").orderBy("toks", "doc_id")
+    w = Window.partitionBy("lang").orderBy("toks", "h", "doc_id")
     want = {tuple(r) for r in
             docs.select("lang", "doc_id",
                         F.size(F.split("text", " ")).cast("long")
-                        .alias("toks"))
+                        .alias("toks"),
+                        H.hash60(F.col("doc_id").cast("string"))
+                        .alias("h"))
             .withColumn("rk", F.row_number().over(w).cast("long"))
             .withColumn("n_lang", F.count(F.lit(1)).over(
                 Window.partitionBy("lang")).cast("long"))

@@ -144,9 +144,11 @@ def last_band_guard_metrics() -> dict | None:
     # carry the raw single-band saturation the split absorbed (so a
     # round-over-round artifact diff sees the alphabet saturating,
     # not a guard that mysteriously stopped firing)
-    if _SPLIT_STAGE1 and _SPLIT_STAGE1[-1][0] == len(_GUARD_OBSERVATIONS):
+    stage1 = next((s1 for s2, s1 in reversed(_SPLIT_STAGE1)
+                   if s2 is obs), None)
+    if stage1 is not None:
         try:
-            s = dict(_SPLIT_STAGE1[-1][1].get)
+            s = dict(stage1.get)
         except Exception:
             s = {}
         m["rerouted_rows"] = int(s.get("rerouted_rows") or 0)
@@ -371,10 +373,12 @@ def _simhash_bands(fps: DataFrame) -> DataFrame:
             for b in range(n_bands)])).alias("band"))
 
 
-#: (index-into-_GUARD_OBSERVATIONS, Observation) pairs for the
-#: hot-band split's STAGE-1 saturation metrics — paired with the
-#: stage-2 residual guard entry registered by the same split run, so
-#: last_band_guard_metrics can report both faces
+#: (stage-2 guard Observation, stage-1 Observation) pairs for the
+#: hot-band split's saturation metrics — paired by the stage-2 obs
+#: OBJECT IDENTITY (an index into _GUARD_OBSERVATIONS would go stale
+#: the moment the registry's truncation clamps its length), so
+#: last_band_guard_metrics consults a stage-1 observation only for
+#: the exact split plan whose stage-2 entry it is reporting
 _SPLIT_STAGE1: list = []
 
 
@@ -448,7 +452,7 @@ def _split_banded_candidates(bands: DataFrame,
                  .select(F.col("a.doc_id").alias("doc_a"),
                          F.col("b.doc_id").alias("doc_b")))
     hot_cand = _banded_candidates(comp, band_cap, distinct=False)
-    _SPLIT_STAGE1.append((len(_GUARD_OBSERVATIONS), obs))
+    _SPLIT_STAGE1.append((_GUARD_OBSERVATIONS[-1][0], obs))
     del _SPLIT_STAGE1[:-_GUARD_KEEP]
     return cool_cand.unionByName(hot_cand)
 

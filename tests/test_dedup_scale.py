@@ -521,6 +521,41 @@ def test_simhash_hot_band_split_rescues_heterogeneous_buckets(spark):
     assert g is not None and g["dropped_rows"] == 0
 
 
+def test_simhash_hot_band_split_random_sweep(spark):
+    """Property sweep for the split's exactness claim: on seeded
+    random fingerprint corpora with planted near-dup clusters and
+    aggressive caps, the split plan must emit EXACTLY the brute-force
+    hamming pairs whenever its residual guard reports zero drops (the
+    pigeonhole argument leaves residual capping as the only legal
+    divergence, and the guard observes it)."""
+    for seed, cap in ((3, 4), (5, 8), (8, 16)):
+        rng = random.Random(seed)
+        rows = []
+        for i in range(40):
+            fp = rng.getrandbits(60)
+            rows.append((2 * i, fp))
+            if i % 2 == 0:                  # near-dup within max_dist
+                flips = rng.sample(range(60),
+                                   rng.randrange(0, dedup.SIMHASH_MAX_DIST))
+                fp2 = fp
+                for b in flips:
+                    fp2 ^= 1 << b
+                rows.append((2 * i + 1, fp2))
+        fps = spark.createDataFrame(rows, "doc_id long, fp long")
+        got = {(r["doc_a"], r["doc_b"])
+               for r in dedup.simhash_pairs(
+                   None, band_cap=cap, fps=fps).collect()}
+        g = dedup.last_band_guard_metrics()
+        brute = {(a, b) for ai, (a, x) in enumerate(rows)
+                 for b, y in rows[ai + 1:]
+                 if bin(x ^ y).count("1") <= dedup.SIMHASH_MAX_DIST}
+        if g["dropped_rows"] == 0:
+            assert got == brute, (seed, cap)
+        else:                               # residual capped: observed,
+            assert got <= brute, (seed, cap)   # never a false pair
+        assert len(brute) >= 15, (seed, cap)   # non-vacuous fixture
+
+
 def test_binom_count_ub_exact_and_rule_of_three():
     """_binom_count_ub pinned against a brute-force exact binomial
     CDF (small cases) and the rule-of-three closed form at x=0."""

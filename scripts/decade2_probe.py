@@ -60,8 +60,10 @@ QUERIES = ("dedup_jaccard_prefix", "fuzzy_doc_pairs",
            # round 7: novelty shares dup_ngram_fraction's skeleton
            # (gram explode → map-combinable gram aggregate → join
            # back) so it inherits that probe's linearity expectation;
-           # measured rather than assumed
-           "gram_novelty_scores")
+           # measured rather than assumed.  The percentile cut is a
+           # scan + tiny aggregated-cell windows (quota_sample's
+           # shape) — its ratio should sit near the scan term
+           "gram_novelty_scores", "quality_percentile_filter")
 SCALES = {"sf1": os.path.join(REPO, ".bigdata/sf1"),
           "sf10": os.path.join(REPO, ".bigdata/sf10")}
 
@@ -81,6 +83,7 @@ def inner(query: str, sf_dir: str) -> None:
           "knn_doc_graph": dedup.knn_doc_graph,
           "lang_quota_sample": curation.lang_quota_sample,
           "gram_novelty_scores": text_analysis.gram_novelty_scores,
+          "quality_percentile_filter": curation.quality_percentile_filter,
           }[query]
     spark = get_spark("decade2_probe",
                       extra_conf={"spark.ui.enabled": "false"})

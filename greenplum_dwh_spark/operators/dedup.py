@@ -144,13 +144,20 @@ def last_band_guard_metrics() -> dict | None:
     # carry the raw single-band saturation the split absorbed (so a
     # round-over-round artifact diff sees the alphabet saturating,
     # not a guard that mysteriously stopped firing)
-    stage1 = next((s1 for s2, s1 in reversed(_SPLIT_STAGE1)
-                   if s2 is obs), None)
-    if stage1 is not None:
+    entry = next((e for e in reversed(_SPLIT_STAGE1)
+                  if e[0] is obs), None)
+    if entry is not None:
+        _, stage1, hot_plan = entry
         try:
             s = dict(stage1.get)
         except Exception:
-            s = {}
+            # mirror the stage-2 fallback above: recompute from the
+            # retained hot plan instead of reporting 0 — an artifact
+            # that reads "no saturation" exactly when the metric was
+            # lost is the misreading this surface exists to prevent
+            s = hot_plan.agg(
+                F.count(F.lit(1)).alias("rerouted_rows"),
+                F.max("_bn").alias("max_raw_band_size")).first().asDict()
         m["rerouted_rows"] = int(s.get("rerouted_rows") or 0)
         m["max_raw_band_size"] = int(s.get("max_raw_band_size") or 0)
     return m
@@ -373,13 +380,23 @@ def _simhash_bands(fps: DataFrame) -> DataFrame:
             for b in range(n_bands)])).alias("band"))
 
 
-#: (stage-2 guard Observation, stage-1 Observation) pairs for the
-#: hot-band split's saturation metrics — paired by the stage-2 obs
-#: OBJECT IDENTITY (an index into _GUARD_OBSERVATIONS would go stale
-#: the moment the registry's truncation clamps its length), so
-#: last_band_guard_metrics consults a stage-1 observation only for
-#: the exact split plan whose stage-2 entry it is reporting
+#: (stage-2 guard Observation, stage-1 Observation, hot plan) triples
+#: for the hot-band split's saturation metrics — paired by the
+#: stage-2 obs OBJECT IDENTITY (an index into _GUARD_OBSERVATIONS
+#: would go stale the moment the registry's truncation clamps its
+#: length), so last_band_guard_metrics consults a stage-1 observation
+#: only for the exact split plan whose stage-2 entry it is reporting.
+#: The retained hot plan is the recompute fallback when the stage-1
+#: Observation never fired (e.g. AQE pruned the observed node).
 _SPLIT_STAGE1: list = []
+
+#: fps-plan semanticHash → max raw band-bucket size, so repeated
+#: simhash_pairs calls on the same fingerprint relation decide the
+#: hot-split plan shape without re-running the check job (see the
+#: memo discussion in :func:`simhash_pairs`); insertion-ordered dict
+#: doubles as a bounded FIFO
+_HOTNESS_MEMO: dict[int, int] = {}
+_HOTNESS_MEMO_MAX = 64
 
 
 def _split_routing(bands: DataFrame, band_cap: int,
@@ -389,22 +406,29 @@ def _split_routing(bands: DataFrame, band_cap: int,
     probe's rescued-pair leg, so the probe can never drift into
     grading a join the operator no longer runs.
 
-    Returns ``(cool, comp)``: under-cap (doc_id, band) memberships,
-    and over-cap memberships re-keyed by the composite (hot band
-    value, each of the doc's other band values) under the SAME
-    ``band`` column name.  The per-band size table is
-    alphabet-bounded (≤ n_bands · 2^bits rows), so it broadcasts —
-    the routing costs no corpus shuffle on top of the join's own.
-    ``observe_hot`` attaches the stage-1 saturation Observation
+    Returns ``(cool, comp, obs, hot)``: under-cap (doc_id, band)
+    memberships; over-cap memberships re-keyed by the composite (hot
+    band value, each of the doc's other band values) under the SAME
+    ``band`` column name; the stage-1 Observation (or None); and the
+    counted hot plan itself (the metrics fallback recomputes
+    rerouted_rows/max_raw_band_size from it when the Observation
+    never fired).  The per-band size table is alphabet-bounded
+    (≤ n_bands · 2^bits rows), so it broadcasts — the routing costs
+    no corpus shuffle on top of the join's own.  ``observe_hot``
+    attaches the stage-1 saturation Observation
     (rerouted_rows / max_raw_band_size) to the hot leg."""
     from pyspark.sql import Observation
     sizes = bands.groupBy("band").agg(F.count(F.lit(1)).alias("_bn"))
     bz = bands.join(F.broadcast(sizes), "band")
     cool = bz.filter(F.col("_bn") <= band_cap).select("doc_id", "band")
-    hot = bz.filter(F.col("_bn") > band_cap)
+    # keep the observation-free twin as the metrics-fallback plan —
+    # recomputing through the SAME Observation object is exactly the
+    # path that already failed when the fallback fires
+    hot_counted = bz.filter(F.col("_bn") > band_cap)
+    hot = hot_counted
     if observe_hot:
         obs = Observation()
-        hot = hot.observe(
+        hot = hot_counted.observe(
             obs,
             F.count(F.lit(1)).alias("rerouted_rows"),
             F.max("_bn").alias("max_raw_band_size"))
@@ -417,7 +441,7 @@ def _split_routing(bands: DataFrame, band_cap: int,
             .filter(F.col("band2") != F.col("band"))
             .select("doc_id",
                     F.concat_ws("|", "band", "band2").alias("band")))
-    return cool, comp, obs
+    return cool, comp, obs, hot_counted
 
 
 def _split_banded_candidates(bands: DataFrame,
@@ -446,13 +470,14 @@ def _split_banded_candidates(bands: DataFrame,
     :func:`last_band_guard_metrics` so artifact readers see the
     saturation signal AND the residual exposure, not one renamed as
     the other."""
-    cool, comp, obs = _split_routing(bands, band_cap, observe_hot=True)
+    cool, comp, obs, hot_plan = _split_routing(bands, band_cap,
+                                               observe_hot=True)
     cool_cand = (cool.alias("a").join(cool.alias("b"), "band")
                  .filter(F.col("a.doc_id") < F.col("b.doc_id"))
                  .select(F.col("a.doc_id").alias("doc_a"),
                          F.col("b.doc_id").alias("doc_b")))
     hot_cand = _banded_candidates(comp, band_cap, distinct=False)
-    _SPLIT_STAGE1.append((_GUARD_OBSERVATIONS[-1][0], obs))
+    _SPLIT_STAGE1.append((_GUARD_OBSERVATIONS[-1][0], obs, hot_plan))
     del _SPLIT_STAGE1[:-_GUARD_KEEP]
     return cool_cand.unionByName(hot_cand)
 
@@ -462,18 +487,61 @@ def simhash_pairs(docs: DataFrame,
                   band_cap: int = BAND_CAP,
                   fps: DataFrame | None = None,
                   hot_split: bool = True) -> DataFrame:
-    """Pairs within hamming ``max_dist`` of 60-bit simhash (exact:
-    banding is pigeonhole-complete for dist ≤ 9, and with
-    ``hot_split`` over-cap buckets re-key through
-    :func:`_split_banded_candidates` instead of dropping — the only
-    remaining recall trade is a composite bucket still over cap,
-    observed by the guard).  ``fps`` lets a caller that already built
-    (and cached) the fingerprint table reuse it — the band-guard
-    probe's emitted-count leg — instead of paying a second corpus
-    fingerprint pass; the caller then owns that cache's lifecycle."""
+    """Pairs within hamming ``max_dist`` of 60-bit simhash.  Plain
+    banding is pigeonhole-complete for dist ≤ n_bands − 1 = 9; the
+    ``hot_split`` composite re-key is complete only for dist ≤
+    n_bands − 2 = 8 (both endpoints share the hot band, so all
+    differing bits lie in the other 9 bands and at least one of those
+    must agree — which needs dist < 9).  At ``max_dist`` ≥ 9 the
+    split would silently lose pairs its residual guard cannot see, so
+    it auto-falls back to the plain drop guard (drops observed, never
+    unobserved recall loss).  With the split active, over-cap buckets
+    re-key through :func:`_split_banded_candidates` instead of
+    dropping — the only remaining recall trade is a composite bucket
+    still over cap, observed by the guard.  ``fps`` lets a caller
+    that already built (and cached) the fingerprint table reuse it —
+    the band-guard probe's emitted-count leg — instead of paying a
+    second corpus fingerprint pass; the caller then owns that cache's
+    lifecycle."""
     if fps is None:
         fps = simhash_fingerprints(docs).cache()
     bands = _simhash_bands(fps)
+    n_bands = H.SIMHASH_BITS // H.SIMHASH_BAND_BITS
+    if max_dist > n_bands - 2:
+        # composite re-key incomplete at this distance (see docstring)
+        # — the plain guard is still detection-complete and its drops
+        # are observed, so recall loss can never be silent
+        hot_split = False
+    if hot_split:
+        # bounded driver decision, same class as the fuzzy block-count
+        # at training_data.py:358: ONE aggregate over the alphabet-
+        # bounded size table (≤ n_bands·2^bits groups) decides the
+        # plan shape.  On an unsaturated corpus the split's routing
+        # aggregate + broadcast + two-leg union is pure overhead
+        # (measured +0.9 s at sf0.1, r07 verdict item 3), so build the
+        # single-leg plan when no band is hot — output is identical
+        # both ways because the hot leg would be empty.  The probing
+        # job also warms the fps cache the main plan reuses.
+        # The result is memoized on the fingerprint plan's semantic
+        # hash: the decision is a pure function of the fps relation,
+        # and a memo hit is valid exactly as long as the .cache()
+        # above is (both assume the source doesn't mutate under an
+        # unchanged plan mid-session) — repeated calls then pay the
+        # ~0.4 s check job once, not per call.  Worst case on a
+        # (≈2⁻³³) semantic-hash collision the single-leg plan runs on
+        # a hot corpus — whose guard OBSERVES the drops, so even the
+        # pathological miss is visible, never silent.
+        key = fps.semanticHash()
+        max_bn = _HOTNESS_MEMO.get(key)
+        if max_bn is None:
+            max_bn = (bands.groupBy("band")
+                      .agg(F.count(F.lit(1)).alias("_bn"))
+                      .agg(F.max("_bn")).first()[0]) or 0
+            _HOTNESS_MEMO[key] = max_bn
+            while len(_HOTNESS_MEMO) > _HOTNESS_MEMO_MAX:
+                _HOTNESS_MEMO.pop(next(iter(_HOTNESS_MEMO)))
+        if max_bn <= band_cap:
+            hot_split = False
     # 6-bit band alphabets collide often on random fingerprints
     # (~n²/2⁷ candidate rows per band), so verify-then-distinct: the
     # hamming check is one XOR+popcount against the (doc-count-sized)
@@ -579,9 +647,13 @@ def simhash_band_guard_probe(docs: DataFrame,
     pairs that also share an under-cap band (those are NOT lost — the
     guarded join still emits them) or an under-cap COMPOSITE bucket
     (those the round-7 hot-band split leg emits —
-    :func:`_split_banded_candidates`; ``dropped_rows`` therefore
-    counts stage-1 REROUTED memberships, while the loss estimate
-    reflects what the production plan actually fails to emit).
+    :func:`_split_banded_candidates`; ``raw_overcap_rows`` counts
+    stage-1 raw over-cap memberships — the quantity
+    :func:`last_band_guard_metrics` reports as ``rerouted_rows``,
+    deliberately NOT named ``dropped_rows``, which in the guard
+    metrics means the stage-2 composite residual — while the loss
+    estimate reflects what the production plan actually fails to
+    emit).
     Because sampling is per-doc, a
     lost pair enters the sample iff BOTH endpoints are sampled —
     probability 1/mod² regardless of how many hot buckets it collides
@@ -590,7 +662,7 @@ def simhash_band_guard_probe(docs: DataFrame,
     one fingerprint build: a diagnostics pass over exactly the buckets
     the production plan refuses to join.
 
-    Returns ``{dropped_rows, dropped_buckets, max_band_size,
+    Returns ``{raw_overcap_rows, overcap_buckets, max_band_size,
     sampled_lost_pairs, est_pairs_lost, est_pairs_lost_ub,
     sample_mod[, emitted_pairs, est_recall, est_recall_lb]}``;
     ``est_pairs_lost_ub`` is the exact-binomial 95% upper bound on
@@ -606,13 +678,13 @@ def simhash_band_guard_probe(docs: DataFrame,
     hot = counted.filter(F.col("_bn") > band_cap)
     stats = counted.agg(
         F.sum(F.when(F.col("_bn") > band_cap, 1).otherwise(0))
-        .alias("dropped_rows"),
+        .alias("raw_overcap_rows"),
         F.sum(F.when(F.col("_bn") > band_cap, 1.0 / F.col("_bn"))
-              .otherwise(0.0)).alias("dropped_buckets_frac"),
+              .otherwise(0.0)).alias("overcap_buckets_frac"),
         F.max("_bn").alias("max_band_size")).first()
-    out = {"dropped_rows": int(stats["dropped_rows"] or 0),
-           "dropped_buckets": int(round(
-               stats["dropped_buckets_frac"] or 0.0)),
+    out = {"raw_overcap_rows": int(stats["raw_overcap_rows"] or 0),
+           "overcap_buckets": int(round(
+               stats["overcap_buckets_frac"] or 0.0)),
            "max_band_size": int(stats["max_band_size"] or 0),
            "sample_mod": sample_mod}
     sampled = (hot.filter(
@@ -670,7 +742,7 @@ def simhash_band_guard_probe(docs: DataFrame,
     # dropped: with no over-cap bucket there is no pair the guarded
     # join can lose, so no sampling uncertainty exists to bound.
     out["est_pairs_lost_ub"] = (
-        0 if out["dropped_rows"] == 0
+        0 if out["raw_overcap_rows"] == 0
         else _binom_count_ub(int(sampled_lost),
                              1.0 / (sample_mod * sample_mod)))
     if count_emitted:

@@ -455,7 +455,7 @@ def test_simhash_guard_probe_on_planted_hot_buckets(spark):
                                  "doc_id long, text string")
     probe = dedup.simhash_band_guard_probe(docs, band_cap=50,
                                            sample_mod=2)
-    assert probe["dropped_rows"] >= 200 * 10  # 10 bands, all hot
+    assert probe["raw_overcap_rows"] >= 200 * 10  # 10 bands, all hot
     # deterministic sample size of the planted group
     n_s = (spark.range(200)
            .filter(F.pmod(F.xxhash64(F.col("id")), F.lit(2)) == 0)
@@ -495,13 +495,26 @@ def test_simhash_hot_band_split_rescues_heterogeneous_buckets(spark):
     rows = [(1, fp(d1)), (2, fp(d2))]
     # docs 3-6 share ONLY band 0's value (making its bucket hot);
     # docs 7-10 share ONLY band 5's value; everything else differs in
-    # every band, so no other pair is within hamming 8
-    for i, base in enumerate((17, 23, 29, 35)):
+    # every band, so no other pair is within hamming 8.  Bases are
+    # chosen so no arithmetic band value collides with v0/v5 (base 23
+    # — used before round 8 — put (23+7·4)%64 = 51 = v5 into doc 4's
+    # band 5, silently growing the hot band-5 bucket to 7); the
+    # per-bucket occupancy asserts below pin the designed shape.
+    for i, base in enumerate((17, 25, 29, 35)):
         rows.append((3 + i, fp([v0] + [(base + 7 * k) % 64
                                        for k in range(9)])))
     for i, base in enumerate((41, 47, 53, 59)):
         b = [(base + 11 * k) % 64 for k in range(9)]
         rows.append((7 + i, fp(b[:5] + [v5] + b[5:])))
+    # exactly two hot buckets under cap 3 — (band0, v0) and
+    # (band5, v5), 6 members each — and nothing else over cap
+    occ: dict = {}
+    for _, x in rows:
+        for bb in range(10):
+            key = (bb, (x >> (6 * bb)) & 63)
+            occ[key] = occ.get(key, 0) + 1
+    assert {k: v for k, v in occ.items() if v > 3} == {
+        (0, v0): 6, (5, v5): 6}
     fps = spark.createDataFrame(rows, "doc_id long, fp long")
 
     def pairs(hot_split):
@@ -519,6 +532,78 @@ def test_simhash_hot_band_split_rescues_heterogeneous_buckets(spark):
     assert pairs(hot_split=True) == brute     # the split rescues it
     g = dedup.last_band_guard_metrics()       # stage-2 residual guard
     assert g is not None and g["dropped_rows"] == 0
+    # stage-1 saturation face (round-7 advice: these had no coverage):
+    # 12 memberships rerouted — the two hot buckets' 6 members each —
+    # and the raw max bucket is exactly those 6
+    assert g["rerouted_rows"] == 12
+    assert g["max_raw_band_size"] == 6
+
+
+def test_simhash_split_short_circuits_on_cold_corpus(spark):
+    """Round-7 verdict item 2: when NO band bucket exceeds the cap,
+    simhash_pairs(hot_split=True) must build the single-leg r06 plan
+    (no routing aggregate / broadcast / two-leg union — the measured
+    +0.9 s sf0.1 overhead) and the output must be identical to
+    hot_split=False.  The short-circuit is visible in the guard
+    metrics: no split ⇒ no stage-1 saturation keys."""
+    rng = random.Random(11)
+    rows = []
+    for i in range(30):
+        fp = rng.getrandbits(60)
+        rows.append((2 * i, fp))
+        if i % 3 == 0:
+            fp2 = fp
+            for b in rng.sample(range(60), 4):
+                fp2 ^= 1 << b
+            rows.append((2 * i + 1, fp2))
+    fps = spark.createDataFrame(rows, "doc_id long, fp long")
+    # generous cap: random 60-bit fingerprints over ≤40 docs never
+    # put >35 memberships in one 6-bit bucket
+    got_split = {(r["doc_a"], r["doc_b"]) for r in dedup.simhash_pairs(
+        None, band_cap=35, fps=fps, hot_split=True).collect()}
+    g = dedup.last_band_guard_metrics()
+    assert g is not None and g["dropped_rows"] == 0
+    assert "rerouted_rows" not in g           # single-leg plan ran
+    got_plain = {(r["doc_a"], r["doc_b"]) for r in dedup.simhash_pairs(
+        None, band_cap=35, fps=fps, hot_split=False).collect()}
+    assert got_split == got_plain
+    brute = {(a, b) for ai, (a, x) in enumerate(rows)
+             for b, y in rows[ai + 1:]
+             if bin(x ^ y).count("1") <= dedup.SIMHASH_MAX_DIST}
+    assert got_split == brute and len(brute) >= 10
+
+
+def test_simhash_split_falls_back_beyond_pigeonhole_bound(spark):
+    """Round-7 advice (medium): the composite re-key is complete only
+    for max_dist ≤ n_bands−2 = 8.  At max_dist=9 a pair differing in
+    one bit of each non-hot band shares ONLY the hot band and matches
+    no composite key — simhash_pairs must auto-fall back to the plain
+    drop guard (observed drops) instead of losing it unobserved."""
+    def fp(bands6):
+        return sum(v << (6 * j) for j, v in enumerate(bands6))
+
+    hot_v = 0b111000
+    # a dist-9 pair sharing only band 0 (one bit flipped in each of
+    # the 9 other bands)
+    d1 = [hot_v] + list(range(20, 29))
+    d2 = [hot_v] + [v ^ 1 for v in range(20, 29)]
+    rows = [(1, fp(d1)), (2, fp(d2))]
+    # enough extra docs sharing band 0's value to push it over cap 3,
+    # each unique everywhere else (offset grids avoid collisions)
+    for i, base in enumerate((3, 7, 13, 31)):
+        rows.append((3 + i, fp([hot_v] + [(base + 5 * k) % 64
+                                          for k in range(9)])))
+    fps = spark.createDataFrame(rows, "doc_id long, fp long")
+    got = {(r["doc_a"], r["doc_b"]) for r in dedup.simhash_pairs(
+        None, max_dist=9, band_cap=3, fps=fps, hot_split=True).collect()}
+    g = dedup.last_band_guard_metrics()
+    # plain guard ran: the hot band-0 bucket was DROPPED and observed
+    # (6 memberships), never silently rerouted into an incomplete split
+    assert "rerouted_rows" not in g
+    assert g["dropped_rows"] == 6
+    # the dist-9 pair is inside the dropped bucket — not emitted, but
+    # the loss is observed, which is the contract
+    assert (1, 2) not in got
 
 
 def test_simhash_hot_band_split_random_sweep(spark):
@@ -589,7 +674,7 @@ def test_simhash_guard_probe_clean_corpus_reports_no_loss(spark):
     texts = _neardup_corpus(n=30, seed=3)
     docs = _docs_df(spark, texts)
     probe = dedup.simhash_band_guard_probe(docs)
-    assert probe["dropped_rows"] == 0
+    assert probe["raw_overcap_rows"] == 0
     assert probe["est_pairs_lost"] == 0
     assert probe["est_recall"] == 1.0
     assert probe["emitted_pairs"] > 0  # planted near-dups still found

@@ -550,6 +550,118 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str
             .select("lang", "doc_id", "toks", "rk", "n_lang"))
 
 
+def _scored_global_rank(scored: DataFrame, score_col: str) -> DataFrame:
+    """(doc_id, rk, n): exact global rank of every scored doc in
+    (score, hash, doc_id) order plus the scored-set size — the
+    single-group form of quality_percentile_filter's cell
+    decomposition.  No corpus-wide window: rank = cumulative count of
+    strictly-smaller (score, hash-bucket) cells (a window over the
+    tiny aggregated cell table, broadcast back) + the doc's
+    row_number within its cell, so the only single-task pass is over
+    the scores×buckets subtotal table."""
+    h = H.hash60(F.col("doc_id").cast("string"))
+    shift = 60 - QUOTA_BUCKETS.bit_length() + 1
+    d = scored.select("doc_id", F.col(score_col).alias("sc"),
+                      h.alias("h"),
+                      F.shiftright(h, shift).cast("int").alias("bkt"))
+    sub = d.groupBy("sc", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    w_off = (Window.orderBy("sc", "bkt")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    w_all = (Window.orderBy("sc", "bkt")
+             .rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing))
+    offs = sub.select(
+        "sc", "bkt",
+        F.coalesce(F.sum("c").over(w_off), F.lit(0)).alias("off"),
+        F.sum("c").over(w_all).alias("n"))
+    w_loc = Window.partitionBy("sc", "bkt").orderBy("h", "doc_id")
+    return (d.join(F.broadcast(offs), ["sc", "bkt"])
+            .select("doc_id",
+                    (F.col("off") + F.row_number().over(w_loc))
+                    .cast("long").alias("rk"),
+                    F.col("n").cast("long").alias("n")))
+
+
+def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation-funnel survivors-per-stage table (round-7
+    verdict item 4a): the scripts/curate_pipeline.py composition as
+    ONE oracle-checkable query — exact dedup → near-dup keep-best →
+    repeated-span dedup → decontamination → duplicated-n-gram cut →
+    LM-quality cut → train split → chunk/shard layout — proving the
+    stages COMPOSE (each stage's filter applied to the previous
+    stage's survivor set), not just run alone.  Returns
+    (stage, n_rows), one row per stage; rows 08/09 count chunks and
+    occupied shards rather than docs.
+
+    The two distribution cuts are expressed as exact-integer rank
+    predicates over :func:`_scored_global_rank` (drop the top-2% most
+    duplicated: keep iff 50·rk ≤ 49·n in ascending (dup_bps, h,
+    doc_id) order; drop the bottom-5% LM tail: keep iff 20·rk > n) —
+    the oracle-parity-safe form of the demo script's percentile
+    thresholds (a float percentile cut compared against integer
+    scores is the float-bound trap class).  Unscored docs (too short
+    to produce a gram/bigram) are KEPT by both cuts, mirroring the
+    demo script's anti-join policy."""
+    from greenplum_dwh_spark.operators.dedup import (
+        drop_repeated_span_dups, exact_dedup, keep_best_per_cluster)
+    from greenplum_dwh_spark.operators.text_analysis import dup_ngram_mass
+
+    docs0 = (Tables(spark, sf_dir).documents
+             .select("doc_id", "text", "n_chars"))
+    d1 = docs0.join(exact_dedup(docs0)
+                    .select(F.col("rep_doc_id").alias("doc_id")),
+                    "doc_id")
+    d2 = d1.join(keep_best_per_cluster(d1)
+                 .select(F.col("keep_doc_id").alias("doc_id")),
+                 "doc_id")
+    d3 = drop_repeated_span_dups(d2, min_len=15)
+    # benchmark decontamination on the surviving slice (same
+    # calibration as decontaminate_ngrams: doc_id % 97 eval slice,
+    # DECON_N-gram overlap, broadcast eval grams)
+    grams = (d3.select("doc_id", _tok().alias("t"))
+             .select("doc_id", F.explode(F.expr(
+                 f"transform(sequence(1, greatest(size(t) - "
+                 f"{DECON_N - 1}, 1)), i -> concat_ws(' ', "
+                 f"slice(t, i, {DECON_N})))")).alias("g")))
+    ev = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    contaminated = (grams.filter(F.col("doc_id") % 97 != 0)
+                    .join(F.broadcast(ev), "g")
+                    .select("doc_id").distinct())
+    d4 = (d3.filter(F.col("doc_id") % 97 != 0)
+          .join(contaminated, "doc_id", "left_anti"))
+    # duplicated-n-gram cut: drop the top-2% most duplicated docs
+    m5 = _scored_global_rank(dup_ngram_mass(d4), "dup_bps")
+    drop5 = (m5.filter(50 * F.col("rk") > 49 * F.col("n"))
+             .select("doc_id"))
+    d5 = d4.join(drop5, "doc_id", "left_anti")
+    # LM-quality cut over the survivors' own bigram LM: drop the
+    # bottom-5% scoring tail
+    m6 = _scored_global_rank(lm_score(d5), "lm_score_avg")
+    drop6 = m6.filter(20 * F.col("rk") <= F.col("n")).select("doc_id")
+    d6 = d5.join(drop6, "doc_id", "left_anti")
+    train = d6.filter(md5_bucket(F.col("doc_id"), 10000) < 9800)
+    chunks = chunk_docs(train)
+    shards = shard_order(train).select("shard").distinct()
+
+    def cnt(stage: str, df: DataFrame) -> DataFrame:
+        return (df.groupBy()
+                .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+                .select(F.lit(stage).alias("stage"), "n_rows"))
+
+    out = cnt("00_raw", docs0)
+    for s, df in (("01_exact_dedup", d1),
+                  ("02_neardup_keep_best", d2),
+                  ("03_repeated_span_dedup", d3),
+                  ("04_decontaminated", d4),
+                  ("05_dup_gram_filter", d5),
+                  ("06_lm_quality_filter", d6),
+                  ("07_train_split", train),
+                  ("08_chunks", chunks),
+                  ("09_shards", shards)):
+        out = out.unionByName(cnt(s, df))
+    return out
+
+
 QUERIES = {
     "decontaminate_ngrams": decontaminate_ngrams,
     "decontaminate_ngrams8_planted": decontaminate_ngrams8_planted,

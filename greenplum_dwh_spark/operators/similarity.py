@@ -172,23 +172,82 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 NEARDUP_THRESHOLD = 0.4   # synthetic corpus: max pairwise cosine ~0.55
 SRP_PLANES = 32           # sign-random-projection hyperplanes
 SRP_BAND_BITS = 8         # 4 bands x 8 bits
+SRP_N_BANDS = SRP_PLANES // SRP_BAND_BITS
+#: target mean band-bucket occupancy for the auto-scaled alphabet:
+#: bits = max(8, ceil(log2(n / 8))) keeps buckets ~constant as the
+#: corpus grows, so banded candidates stay ~linear in n instead of
+#: n²/2^bits (a FIXED 8-bit alphabet at 200k vectors holds ~780
+#: vectors per bucket — ~3·10⁸ candidate pairs, the saturation wall
+#: the simhash split hit one round earlier).  The floor keeps every
+#: corpus ≤ ~2k vectors on the original 32-plane plan, so the driver
+#: oracle rows (sf0.01) and the planted-fixture tests are unchanged.
+SRP_TARGET_BUCKET = 8
+SRP_MAX_BAND_BITS = 24
+
+#: emb-plan semanticHash → corpus count for the auto bits decision
+#: (same memo discipline as dedup._HOTNESS_MEMO: valid exactly as
+#: long as Spark's own plan-keyed cache would be)
+_SRP_N_MEMO: dict[int, int] = {}
+
+#: last auto/explicit SRP configuration, for probe artifacts
+_LAST_SRP: dict = {}
+
+
+def last_srp_config() -> dict:
+    """{n, band_bits, n_planes} of the most recent LSH plan built by
+    :func:`embedding_neardup_pairs` — the decade probe records it
+    next to the band-guard occupancy so the alphabet-scaling decision
+    is visible in the artifact."""
+    return dict(_LAST_SRP)
+
+
+def _auto_band_bits(emb: DataFrame) -> tuple[int, int]:
+    """(band_bits, n) for the corpus: one bounded count job (memoized
+    on the plan's semantic hash) sizes the SRP band alphabet so mean
+    bucket occupancy stays ~SRP_TARGET_BUCKET.  Same bounded-driver-
+    decision class as the simhash hot-band short-circuit and the
+    fuzzy block-count (training_data.py:358)."""
+    import math
+    key = emb.semanticHash()
+    n = _SRP_N_MEMO.get(key)
+    if n is None:
+        n = emb.count()
+        _SRP_N_MEMO[key] = n
+        while len(_SRP_N_MEMO) > 64:
+            _SRP_N_MEMO.pop(next(iter(_SRP_N_MEMO)))
+    bits = min(SRP_MAX_BAND_BITS,
+               max(SRP_BAND_BITS,
+                   math.ceil(math.log2(max(n, 1) / SRP_TARGET_BUCKET))))
+    return bits, n
+
+
+def _srp_plane_values(dim: int, n_planes: int = SRP_PLANES,
+                      seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes for sign-LSH (seeded host
+    RNG).  The stream is prefix-stable: planes p < 32 are identical
+    for every n_planes, so growing the alphabet never changes the
+    bits existing plans computed."""
+    import random
+    rng = random.Random(seed)
+    return [[rng.uniform(-1.0, 1.0) for _ in range(dim)]
+            for _ in range(n_planes)]
 
 
 def _srp_planes(spark: SparkSession, dim: int, n_planes: int = SRP_PLANES,
                 seed: int = 42) -> DataFrame:
-    """Deterministic random hyperplanes for sign-LSH (seeded host RNG,
-    broadcast-small: n_planes x dim doubles)."""
-    import random
-    rng = random.Random(seed)
-    rows = [(p, [rng.uniform(-1.0, 1.0) for _ in range(dim)])
-            for p in range(n_planes)]
+    """(plane_id, plane) DataFrame twin of :func:`_srp_plane_values`
+    (kept for tests/diagnostics; the production signature build uses
+    the literal projection — see :func:`embedding_neardup_pairs`)."""
+    rows = [(p, v) for p, v in
+            enumerate(_srp_plane_values(dim, n_planes, seed))]
     return spark.createDataFrame(rows, "plane_id int, plane array<double>")
 
 
 def embedding_neardup_pairs(emb: DataFrame,
                             threshold: float = NEARDUP_THRESHOLD,
                             method: str = "exact",
-                            dim: int = 64) -> DataFrame:
+                            dim: int = 64,
+                            band_bits: int | None = None) -> DataFrame:
     """Near-duplicate pairs (a_id < b_id, cosine >= threshold) over an
     (vec_id, embedding) DataFrame — the embedding-cosine member of the
     dedup family.
@@ -203,7 +262,22 @@ def embedding_neardup_pairs(emb: DataFrame,
       (cosine >= ~0.9), where band collision probability separates
       sharply. Recall vs exact is pinned on planted duplicates in
       tests/test_operators.py.
-    """
+
+    ``band_bits`` (lsh only): bits per band; None auto-scales with
+    the corpus (:func:`_auto_band_bits`) so mean bucket occupancy —
+    and with it the candidate volume — stays ~constant per vector as
+    n grows.  The number of bands stays SRP_N_BANDS=4, so total
+    planes grow as 4·log2(n).  The recall trade is explicit: a pair
+    at cosine θ shares a band with probability p(θ)^bits where
+    p(θ) = 1 − arccos(θ)/π, so detection of BORDERLINE pairs falls
+    as bits grow (at θ=0.85, bits 8→15 moves per-pair detection
+    0.61→0.20) while identical/near-identical duplicates — the
+    regime this operator's contract and plants target — keep sign
+    signatures equal in every band and are detected at any bits.
+    The chosen configuration is observable via
+    :func:`last_srp_config`, and band occupancy via the shared
+    band-guard metrics, so a probe reads the alphabet decision next
+    to its walls."""
     a = _with_norm(emb, "a")
     b = _with_norm(emb, "b")
     dot = _DOT.format(a="a_emb", b="b_emb")
@@ -211,23 +285,44 @@ def embedding_neardup_pairs(emb: DataFrame,
         cand = (a.crossJoin(b)
                 .filter(F.col("a_id") < F.col("b_id")))
     elif method == "lsh":
-        planes = _srp_planes(emb.sparkSession, dim)
-        pdot = _DOT.format(a="embedding", b="plane")
-        bits = (emb.crossJoin(F.broadcast(planes))
-                .select(F.col("vec_id").alias("doc_id"),
-                        F.floor(F.col("plane_id") / SRP_BAND_BITS)
-                        .cast("int").alias("bno"),
-                        (F.col("plane_id") % SRP_BAND_BITS).alias("pos"),
-                        F.when(F.expr(pdot) >= 0, F.lit(1))
-                        .otherwise(F.lit(0)).alias("bit")))
-        bands = (bits.groupBy("doc_id", "bno")
-                 .agg(F.expr("array_join(transform(array_sort("
-                             "collect_list(struct(pos, bit))), "
-                             "p -> cast(p.bit as string)), '')")
-                      .alias("sig"))
-                 .select("doc_id",
-                         F.concat_ws(":", F.col("bno").cast("string"),
-                                     "sig").alias("band")))
+        if band_bits is None:
+            band_bits, n = _auto_band_bits(emb)
+        else:
+            n = None
+        n_planes = SRP_N_BANDS * band_bits
+        _LAST_SRP.clear()
+        _LAST_SRP.update({"n": n, "band_bits": band_bits,
+                          "n_planes": n_planes})
+        # signature build is a SINGLE map-side projection: the plane
+        # matrix is a nested literal (n_planes × dim doubles,
+        # constant-folded into the plan) and every sign bit is the
+        # same index-order double fold as the crossJoin formulation
+        # computed — identical bits, but no n×planes row explosion
+        # and, decisively, no shuffle: the original groupBy(doc, band)
+        # + collect_list re-assembled signatures through an
+        # (n·planes)-row exchange, which at 10⁹ vectors × 60 planes
+        # is a 6·10¹⁰-row shuffle for a computation that needs none
+        # (measured on the 200k-vector probe corpus: signature stage
+        # 6.8 s → 4.4 s best-of-2, band keys byte-identical)
+        vals = _srp_plane_values(dim, n_planes)
+        planes_lit = "array(" + ",".join(
+            "array(" + ",".join(f"{v!r}D" for v in pl) + ")"
+            for pl in vals) + ")"
+        bit = ("case when aggregate(zip_with(embedding, pl, (x, y) -> "
+               "cast(x as double) * y), cast(0.0 as double), "
+               "(acc, v) -> acc + v) >= 0 then '1' else '0' end")
+        sig_all = f"array_join(transform({planes_lit}, pl -> {bit}), '')"
+        bands = (emb
+                 .withColumn("_sig", F.expr(sig_all))
+                 .select(F.col("vec_id").alias("doc_id"),
+                         F.explode(F.array(*[
+                             F.concat_ws(
+                                 ":", F.lit(str(b)),
+                                 F.substring("_sig",
+                                             b * band_bits + 1,
+                                             band_bits))
+                             for b in range(SRP_N_BANDS)]))
+                         .alias("band")))
         from greenplum_dwh_spark.operators.dedup import _banded_candidates
         pairs = _banded_candidates(bands)
         cand = (pairs

@@ -63,13 +63,30 @@ QUERIES = ("dedup_jaccard_prefix", "fuzzy_doc_pairs",
            # measured rather than assumed.  The percentile cut is a
            # scan + tiny aggregated-cell windows (quota_sample's
            # shape) — its ratio should sit near the scan term
-           "gram_novelty_scores", "quality_percentile_filter")
+           "gram_novelty_scores", "quality_percentile_filter",
+           # round 8: the embedding family (last un-probed 100 TB
+           # claim).  The vectors scale by signed-permutation
+           # replication (make_sf_decade2.py — within-replica
+           # geometry bit-exact, cross-replica cosine max 0.615 <<
+           # 0.85), so emitted near-dup pairs are EXACTLY the 200
+           # replica-0 plants at every scale — an equality check vs
+           # the exact kernel, recorded per run.  The SRP alphabet
+           # auto-scales (similarity._auto_band_bits), and the probe
+           # records the chosen bits + band occupancy next to the
+           # walls
+           "dedup_embedding_lsh", "dedup_embedding_clusters",
+           "ann_ivf_topk")
+
+#: queries reading the embeddings table (warm-up + observables differ)
+EMB_QUERIES = ("dedup_embedding_lsh", "dedup_embedding_clusters",
+               "ann_ivf_topk")
 SCALES = {"sf1": os.path.join(REPO, ".bigdata/sf1"),
           "sf10": os.path.join(REPO, ".bigdata/sf10")}
 
 
 def inner(query: str, sf_dir: str) -> None:
     from greenplum_dwh_spark.operators import (curation, dedup,
+                                               similarity,
                                                text_analysis,
                                                training_data)
     from greenplum_dwh_spark.session import get_spark
@@ -84,12 +101,17 @@ def inner(query: str, sf_dir: str) -> None:
           "lang_quota_sample": curation.lang_quota_sample,
           "gram_novelty_scores": text_analysis.gram_novelty_scores,
           "quality_percentile_filter": curation.quality_percentile_filter,
+          "dedup_embedding_lsh": similarity.dedup_embedding_lsh,
+          "dedup_embedding_clusters": similarity.dedup_embedding_clusters,
+          "ann_ivf_topk": similarity.ann_ivf_topk,
           }[query]
     spark = get_spark("decade2_probe",
                       extra_conf={"spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")
     # untimed warm-up scan (bench.py discipline)
-    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")) \
+    warm_table = ("embeddings.parquet" if query in EMB_QUERIES
+                  else "documents.parquet")
+    spark.read.parquet(os.path.join(sf_dir, warm_table)) \
         .write.mode("overwrite").format("noop").save()
     best = float("inf")
     for _ in range(2):
@@ -105,6 +127,40 @@ def inner(query: str, sf_dir: str) -> None:
         g = dedup.last_band_guard_metrics()
         if g:
             extra["band_guard"] = g
+    if query in ("dedup_embedding_lsh", "dedup_embedding_clusters"):
+        # alphabet decision + occupancy next to the wall, plus the
+        # exact-kernel equality check the replication model enables:
+        # zero organic pairs >= 0.85 exist in the base corpus
+        # (measured max 0.601) and signed permutation preserves that
+        # per replica while cross-replica max is 0.615, so the lsh
+        # output must be EXACTLY the 200 replica-0 plants (the
+        # cluster query: 100 triangles + 100 two-node components =
+        # 500 rows) at every scale — identical vectors share every
+        # band, so any shortfall is capping/saturation loss, never
+        # sampling noise
+        extra["srp"] = similarity.last_srp_config()
+        g = dedup.last_band_guard_metrics()
+        if g:
+            extra["band_guard"] = g
+        got = fn(spark, sf_dir).count()
+        want = (similarity.PLANT_COPIES
+                if query == "dedup_embedding_lsh"
+                else 3 * similarity.PLANT2_COPIES
+                + 2 * (similarity.PLANT_COPIES - similarity.PLANT2_COPIES))
+        extra["rows"] = int(got)
+        extra["expected_rows"] = int(want)
+        extra["exact_kernel_match"] = bool(got == want)
+    if query == "ann_ivf_topk":
+        # recall vs the exact kernel AT THE PROBED SCALE (the sf0.1
+        # test asserts >=0.95; this measures it where the IVF plan
+        # actually matters)
+        ivf = {(r["query_id"], r["neighbor_id"])
+               for r in fn(spark, sf_dir).collect()}
+        exact = {(r["query_id"], r["neighbor_id"])
+                 for r in similarity.ann_cosine_topk(spark, sf_dir)
+                 .collect()}
+        extra["recall_vs_exact"] = round(len(ivf & exact) / len(exact), 4)
+        extra["topk_rows"] = len(exact)
     if query == "dedup_simhash":
         # the saturation-era acceptance evidence (round-6 verdict
         # item 5): residual drops + a sampled 95% recall lower bound

@@ -16,8 +16,15 @@ Replication design (K copies, default 10):
   word grams but NOT char grams: char-gram document frequencies grew
   10×, and the char-jaccard prefix join's Σ df² work grew ~100× — an
   artifact of the derivation, not the operator);
-- embeddings shift vec_id only (query vectors vec_id < 8 stay unique,
-  the ANN corpus grows K x);
+- embeddings shift vec_id AND apply a per-replica seeded signed
+  permutation of the 64 dimensions (round 8; the transform and its
+  honesty argument live in make_sf_decade2.signed_perm_expr — same
+  seed family, so sf1's vectors are exactly the first 10 replicas of
+  the decade-2 sf10 build).  The original vec_id-only replication
+  left K IDENTICAL copies of every vector: near-dup pairs then grow
+  quadratically in K by construction, which poisons any probe of
+  whether the IMPLEMENTATION scales linearly.  Query vectors
+  vec_id < 8 stay unique (replica 0 is the identity transform);
 - dimension tables are copied as-is.
 
 Usage: python scripts/make_sf_big.py [K] [out_dir]
@@ -86,7 +93,15 @@ def main() -> None:
                              F.translate("text", alphabet, rotated))
 
     replicate("documents", ["doc_id"], rotate_chars)
-    replicate("embeddings", ["vec_id"])
+
+    from scripts.make_sf_decade2 import signed_perm_expr
+
+    def perm_embedding(df, i):
+        if i == 0:
+            return df
+        return df.withColumn("embedding", signed_perm_expr(i))
+
+    replicate("embeddings", ["vec_id"], perm_embedding)
     print("done:", out_dir)
 
 

@@ -36,10 +36,32 @@ Replication design (K copies of sf0.1's documents, default 100):
   with corpus size is exactly the behavior the probe must include;
 - doc_id shifts by r·10M.
 
-Only documents.parquet is written — the decade-2 probe
-(scripts/decade2_probe.py) runs only the two document-bound queries.
+EMBEDDINGS (round 8, for the embedding-family decade probe): replica
+r applies a seeded SIGNED PERMUTATION of the 64 dimensions (seed
+2000+r; r=0 is the identity).  A signed permutation is an orthogonal
+transform realized as reorder+negate — it touches no float mantissa,
+so within-replica inner products, norms, and therefore the entire
+near-dup/ANN structure are preserved BIT-EXACTLY — while any two
+replicas' relative transform is itself a random signed permutation,
+collapsing cross-replica cosine below the near-dup regime (measured
+max cross-replica cosine 0.615 over the full replica-0 ×
+replicas-1..9 cross product at sf1 — comparable to the base corpus'
+own organic max of 0.601, and far under the 0.85 threshold).  The
+sf1 generator (make_sf_big.py) uses the SAME seed family and the
+same 10M vec_id offset, so sf1's embeddings are literally the first
+10 replicas of sf10's — the decade adds 90 fresh replicas.  (The
+original sf1 replication shifted vec_id only, leaving 10 IDENTICAL
+copies of every vector — a corpus where near-dup pairs grow
+quadratically in K by construction, useless for grading whether the
+IMPLEMENTATION scales linearly.)
+
+By default documents.parquet and embeddings.parquet are both
+written; ``--docs-only`` / ``--embeddings-only`` restrict the build
+(the sf30 decade-3 corpus needs only documents; adding embeddings to
+an existing sf10 shouldn't re-pay the 100-replica documents write).
 
 Usage: python scripts/make_sf_decade2.py [K] [src_dir] [out_dir]
+                                         [--docs-only|--embeddings-only]
 Defaults: K=100, src=/root/testdata/sf0.1, out=/root/repo/.bigdata/sf10
 """
 
@@ -83,10 +105,43 @@ def select_maps(k: int, max_shared: int = 4) -> list[str]:
     return maps
 
 
+EMB_DIM = 64
+
+
+def signed_perm(r: int) -> tuple[list[int], list[float]]:
+    """Replica r's signed permutation of the EMB_DIM dimensions
+    (seeded, deterministic; r=0 is the identity by convention of the
+    caller)."""
+    import random
+    rng = random.Random(2000 + r)
+    perm = list(range(EMB_DIM))
+    rng.shuffle(perm)
+    signs = [rng.choice((1.0, -1.0)) for _ in range(EMB_DIM)]
+    return perm, signs
+
+
+def signed_perm_expr(r: int):
+    """Column expression applying replica r's signed permutation to
+    ``embedding`` (array<float>).  Reorder + unary negation only —
+    no float mantissa is touched, so the transform is exactly
+    orthogonal in float arithmetic (see module doc)."""
+    if r == 0:
+        return F.col("embedding")
+    perm, signs = signed_perm(r)
+    terms = [("-" if s < 0 else "") + f"embedding[{p}]"
+             for p, s in zip(perm, signs)]
+    return F.expr("array(" + ", ".join(terms) + ")")
+
+
 def main() -> None:
-    k = int(sys.argv[1]) if len(sys.argv) > 1 else 100
-    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    out_dir = sys.argv[3] if len(sys.argv) > 3 else \
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    flags = {a for a in sys.argv[1:] if a.startswith("--")}
+    unknown = flags - {"--docs-only", "--embeddings-only"}
+    if unknown or flags == {"--docs-only", "--embeddings-only"}:
+        raise SystemExit(f"bad flags: {sorted(flags)}")
+    k = int(args[0]) if len(args) > 0 else 100
+    src = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    out_dir = args[2] if len(args) > 2 else \
         "/root/repo/.bigdata/sf10"
     from greenplum_dwh_spark.session import get_spark
     spark = get_spark("make_sf_decade2",
@@ -99,29 +154,45 @@ def main() -> None:
     # select_maps enforces the bound by construction; the assert
     # re-checks it (and pins the K<=100 byte-compatibility: the greedy
     # walk skips nothing there, so sf10 regenerates identically)
-    maps = select_maps(k)
-    worst = max(sum(a == b for a, b in zip(m1, m2))
-                for x, m1 in enumerate(maps)
-                for m2 in maps[x + 1:])
-    assert worst <= 4, f"replica maps too close: share {worst} letters"
-    if k <= 100:
-        assert maps[1:] == [target_alphabet(r) for r in range(1, k)]
-    base = spark.read.parquet(f"{src}/documents.parquet")
-    parts = []
-    for r in range(k):
-        df = base.withColumn("doc_id",
-                             F.col("doc_id") + F.lit(r * OFFSET))
-        if r > 0:
-            df = df.withColumn(
-                "text", F.translate("text", ALPHABET, maps[r]))
-        parts.append(df)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    out.repartition(64).write.mode("overwrite") \
-        .parquet(f"{out_dir}/documents.parquet")
-    n = spark.read.parquet(f"{out_dir}/documents.parquet").count()
-    print("documents rows:", n, "->", out_dir)
+    if "--embeddings-only" not in flags:
+        maps = select_maps(k)
+        worst = max(sum(a == b for a, b in zip(m1, m2))
+                    for x, m1 in enumerate(maps)
+                    for m2 in maps[x + 1:])
+        assert worst <= 4, f"replica maps too close: share {worst} letters"
+        if k <= 100:
+            assert maps[1:] == [target_alphabet(r) for r in range(1, k)]
+        base = spark.read.parquet(f"{src}/documents.parquet")
+        parts = []
+        for r in range(k):
+            df = base.withColumn("doc_id",
+                                 F.col("doc_id") + F.lit(r * OFFSET))
+            if r > 0:
+                df = df.withColumn(
+                    "text", F.translate("text", ALPHABET, maps[r]))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.repartition(64).write.mode("overwrite") \
+            .parquet(f"{out_dir}/documents.parquet")
+        n = spark.read.parquet(f"{out_dir}/documents.parquet").count()
+        print("documents rows:", n, "->", out_dir)
+    if "--docs-only" not in flags:
+        ebase = spark.read.parquet(f"{src}/embeddings.parquet")
+        eparts = []
+        for r in range(k):
+            eparts.append(ebase.select(
+                (F.col("vec_id") + F.lit(r * OFFSET)).alias("vec_id"),
+                signed_perm_expr(r).alias("embedding"),
+                "label"))
+        eout = eparts[0]
+        for p in eparts[1:]:
+            eout = eout.unionByName(p)
+        eout.repartition(16).write.mode("overwrite") \
+            .parquet(f"{out_dir}/embeddings.parquet")
+        n = spark.read.parquet(f"{out_dir}/embeddings.parquet").count()
+        print("embeddings rows:", n, "->", out_dir)
 
 
 if __name__ == "__main__":

@@ -48,51 +48,44 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Run order for the driver's correctness pass.  The driver truncates
 #: the tail of this dict when its global budget (~50 slots) runs out,
-#: so the ordering IS the verification-freshness lever.  Round-7
-#: rotation (round-6 verdict item 1, mechanical): (0) the one NEW
-#: round-7 query (multimodal_av — the fused frames+audio kernel from
-#: the ledger consolidation, never driver-checked), then (a) the
-#: r04-latest-green queries — two rounds stale, all 27 named by the
-#: round-6 verdict, minus the four retired in the consolidation
-#: (multimodal_meta/resize/frames/audio folded into the survivors) —
-#: then (b) the queries whose code paths changed in round 7 (the
-#: fuzzy verify's (lang, blk) re-check + blocking-key insurance; the
-#: PPJoin/banding machinery around the dense-gram fallback legs and
-#: the simhash band-alphabet scaling), then (c) the oldest r05-green
-#: rows by registration order with the remaining slots.  Queries not
+#: so the ordering IS the verification-freshness lever.  Round-8
+#: rotation (round-7 verdict item 1, mechanical): (0) the two NEW
+#: round-8 queries (the end-to-end curation funnel and the multi-key
+#: as-of join, never driver-checked), then (a) ALL 25 queries whose
+#: latest green row is r05 — two rounds stale, exactly the list the
+#: round-7 verdict names — then (b) the queries whose code paths
+#: changed in round 8 (the simhash no-hot-band short-circuit; the
+#: SRP auto-scaled alphabet + projection signature build behind the
+#: embedding-LSH family), then (c) the oldest r06-green rows by
+#: registration order with the remaining 20 slots.  Queries not
 #: listed fall in registration order after these; the 7
 #: no-oracle-by-design queries sit in _RUN_LAST so they never burn a
 #: budget slot on a rows-only check while oracle debt exists.
 _RUN_FIRST = [
-    # (0) new in round 7, never driver-checked — protocol rule (a);
-    # 3 new queries, at the round budget
-    "multimodal_av", "quality_percentile_filter", "gram_novelty_scores",
-    # (a) latest green row is r04 — two rounds stale, clear it all
-    # (multimodal_features/decode also carry their round-7 merged
-    # schemas, so this re-green checks the consolidation too)
-    "funnel_users", "grouping_sets_priority_status", "json_props_agg",
-    "last_week_threshold", "late_shipments", "lm_doc_scores",
-    "moving_sum_rows_frame", "multimodal_decode", "multimodal_features",
-    "nearest_click_event", "not_in_customers", "null_handling_demo",
-    "orders_calendar", "percentile_prices", "pivot_status_counts",
-    "q1_pricing_summary", "q3_segment_revenue", "rollup_merge_hourly",
-    "sessionize_events", "skew_salted_user_totals",
-    "text_bm25_topk_ranks", "tokens_posexplode", "window_rank_family",
-    # (b) touched in round 7 — must re-green fresh
-    "fuzzy_doc_pairs", "dedup_char_jaccard", "dedup_jaccard_prefix",
-    "dedup_containment", "dedup_simhash", "dedup_minhash_lsh",
-    # (c) oldest r05-green, registration order, filling the ~50 budget
-    "bpe_encode_top_words", "canon_text_dedup", "chunk_documents",
-    "decontaminate_ngrams", "decontaminate_ngrams8_planted",
-    "dedup_embedding_clusters", "dedup_incremental", "dedup_keep_best",
-    "dedup_repeated_spans", "dedup_source_overlap",
-    "dq_constraint_violations", "dup_ngram_fraction",
-    "gapfill_forward_fill", "mixture_sampling_rates",
-    "pit_lookup_orders", "q5_nation_revenue", "range_frame_hour_sum",
-    "range_join_hour_buckets",
-    # (range_join_tumbling_rewrite and remove_boilerplate_lines — the
-    # two oldest-r05 rows displaced by the 2 extra new queries — lead
-    # round 8's stale list instead)
+    # (0) new in round 8, never driver-checked
+    "curation_funnel_counts", "asof_join_multikey",
+    # (a) latest green row is r05 — two rounds stale, clear it all
+    # (registration order)
+    "window_lead_scd2", "window_lag_hop", "window_last_scd1",
+    "semi_join_big_orders", "union_labeled_rules", "string_funcs_demo",
+    "range_join_tumbling_rewrite", "scalar_subquery_acctbal",
+    "set_intersect_customers", "set_except_customers",
+    "rollup_status_priority", "tumbling_hourly", "split_leakage_safe",
+    "text_langid", "text_quality", "text_tokens", "text_fingerprint",
+    "text_term_stats", "text_bm25_scaled", "sample_hash_stratified",
+    "scrub_pii", "split_train_holdout", "remove_boilerplate_lines",
+    "shard_and_order", "table_diff_orders",
+    # (b) touched in round 8 — must re-green fresh
+    "dedup_simhash", "dedup_embedding_lsh", "dedup_embedding_clusters",
+    # (c) oldest r06-green, registration order, filling the ~50 budget
+    "q10_returned_items", "zorder_keys_orders", "q18_large_orders",
+    "anti_join_no_orders", "amount_diff_lag", "cube_status_priority",
+    "distinct_parts_per_flag", "asof_last_click", "chain_fraud_window",
+    "unpivot_status_counts", "big_spenders_having",
+    "argmax_order_per_customer", "order_keys_csv",
+    "full_outer_user_hours", "window_nth_family", "dedup_exact",
+    "dedup_clusters", "knn_doc_graph", "text_repetition",
+    "label_centroids_scaled",
 ]
 _RUN_LAST = [
     # no-oracle-by-design (rows-only checks; each pinned by tests —

@@ -92,6 +92,12 @@ def bench_queries() -> dict:
         "last_week_threshold": relational.last_week_threshold,
         "tumbling_hourly": relational.tumbling_hourly,
         "asof_last_click": relational.asof_last_click,
+        # round 8: the multi-key as-of with tolerance (union-tag
+        # single-window plan; DuckDB native ASOF JOIN is the oracle).
+        # curation_funnel_counts is deliberately NOT a headline entry:
+        # it composes seven already-benched stages and runs ~11 s at
+        # sf0.1 — a correctness/composition query, not a kernel.
+        "asof_join_multikey": relational.asof_join_multikey,
         "chain_fraud_window": relational.chain_fraud_window,
         "sessionize_events": sessions.sessionize_events,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,

@@ -601,20 +601,40 @@ def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds (a float percentile cut compared against integer
     scores is the float-bound trap class).  Unscored docs (too short
     to produce a gram/bigram) are KEPT by both cuts, mirroring the
-    demo script's anti-join policy."""
+    demo script's anti-join policy.
+
+    Every stage's surviving ID SET is eagerly ``localCheckpoint``-ed:
+    the result unions TEN aggregates whose lineages nest (stage k's
+    count re-derives stages 1..k), so without reuse the exact-dedup
+    scan runs 10×, the near-dup clustering 9×, … — measured 83 s at
+    sf0.1 — and mere ``cache()`` is NOT enough, because each stage's
+    logical plan still embeds the previous stage's tree in several
+    places and Catalyst's tree transforms copy shared subtrees per
+    path (the classic iterative-lineage blowup: the cached variant
+    planned itself into a >500 s hang).  Checkpointing TRUNCATES the
+    plan at each boundary; an ID set is a few longs per surviving
+    doc, the expensive work (clustering, span scan, gram mass, LM) is
+    captured inside it, and each stage rebuilds as parquet scan + k
+    broadcast-sized id joins — the query form of what a production
+    funnel materializes to storage between stages (measured 11.5 s at
+    sf0.1)."""
     from greenplum_dwh_spark.operators.dedup import (
         drop_repeated_span_dups, exact_dedup, keep_best_per_cluster)
     from greenplum_dwh_spark.operators.text_analysis import dup_ngram_mass
 
     docs0 = (Tables(spark, sf_dir).documents
              .select("doc_id", "text", "n_chars"))
-    d1 = docs0.join(exact_dedup(docs0)
-                    .select(F.col("rep_doc_id").alias("doc_id")),
-                    "doc_id")
-    d2 = d1.join(keep_best_per_cluster(d1)
-                 .select(F.col("keep_doc_id").alias("doc_id")),
-                 "doc_id")
-    d3 = drop_repeated_span_dups(d2, min_len=15)
+    ids1 = (exact_dedup(docs0)
+            .select(F.col("rep_doc_id").alias("doc_id"))
+            .localCheckpoint())
+    d1 = docs0.join(ids1, "doc_id")
+    ids2 = (keep_best_per_cluster(d1)
+            .select(F.col("keep_doc_id").alias("doc_id"))
+            .localCheckpoint())
+    d2 = d1.join(ids2, "doc_id")
+    ids3 = (drop_repeated_span_dups(d2, min_len=15)
+            .select("doc_id").localCheckpoint())
+    d3 = d2.join(ids3, "doc_id")
     # benchmark decontamination on the surviving slice (same
     # calibration as decontaminate_ngrams: doc_id % 97 eval slice,
     # DECON_N-gram overlap, broadcast eval grams)
@@ -627,18 +647,24 @@ def curation_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     contaminated = (grams.filter(F.col("doc_id") % 97 != 0)
                     .join(F.broadcast(ev), "g")
                     .select("doc_id").distinct())
-    d4 = (d3.filter(F.col("doc_id") % 97 != 0)
-          .join(contaminated, "doc_id", "left_anti"))
+    ids4 = (d3.filter(F.col("doc_id") % 97 != 0)
+            .join(contaminated, "doc_id", "left_anti")
+            .select("doc_id").localCheckpoint())
+    d4 = d3.join(ids4, "doc_id")
     # duplicated-n-gram cut: drop the top-2% most duplicated docs
     m5 = _scored_global_rank(dup_ngram_mass(d4), "dup_bps")
     drop5 = (m5.filter(50 * F.col("rk") > 49 * F.col("n"))
              .select("doc_id"))
-    d5 = d4.join(drop5, "doc_id", "left_anti")
+    ids5 = (d4.select("doc_id")
+            .join(drop5, "doc_id", "left_anti").localCheckpoint())
+    d5 = d4.join(ids5, "doc_id")
     # LM-quality cut over the survivors' own bigram LM: drop the
     # bottom-5% scoring tail
     m6 = _scored_global_rank(lm_score(d5), "lm_score_avg")
     drop6 = m6.filter(20 * F.col("rk") <= F.col("n")).select("doc_id")
-    d6 = d5.join(drop6, "doc_id", "left_anti")
+    ids6 = (d5.select("doc_id")
+            .join(drop6, "doc_id", "left_anti").localCheckpoint())
+    d6 = d5.join(ids6, "doc_id")
     train = d6.filter(md5_bucket(F.col("doc_id"), 10000) < 9800)
     chunks = chunk_docs(train)
     shards = shard_order(train).select("shard").distinct()
@@ -679,7 +705,185 @@ QUERIES = {
     "shard_and_order": shard_and_order,
     "lang_quota_sample": lang_quota_sample,
     "quality_percentile_filter": quality_percentile_filter,
+    "curation_funnel_counts": curation_funnel_counts,
 }
+
+
+def _funnel_oracle() -> str:
+    """DuckDB twin of :func:`curation_funnel_counts`: each stage's
+    proven per-query oracle (dedup_exact, dedup_keep_best,
+    dedup_repeated_spans, decontaminate_ngrams, dup_ngram_fraction,
+    lm_doc_scores, split/chunk/shard) chained on the shrinking
+    survivor set.  Stage CTEs are MATERIALIZED — each is referenced
+    by the next stage AND its count row, and default inlining
+    re-evaluates per reference path (the BPE-oracle lesson: 3^stages
+    blowup).  The rank cuts replay the Spark cell decomposition's
+    total order (score, h, doc_id) with a plain serial window — the
+    hash-prefix bucket is a prefix of h, so (score, bkt, h) ≡
+    (score, h) — which is exactly how the decomposition is proven."""
+    from greenplum_dwh_spark.operators.dedup import (REPEAT_MIN_SPAN,
+                                                     REPEAT_SUFFIX_CAP)
+    from greenplum_dwh_spark.operators.text_analysis import DUP_NGRAM_N
+    cap, blk, dn = REPEAT_SUFFIX_CAP, REPEAT_MIN_SPAN, DUP_NGRAM_N
+    h60 = H.HASH60_SQL.format("doc_id::VARCHAR")
+    bucket = H.MD5_BUCKET_SQL
+    return f"""
+        WITH RECURSIVE
+        d0 AS MATERIALIZED (SELECT doc_id, text, n_chars FROM documents),
+        r1 AS (SELECT min(doc_id) AS doc_id FROM d0 GROUP BY md5(text)),
+        d1 AS MATERIALIZED (SELECT d0.* FROM d0 SEMI JOIN r1 USING (doc_id)),
+        sh AS (SELECT doc_id, CASE WHEN len(string_split(text, ' ')) >= 3
+                 THEN (SELECT list_distinct([w[i+0] || ' ' || w[i+1]
+                                             || ' ' || w[i+2]
+                                             for i in range(1, len(w) - 1)])
+                       FROM (SELECT string_split(text, ' ') w))
+                 ELSE [text] END AS s
+               FROM d1),
+        ex AS MATERIALIZED (SELECT doc_id, len(s) AS n, unnest(s) AS t
+                            FROM sh),
+        cand AS (SELECT a.doc_id AS da, b.doc_id AS db,
+                        any_value(a.n) AS na, any_value(b.n) AS nb,
+                        count(*) AS inter
+                 FROM ex a JOIN ex b ON a.t = b.t AND a.doc_id < b.doc_id
+                 GROUP BY a.doc_id, b.doc_id),
+        edges AS (SELECT da, db FROM cand
+                  WHERE inter::DOUBLE / (na + nb - inter) >= 0.5),
+        bidir AS MATERIALIZED (SELECT da u, db v FROM edges
+                               UNION ALL SELECT db, da FROM edges),
+        nodes AS (SELECT DISTINCT u FROM bidir),
+        walk(u, lbl) AS (
+          SELECT u, u FROM nodes
+          UNION
+          SELECT b.v, walk.lbl FROM walk JOIN bidir b ON b.u = walk.u
+          WHERE walk.lbl < b.v),
+        cl AS (SELECT u AS doc_id, min(lbl) AS cluster_id
+               FROM walk GROUP BY u),
+        alld AS (SELECT d1.doc_id, d1.n_chars,
+                        coalesce(cl.cluster_id, d1.doc_id) AS cluster_id
+                 FROM d1 LEFT JOIN cl USING (doc_id)),
+        k2 AS (SELECT doc_id FROM (
+                 SELECT doc_id, row_number() OVER (PARTITION BY cluster_id
+                          ORDER BY n_chars DESC, doc_id) AS rk
+                 FROM alld)
+               WHERE rk = 1),
+        d2 AS MATERIALIZED (SELECT d1.* FROM d1 SEMI JOIN k2 USING (doc_id)),
+        t3 AS (SELECT doc_id, string_split(trim(regexp_replace(
+                   text, '[\\x00-\\x20]+', ' ', 'g')), ' ') AS t
+               FROM d2),
+        sfx AS MATERIALIZED (
+          SELECT doc_id, i AS pos,
+                 array_to_string(t[i:i + {cap} - 1], ' ') AS sfx,
+                 array_to_string(t[i:i + {blk} - 1], ' ') AS blk
+          FROM t3, unnest([i for i in range(1, len(t) - {blk} + 2)])
+               AS u(i)),
+        lagd AS (SELECT doc_id, sfx,
+                        lag(doc_id) OVER w AS pdoc, lag(sfx) OVER w AS psfx
+                 FROM sfx
+                 WINDOW w AS (PARTITION BY blk ORDER BY sfx, doc_id, pos)),
+        prs AS (SELECT doc_id, pdoc, string_split(sfx, ' ') AS a,
+                       string_split(psfx, ' ') AS b
+                FROM lagd WHERE pdoc IS NOT NULL AND pdoc <> doc_id),
+        lcps AS (SELECT doc_id, pdoc, a,
+                        coalesce(nullif(list_position(
+                            [a[i] IS DISTINCT FROM b[i]
+                             for i in range(1, least(len(a), len(b)) + 1)],
+                            true), 0) - 1,
+                            least(len(a), len(b))) AS lcp
+                 FROM prs),
+        sides AS (SELECT doc_id AS d, lcp,
+                         array_to_string(a[1:lcp], ' ') AS span
+                  FROM lcps WHERE lcp >= {blk}
+                  UNION ALL
+                  SELECT pdoc, lcp, array_to_string(a[1:lcp], ' ')
+                  FROM lcps WHERE lcp >= {blk}),
+        best3 AS (SELECT d AS doc_id, lcp AS span_len, span FROM sides
+                  QUALIFY row_number() OVER (PARTITION BY d
+                            ORDER BY lcp DESC, span ASC) = 1),
+        long3 AS MATERIALIZED (SELECT doc_id, span FROM best3
+                               WHERE span_len >= 15),
+        keep3 AS (SELECT span, min(doc_id) AS keep_id FROM long3
+                  GROUP BY span),
+        drop3 AS (SELECT doc_id FROM long3 JOIN keep3 USING (span)
+                  WHERE doc_id <> keep_id),
+        d3 AS MATERIALIZED (SELECT d2.* FROM d2 ANTI JOIN drop3
+                            USING (doc_id)),
+        t4 AS (SELECT doc_id, string_split(text, ' ') AS t FROM d3),
+        g4 AS MATERIALIZED (
+          SELECT doc_id,
+                 array_to_string(list_slice(t, i, i + {dn - 1}), ' ') AS g
+          FROM t4, unnest(range(1, greatest(len(t) - {dn - 2}, 2)))
+               AS u(i)),
+        ev4 AS (SELECT DISTINCT g FROM g4 WHERE doc_id % 97 = 0),
+        cont4 AS (SELECT DISTINCT doc_id FROM g4 JOIN ev4 USING (g)
+                  WHERE doc_id % 97 <> 0),
+        d4 AS MATERIALIZED (
+          SELECT * FROM (SELECT d3.* FROM d3 WHERE doc_id % 97 <> 0) x
+          ANTI JOIN cont4 USING (doc_id)),
+        t5 AS (SELECT doc_id, string_split(text, ' ') AS w FROM d4),
+        g5 AS (SELECT doc_id,
+                      unnest([array_to_string(w[i:i + {dn - 1}], ' ')
+                              for i in range(1, len(w) - {dn - 2})])
+                          AS gram
+               FROM t5 WHERE len(w) >= {dn}),
+        per5 AS MATERIALIZED (SELECT doc_id, gram, count(*) AS m
+                              FROM g5 GROUP BY 1, 2),
+        nd5 AS (SELECT *, count(*) OVER (PARTITION BY gram) AS nd
+                FROM per5),
+        mass5 AS (SELECT doc_id,
+                         ((coalesce(sum(m) FILTER (nd > 1), 0) * 10000)
+                             // sum(m))::BIGINT AS dup_bps
+                  FROM nd5 GROUP BY doc_id),
+        rk5 AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY dup_bps, h, doc_id)
+                           AS rk,
+                       count(*) OVER () AS n
+                FROM (SELECT doc_id, dup_bps, {h60} AS h FROM mass5)),
+        drop5 AS (SELECT doc_id FROM rk5 WHERE 50 * rk > 49 * n),
+        d5 AS MATERIALIZED (SELECT d4.* FROM d4 ANTI JOIN drop5
+                            USING (doc_id)),
+        t6 AS (SELECT doc_id, string_split(text, ' ') AS t FROM d5),
+        bi6 AS MATERIALIZED (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+                             FROM t6, unnest(range(1, len(t))) AS u(i)),
+        c6 AS (SELECT w1, w2, count(*)::BIGINT AS n_pair
+               FROM bi6 GROUP BY w1, w2),
+        lm6 AS (SELECT w1, w2, n_pair,
+                       sum(n_pair) OVER (PARTITION BY w1)::BIGINT AS n_w1
+                FROM c6),
+        s6 AS (SELECT bi6.doc_id,
+                      count(*)::BIGINT AS n_bigrams,
+                      sum(({LM_SCALE}::BIGINT * lm6.n_pair)
+                          // lm6.n_w1)::BIGINT AS lm_sum
+               FROM bi6 JOIN lm6 USING (w1, w2)
+               GROUP BY bi6.doc_id),
+        rk6 AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY sc, h, doc_id) AS rk,
+                       count(*) OVER () AS n
+                FROM (SELECT doc_id, (lm_sum // n_bigrams) AS sc,
+                             {h60} AS h
+                      FROM s6)),
+        drop6 AS (SELECT doc_id FROM rk6 WHERE 20 * rk <= n),
+        d6 AS MATERIALIZED (SELECT d5.* FROM d5 ANTI JOIN drop6
+                            USING (doc_id)),
+        tr AS MATERIALIZED (SELECT * FROM d6
+                            WHERE {bucket.format('doc_id', 10000)} < 9800),
+        ch AS (SELECT coalesce(sum(greatest(
+                   (len(string_split(text, ' ')) - {CHUNK_WINDOW}
+                    + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}, 0) + 1),
+                   0)::BIGINT AS n
+               FROM tr),
+        shd AS (SELECT count(DISTINCT
+                   {bucket.format('doc_id', N_SHARDS)})::BIGINT AS n
+                FROM tr)
+        SELECT '00_raw' AS stage, count(*)::BIGINT AS n_rows FROM d0
+        UNION ALL SELECT '01_exact_dedup', count(*)::BIGINT FROM d1
+        UNION ALL SELECT '02_neardup_keep_best', count(*)::BIGINT FROM d2
+        UNION ALL SELECT '03_repeated_span_dedup', count(*)::BIGINT FROM d3
+        UNION ALL SELECT '04_decontaminated', count(*)::BIGINT FROM d4
+        UNION ALL SELECT '05_dup_gram_filter', count(*)::BIGINT FROM d5
+        UNION ALL SELECT '06_lm_quality_filter', count(*)::BIGINT FROM d6
+        UNION ALL SELECT '07_train_split', count(*)::BIGINT FROM tr
+        UNION ALL SELECT '08_chunks', n FROM ch
+        UNION ALL SELECT '09_shards', n FROM shd"""
 
 def _bpe_encode_oracle() -> str:
     """DuckDB twin of :func:`bpe_encode_top_words`: the same
@@ -906,4 +1110,5 @@ ORACLES = {
         FROM r
         WHERE {QUALITY_PCT_DEN} * (rk - 1)
               >= {QUALITY_PCT_NUM} * (n_lang - 1)""",
+    "curation_funnel_counts": _funnel_oracle(),
 }

@@ -560,6 +560,63 @@ def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
                  _dsum(F.col("value")).alias("sum_value")))
 
 
+#: staleness tolerance for the multi-key as-of join (hours): a quote
+#: older than this is reported NULL, not stale-matched — sized to the
+#: events corpus' per-(user, channel) cadence (~40 h) so both the
+#: matched and the tolerance-nulled branches carry rows at sf0.01
+ASOF_TOLERANCE_HOURS = 48
+
+
+# multi-key as-of join WITH tolerance (round 8): for every purchase,
+# the latest preceding 'view' on the SAME (user_id, channel) composite
+# key — channel derived from the props JSON — NULLed when the match is
+# staler than ASOF_TOLERANCE_HOURS.  The (symbol, venue)-style shape
+# every tick store calls ASOF JOIN, here with a composite equality key
+# and a staleness bound.
+#
+# Plan (the 100 TB story): NOT a range join — both streams union-tag
+# into ONE relation and a single window over the composite key carries
+# the last quote forward (last(when(tag=quote, ...), ignorenulls) over
+# rows preceding), so the only exchange is one hash partition on
+# (user_id, chan); quotes are pre-deduplicated to one row per
+# (key, ts) — greatest event_id wins — so the carry-forward tie-break
+# is deterministic and matches DuckDB's native ASOF JOIN, which is the
+# oracle (equal timestamps match: the quote sorts before the trade at
+# the same ts via the tag).
+def asof_join_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    ev = t.events.select(
+        "event_id", "user_id", "ts", "event_type", "value",
+        F.pmod(k, F.lit(4)).alias("chan"))
+    wq = (Window.partitionBy("user_id", "chan", "ts")
+          .orderBy(F.desc("event_id")))
+    quotes = (ev.filter(F.col("event_type") == "view")
+              .withColumn("rq", F.row_number().over(wq))
+              .filter(F.col("rq") == 1)
+              .select("event_id", "user_id", "chan", "ts", "value",
+                      F.lit(0).alias("tag")))
+    trades = (ev.filter(F.col("event_type") == "purchase")
+              .select("event_id", "user_id", "chan", "ts", "value",
+                      F.lit(1).alias("tag")))
+    w = (Window.partitionBy("user_id", "chan")
+         .orderBy("ts", "tag", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    q_ts = F.last(F.when(F.col("tag") == 0, F.col("ts")),
+                  ignorenulls=True).over(w)
+    q_val = F.last(F.when(F.col("tag") == 0, F.col("value")),
+                   ignorenulls=True).over(w)
+    fresh = F.col("q_ts") >= F.col("ts") - F.expr(
+        f"INTERVAL {ASOF_TOLERANCE_HOURS} HOURS")
+    return (quotes.unionByName(trades)
+            .select("event_id", "user_id", "chan", "ts", "tag",
+                    q_ts.alias("q_ts"), q_val.alias("q_val"))
+            .filter(F.col("tag") == 1)
+            .select("event_id", "user_id", "chan", "ts",
+                    F.when(fresh, F.col("q_ts")).alias("quote_ts"),
+                    F.when(fresh, F.col("q_val")).alias("quote_value")))
+
+
 # as-of join: latest prior 'click' per event, same user (monotonic-max
 # formulation keeps it portable and shuffle-minimal: one window pass).
 def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -789,6 +846,7 @@ QUERIES = {
     "json_props_agg": json_props_agg,
     "tumbling_hourly": tumbling_hourly,
     "asof_last_click": asof_last_click,
+    "asof_join_multikey": asof_join_multikey,
     "chain_fraud_window": chain_fraud_window,
     "skew_salted_user_totals": skew_salted_user_totals,
     "rollup_merge_hourly": rollup_merge_hourly,
@@ -1075,6 +1133,31 @@ ORACLES = {
                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                    AS last_click_ts
         FROM events QUALIFY event_type = 'purchase'""",
+    "asof_join_multikey": f"""
+        WITH ev AS (
+          SELECT event_id, user_id, ts::TIMESTAMP AS ts, event_type,
+                 value,
+                 ((regexp_extract(props, '"k": (-?\\d+)', 1)::BIGINT
+                   % 4) + 4) % 4 AS chan
+          FROM events),
+        q0 AS (
+          SELECT user_id, chan, ts, value,
+                 row_number() OVER (PARTITION BY user_id, chan, ts
+                                    ORDER BY event_id DESC) AS rq
+          FROM ev WHERE event_type = 'view'),
+        quotes AS (SELECT user_id, chan, ts, value FROM q0 WHERE rq = 1),
+        trades AS (SELECT event_id, user_id, chan, ts FROM ev
+                   WHERE event_type = 'purchase')
+        SELECT t.event_id, t.user_id, t.chan, t.ts,
+               CASE WHEN q.ts >= t.ts
+                    - INTERVAL {ASOF_TOLERANCE_HOURS} HOUR
+                    THEN q.ts END AS quote_ts,
+               CASE WHEN q.ts >= t.ts
+                    - INTERVAL {ASOF_TOLERANCE_HOURS} HOUR
+                    THEN q.value END AS quote_value
+        FROM trades t ASOF LEFT JOIN quotes q
+          ON t.user_id = q.user_id AND t.chan = q.chan
+             AND q.ts <= t.ts""",
     "chain_fraud_window": """
         WITH x AS (
           SELECT event_id, user_id, ts, event_type, value,

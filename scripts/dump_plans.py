@@ -82,13 +82,12 @@ FAMILIES = {
                       "BroadcastHashJoin (preserving the doc_id "
                       "partitioning through the bigram Generate); "
                       "the corpus side crosses ONE Exchange"),
-    "dedup_simhash": ("hot-band split (round 7): the per-band size "
-                      "table is alphabet-bounded and joins back as a "
-                      "BROADCAST (no corpus window for the routing); "
-                      "cool buckets self-join; hot memberships re-key "
-                      "by composite (band, other band) through the "
-                      "same windowed guard — saturation re-routes "
-                      "instead of dropping"),
+    "dedup_simhash": ("round-8 short-circuit: on this UNSATURATED "
+                      "corpus the alphabet-bounded size check decides "
+                      "the r06 single-leg plan — one windowed guard, "
+                      "one self-join, NO routing broadcast or "
+                      "two-leg union (those appear only when a band "
+                      "is over cap, as at the sf10 decade probe)"),
     "nearest_click_event": ("bidirectional as-of from ONE Exchange + "
                             "ONE Sort on user_id: last() over the "
                             "preceding frame and first() over the "
@@ -113,6 +112,24 @@ FAMILIES = {
                           "per-(lang,bucket) windows — no "
                           "whole-language single-partition window "
                           "anywhere in the plan"),
+    "dedup_embedding_lsh": ("round-8 SRP rewrite: signatures are ONE "
+                            "map-side Project over the nested plane "
+                            "literal (no n×planes crossJoin, no "
+                            "collect_list shuffle); banded self-join "
+                            "through the shared hot-band guard; exact "
+                            "cosine verify only on collisions"),
+    "asof_join_multikey": ("multi-key as-of with tolerance: union-tag "
+                           "then ONE Exchange + Sort on (user, chan) "
+                           "drives the carry-forward window — no "
+                           "range join, no per-trade candidate "
+                           "blowup; the quote dedup window shares the "
+                           "same sort prefix"),
+    "curation_funnel_counts": ("composed funnel: every stage boundary "
+                               "is a checkpointed ID scan (lineage "
+                               "truncated — stage k's count is scan + "
+                               "k id joins, not a re-run of stages "
+                               "1..k), so the ten unioned aggregates "
+                               "share the materialized stage work"),
 }
 
 

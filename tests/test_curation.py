@@ -454,3 +454,51 @@ def test_quota_sample_rejects_non_power_of_two_buckets(spark):
                                  "doc_id long, text string, lang string")
     with pytest.raises(AssertionError):
         quota_sample(docs, n_buckets=24).collect()
+
+
+def test_curation_funnel_counts_policy_pinned(spark, tmp_path):
+    """Round-8 funnel query: every stage's drop policy pinned on a
+    corpus designed so each stage fires on exactly one known doc —
+    doc 2 (exact dup of 1), doc 3 (near-dup of the longer 4), doc 0
+    (the eval slice itself) + doc 5 (shares an eval 3-gram), doc 8
+    (dup_bps 10000, the deterministic top-2% victim — no hash
+    tiebreak at the boundary), nobody at the LM stage (5% of 4 scored
+    docs < 1), and the 1-token doc 7 surviving both rank cuts
+    unscored."""
+    import hashlib
+
+    from greenplum_dwh_spark.operators.curation import (
+        curation_funnel_counts)
+    texts = {0: "e1 e2 e3 e4",                 # eval doc (0 % 97)
+             1: "a b c d e f g h",
+             2: "a b c d e f g h",             # exact dup -> stage 1
+             3: "p q r s t u v w",             # near-dup, shorter
+             4: "p q r s t u v w x y",         # near-dup, kept
+             5: "k1 k2 e1 e2 e3 k3 k4 k5",     # eval 3-gram -> decon
+             6: "m1 m2 m3 m4 m5 m6 m7 m8",
+             7: "solo",                        # unscored, must survive
+             8: "w1 w2 w3 w4",                 # dup_bps 10000 -> cut
+             9: "w1 w2 w3 w4 n1 n2 n3 n4"}     # dup_bps 3333, kept
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long") \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["stage"]: r["n_rows"] for r in
+           curation_funnel_counts(spark, str(tmp_path)).collect()}
+
+    def bucket(i, mod):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:6],
+                   16) % mod
+
+    d6 = [1, 4, 6, 7, 9]
+    train = [i for i in d6 if bucket(i, 10000) < 9800]
+    assert got == {"00_raw": 10, "01_exact_dedup": 9,
+                   "02_neardup_keep_best": 8,
+                   "03_repeated_span_dedup": 8,
+                   "04_decontaminated": 6, "05_dup_gram_filter": 5,
+                   "06_lm_quality_filter": 5,
+                   "07_train_split": len(train),
+                   # every doc is <= 64 tokens -> one chunk each
+                   "08_chunks": len(train),
+                   "09_shards": len({bucket(i, 32) for i in train})}

@@ -801,3 +801,46 @@ def test_empty_partitioned_init_reads_typed(spark, tmp_path):
         "t", spark.createDataFrame([("y", 2, 7)], schema), "_batch_id")
     got2 = store.read("t").filter(F.col("_batch_id") == 7).collect()
     assert [(r["a"], r["n"]) for r in got2] == [("y", 2)]
+
+
+def test_asof_join_multikey_semantics(spark, tmp_path):
+    """Round-8 multi-key as-of: composite-key isolation, equal-ts
+    inclusion, the max-event_id tie winner among same-ts quotes, the
+    48 h staleness NULL, and the no-prior-quote NULL — each pinned on
+    a designed fixture (the DuckDB native-ASOF oracle covers the bulk
+    corpus; this pins the edges by name)."""
+    from datetime import datetime as dt
+
+    from greenplum_dwh_spark.operators.relational import (
+        asof_join_multikey)
+    P = lambda k: '{"k": %d}' % k
+    rows = [
+        # user 1, chan 0: purchase BEFORE any view -> NULL
+        (0, dt(2024, 1, 1, 9, 0), 1, "purchase", 0.0, P(0)),
+        # view and purchase at the SAME ts -> equal-ts match
+        (1, dt(2024, 1, 1, 10, 0), 1, "view", 5.0, P(0)),
+        (2, dt(2024, 1, 1, 10, 0), 1, "purchase", 0.0, P(0)),
+        # chan 1 view must NOT leak into chan-0 purchases and
+        # vice versa: purchase on chan 1 sees only the chan-1 quote
+        (3, dt(2024, 1, 1, 9, 30), 1, "view", 7.0, P(1)),
+        (4, dt(2024, 1, 1, 12, 0), 1, "purchase", 0.0, P(1)),
+        # user 2: quote exists but is > 48 h stale -> NULLed
+        (5, dt(2024, 1, 1, 0, 0), 2, "view", 9.0, P(0)),
+        (6, dt(2024, 1, 4, 0, 0), 2, "purchase", 0.0, P(0)),
+        # user 3: two quotes at the SAME ts -> max event_id wins
+        (7, dt(2024, 1, 2, 8, 0), 3, "view", 1.0, P(2)),
+        (8, dt(2024, 1, 2, 8, 0), 3, "view", 2.0, P(2)),
+        (9, dt(2024, 1, 2, 9, 0), 3, "purchase", 0.0, P(2)),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+              " event_type string, value double, props string") \
+        .write.parquet(str(tmp_path / "events.parquet"))
+    got = {r["event_id"]: (r["quote_ts"], r["quote_value"]) for r in
+           asof_join_multikey(spark, str(tmp_path)).collect()}
+    assert set(got) == {0, 2, 4, 6, 9}
+    assert got[0] == (None, None)                    # no prior quote
+    assert got[2] == (dt(2024, 1, 1, 10, 0), 5.0)    # equal-ts match
+    assert got[4] == (dt(2024, 1, 1, 9, 30), 7.0)    # chan isolation
+    assert got[6] == (None, None)                    # stale -> NULL
+    assert got[9] == (dt(2024, 1, 2, 8, 0), 2.0)     # tie: max id

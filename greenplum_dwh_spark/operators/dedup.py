@@ -390,12 +390,12 @@ def _simhash_bands(fps: DataFrame) -> DataFrame:
 #: Observation never fired (e.g. AQE pruned the observed node).
 _SPLIT_STAGE1: list = []
 
-#: fps-plan semanticHash → max raw band-bucket size, so repeated
+#: (fps-plan semanticHash, band_cap) → bool(hot), so repeated
 #: simhash_pairs calls on the same fingerprint relation decide the
-#: hot-split plan shape without re-running the check job (see the
+#: hot-split plan shape without re-running the decision jobs (see the
 #: memo discussion in :func:`simhash_pairs`); insertion-ordered dict
 #: doubles as a bounded FIFO
-_HOTNESS_MEMO: dict[int, int] = {}
+_HOTNESS_MEMO: dict[tuple, bool] = {}
 _HOTNESS_MEMO_MAX = 64
 
 
@@ -514,34 +514,50 @@ def simhash_pairs(docs: DataFrame,
         hot_split = False
     if hot_split:
         # bounded driver decision, same class as the fuzzy block-count
-        # at training_data.py:358: ONE aggregate over the alphabet-
-        # bounded size table (≤ n_bands·2^bits groups) decides the
-        # plan shape.  On an unsaturated corpus the split's routing
-        # aggregate + broadcast + two-leg union is pure overhead
-        # (measured +0.9 s at sf0.1, r07 verdict item 3), so build the
-        # single-leg plan when no band is hot — output is identical
-        # both ways because the hot leg would be empty.  The probing
-        # job also warms the fps cache the main plan reuses.
-        # The result is memoized on the fingerprint plan's semantic
-        # hash: the decision is a pure function of the fps relation,
+        # at training_data.py:358.  On an unsaturated corpus the
+        # split's routing aggregate + broadcast + two-leg union is
+        # pure overhead (measured +0.9 s at sf0.1, r07 verdict
+        # item 3), so build the single-leg plan when no band is hot —
+        # output is identical both ways because the hot leg would be
+        # empty.  The decision costs almost nothing at either extreme
+        # because pigeonhole settles it from the DOC COUNT alone:
+        # every band partitions the n fingerprints into ≤ 2^bits
+        # buckets, so n > cap·2^bits forces an over-cap bucket in
+        # EVERY band (split needed — this is the 100 TB branch, no
+        # corpus job at all beyond a column-pruned count), while
+        # n ≤ cap cannot fill any bucket past the cap.  Only inside
+        # the bounded window between (cap < n ≤ cap·2^bits, i.e. a
+        # ≤64k-doc corpus at the default cap) does the exact
+        # alphabet-bounded size aggregate run — small by construction
+        # exactly where it runs (measured 0.4 s at sf0.1; the r08.0
+        # version ran it unconditionally and paid 21 s of fingerprint
+        # build at sf10 for a decision pigeonhole already knew).
+        # The result is memoized on (fingerprint plan semantic hash,
+        # cap): the decision is a pure function of the fps relation,
         # and a memo hit is valid exactly as long as the .cache()
         # above is (both assume the source doesn't mutate under an
-        # unchanged plan mid-session) — repeated calls then pay the
-        # ~0.4 s check job once, not per call.  Worst case on a
-        # (≈2⁻³³) semantic-hash collision the single-leg plan runs on
-        # a hot corpus — whose guard OBSERVES the drops, so even the
+        # unchanged plan mid-session).  Worst case on a (≈2⁻³³)
+        # semantic-hash collision the single-leg plan runs on a hot
+        # corpus — whose guard OBSERVES the drops, so even the
         # pathological miss is visible, never silent.
-        key = fps.semanticHash()
-        max_bn = _HOTNESS_MEMO.get(key)
-        if max_bn is None:
-            max_bn = (bands.groupBy("band")
-                      .agg(F.count(F.lit(1)).alias("_bn"))
-                      .agg(F.max("_bn")).first()[0]) or 0
-            _HOTNESS_MEMO[key] = max_bn
+        mkey = (fps.semanticHash(), band_cap)
+        hot = _HOTNESS_MEMO.get(mkey)
+        if hot is None:
+            alphabet = 1 << H.SIMHASH_BAND_BITS
+            n = (docs if docs is not None else fps).count()
+            if n <= band_cap:
+                hot = False
+            elif n > band_cap * alphabet:
+                hot = True
+            else:
+                max_bn = (bands.groupBy("band")
+                          .agg(F.count(F.lit(1)).alias("_bn"))
+                          .agg(F.max("_bn")).first()[0]) or 0
+                hot = max_bn > band_cap
+            _HOTNESS_MEMO[mkey] = hot
             while len(_HOTNESS_MEMO) > _HOTNESS_MEMO_MAX:
                 _HOTNESS_MEMO.pop(next(iter(_HOTNESS_MEMO)))
-        if max_bn <= band_cap:
-            hot_split = False
+        hot_split = hot
     # 6-bit band alphabets collide often on random fingerprints
     # (~n²/2⁷ candidate rows per band), so verify-then-distinct: the
     # hamming check is one XOR+popcount against the (doc-count-sized)

@@ -545,7 +545,11 @@ def test_simhash_split_short_circuits_on_cold_corpus(spark):
     (no routing aggregate / broadcast / two-leg union — the measured
     +0.9 s sf0.1 overhead) and the output must be identical to
     hot_split=False.  The short-circuit is visible in the guard
-    metrics: no split ⇒ no stage-1 saturation keys."""
+    metrics: no split ⇒ no stage-1 saturation keys.  Also pins the
+    round-8 pigeonhole fast paths of the decision itself: n ≤ cap
+    decides COLD and n > cap·2^bits decides HOT from the count alone
+    (asserted through the memo), with the guaranteed-hot branch's
+    output still correct."""
     rng = random.Random(11)
     rows = []
     for i in range(30):
@@ -559,6 +563,7 @@ def test_simhash_split_short_circuits_on_cold_corpus(spark):
     fps = spark.createDataFrame(rows, "doc_id long, fp long")
     # generous cap: random 60-bit fingerprints over ≤40 docs never
     # put >35 memberships in one 6-bit bucket
+    dedup._HOTNESS_MEMO.clear()
     got_split = {(r["doc_a"], r["doc_b"]) for r in dedup.simhash_pairs(
         None, band_cap=35, fps=fps, hot_split=True).collect()}
     g = dedup.last_band_guard_metrics()
@@ -571,6 +576,30 @@ def test_simhash_split_short_circuits_on_cold_corpus(spark):
              for b, y in rows[ai + 1:]
              if bin(x ^ y).count("1") <= dedup.SIMHASH_MAX_DIST}
     assert got_split == brute and len(brute) >= 10
+    # round-8 pigeonhole fast paths, on a 70-doc corpus: cap 1 means
+    # 70 > 1·2⁶ so EVERY band must hold an over-cap bucket — HOT
+    # decided from the count alone; cap 70 ≥ n means no bucket can
+    # exceed it — COLD from the count alone.  Decisions read back
+    # through the memo; the hot branch's output is still verified.
+    big_rows = [(i, (i * 0x9E3779B97F4A7C15) & ((1 << 60) - 1))
+                for i in range(70)]
+    big = spark.createDataFrame(big_rows, "doc_id long, fp long")
+    got_hot = {(r["doc_a"], r["doc_b"]) for r in dedup.simhash_pairs(
+        None, band_cap=1, fps=big).collect()}
+    assert dedup._HOTNESS_MEMO[(big.semanticHash(), 1)] is True
+    g2 = dedup.last_band_guard_metrics()
+    assert g2["rerouted_rows"] > 0            # split actually routed
+    brute_big = {(a, b) for ai, (a, x) in enumerate(big_rows)
+                 for b, y in big_rows[ai + 1:]
+                 if bin(x ^ y).count("1") <= dedup.SIMHASH_MAX_DIST}
+    # cap=1 composite buckets may residual-cap (observed) — never a
+    # false pair; with zero residual drops the split stays exact
+    if g2["dropped_rows"] == 0:
+        assert got_hot == brute_big
+    else:
+        assert got_hot <= brute_big
+    dedup.simhash_pairs(None, band_cap=70, fps=big).collect()
+    assert dedup._HOTNESS_MEMO[(big.semanticHash(), 70)] is False
 
 
 def test_simhash_split_falls_back_beyond_pigeonhole_bound(spark):

@@ -17,7 +17,7 @@ production streaming paths and write BENCH_stream_r{N}.json.
    commit).  Rows/s here measures the full merge+commit path, not
    just the stream plumbing.
 
-Prints ONE JSON line and writes BENCH_stream_r07.json; per-batch
+Prints ONE JSON line and writes BENCH_stream_r08.json; per-batch
 walls are recorded so a regression in either the fixed trigger cost
 or the per-row merge cost is visible separately.
 """
@@ -43,7 +43,7 @@ INGEST_BATCHES = int(os.environ.get("STREAM_BENCH_INGEST_BATCHES",
                                     "5"))
 CDC_ROWS_PER_BATCH = 10_000
 
-OUT_PATH = os.path.join(REPO, "BENCH_stream_r07.json")
+OUT_PATH = os.path.join(REPO, "BENCH_stream_r08.json")
 
 
 def _timed(handler, walls: list):

@@ -770,6 +770,35 @@ def test_fuzzy_segment_path_matches_bruteforce(spark, tmp_path,
     assert run() == truth                   # plain route
 
 
+def test_fuzzy_big_keys_memo(spark, tmp_path, monkeypatch):
+    """Round-8 follow-up to the round-5 ADVICE note: the block-count
+    planning job memoizes on (source plan semanticHash, split), so a
+    composing loop pays it once.  Pin (a) the first call stores the
+    exact over-split keys the collect found, and (b) a later call
+    CONSULTS the memo — poisoning the entry with [] must reproduce
+    the big_keys=[] single-leg plan, proving the collect didn't
+    silently re-run."""
+    from greenplum_dwh_spark.operators import training_data as td
+
+    spark.createDataFrame(
+        _fuzzy_fixture_docs(),
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    monkeypatch.setattr(td, "FUZZY_BLOCK_SPLIT", 10)
+    td._BIG_KEYS_MEMO.clear()
+    td.fuzzy_doc_pairs(spark, str(tmp_path))
+    ((mkey, keys),) = td._BIG_KEYS_MEMO.items()
+    assert mkey[1] == 10
+    assert len(keys) == 2                   # the fixture's hot keys
+    td._BIG_KEYS_MEMO[mkey] = []
+    poisoned = td.fuzzy_doc_pairs(spark, str(tmp_path))
+    plain = td.fuzzy_doc_pairs(spark, str(tmp_path), big_keys=[])
+    assert poisoned.semanticHash() == plain.semanticHash()
+    td._BIG_KEYS_MEMO.clear()
+
+
 def test_empty_partitioned_init_reads_typed(spark, tmp_path):
     """Round-6: init_append with partition_cols writes NO part files
     (Spark emits only _SUCCESS for an empty partitioned write), so a

@@ -63,7 +63,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #: budget slot on a rows-only check while oracle debt exists.
 _RUN_FIRST = [
     # (0) new in round 8, never driver-checked
-    "curation_funnel_counts", "asof_join_multikey",
+    "curation_funnel_counts", "asof_join_multikey", "dedup_paragraphs",
     # (a) latest green row is r05 — two rounds stale, clear it all
     # (registration order)
     "window_lead_scd2", "window_lag_hop", "window_last_scd1",

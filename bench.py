@@ -98,6 +98,10 @@ def bench_queries() -> dict:
         # it composes seven already-benched stages and runs ~11 s at
         # sf0.1 — a correctness/composition query, not a kernel.
         "asof_join_multikey": relational.asof_join_multikey,
+        # round 8: first-occurrence paragraph dedup (CCNet-style
+        # first-wins, distinct from remove_boilerplate_lines'
+        # delete-everywhere; winner via map-combinable MIN agg)
+        "dedup_paragraphs": curation.dedup_paragraphs,
         "chain_fraud_window": relational.chain_fraud_window,
         "sessionize_events": sessions.sessionize_events,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,

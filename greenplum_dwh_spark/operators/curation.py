@@ -230,6 +230,76 @@ def remove_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# First-occurrence paragraph dedup (round 8) — the CCNet/MassiveWeb
+# paragraph-granular dedup rule (Wenzek et al. 2020 §4.1 dedup
+# paragraphs by hash; Rae et al. 2021 Gopher repetition filters):
+# every paragraph that occurs verbatim anywhere in the corpus keeps
+# exactly its FIRST occurrence (min (doc_id, pos) — arrival order)
+# and is dropped from every later document.  Distinct from
+# remove_boilerplate_lines above, which deletes frequent lines from
+# ALL documents including the first (the C4 rule): boilerplate
+# removal erases the content everywhere; paragraph dedup preserves
+# one canonical copy, so corpus information is never lost — the
+# variant training pipelines run on the main text body.  Paragraphs
+# under PARA_MIN_CHARS are exempt (always kept): deduping "ok"-class
+# fragments would shred ordinary prose, the same reason CCNet hashes
+# only real paragraphs.
+#
+# Scale shape: map-only line explode → groupBy(line) MIN(struct)
+# winner aggregate — map-side combinable, deliberately NOT a window
+# over line (a stop-paragraph at corpus scale funnels every doc
+# containing it through ONE window task; the aggregate partially
+# combines and the probe-side join is AQE-skew-splittable, the
+# gram_novelty_scores recipe) — then one line-keyed join back and a
+# doc-keyed reassembly.  No join carries more than (line, winner);
+# at 100 TB the line string rides as xxhash64 with the verbatim text
+# resolved only at reassembly (kept verbatim here so the DuckDB
+# oracle replays it exactly).  The synthetic corpus has no newlines,
+# so the query plants them deterministically (the shared
+# plant-then-operate discipline): a per-doc unique paragraph (never
+# dropped), a 2-char "ok" line (shared by EVERY doc but under the
+# length floor — pins the exemption), and one of five shared promo
+# paragraphs by doc_id % 5 (each kept exactly once, corpus-wide).
+PARA_MIN_CHARS = 12
+
+
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"),
+        F.lit("\npara unique to document "),
+        F.col("doc_id").cast("string"),
+        F.lit("\nok\nshared promotional paragraph block number "),
+        (F.col("doc_id") % 5).cast("string"))
+    lines = (t.documents
+             .select("doc_id",
+                     F.posexplode(F.split(planted, "\n"))
+                     .alias("pos0", "line"))
+             .select("doc_id", (F.col("pos0") + 1).alias("pos"), "line"))
+    winners = (lines
+               .filter(F.length("line") >= PARA_MIN_CHARS)
+               .groupBy("line")
+               .agg(F.min(F.struct("doc_id", "pos")).alias("w")))
+    flagged = (lines.join(winners, "line", "left")
+               .withColumn("keep",
+                           F.col("w").isNull()
+                           | ((F.col("w.doc_id") == F.col("doc_id"))
+                              & (F.col("w.pos") == F.col("pos")))))
+    # collect_list skips NULLs, so the CASE keeps reassembly to one
+    # doc-keyed exchange (no second kept-only aggregate + join); the
+    # planted unique paragraph guarantees every doc keeps ≥ 1 line
+    return (flagged.groupBy("doc_id")
+            .agg(F.concat_ws("\n", F.expr(
+                     "transform(array_sort(collect_list(CASE WHEN keep"
+                     " THEN struct(pos, line) END)), x -> x.line)"))
+                 .alias("clean_text"),
+                 F.sum(F.when(F.col("keep"), 1).otherwise(0))
+                 .cast("long").alias("n_kept"),
+                 F.sum(F.when(F.col("keep"), 0).otherwise(1))
+                 .cast("long").alias("n_dropped")))
+
+
+# ---------------------------------------------------------------------------
 # Bigram language-model counts with exact conditional-probability
 # ingredients: count(w1,w2) and the left-context total count(w1 ·) —
 # p(w2|w1) is one division away, kept as exact integers so the oracle
@@ -694,6 +764,7 @@ QUERIES = {
     "split_train_holdout": split_train_holdout,
     "chunk_documents": chunk_documents,
     "remove_boilerplate_lines": remove_boilerplate_lines,
+    "dedup_paragraphs": dedup_paragraphs,
     # round-7 ledger consolidation (round-6 verdict item 3):
     # ``bigram_lm_counts`` and ``bpe_pair_counts`` are retired as
     # DRIVER queries — their kernels are strict sub-stages of the two
@@ -1036,6 +1107,31 @@ ORACLES = {
                string_agg(line, chr(10) ORDER BY pos) AS clean_text,
                count(*)::BIGINT AS n_lines_kept
         FROM kept GROUP BY doc_id""",
+    "dedup_paragraphs": f"""
+        WITH p AS (
+          SELECT doc_id,
+                 text || chr(10) || 'para unique to document ' ||
+                 doc_id || chr(10) || 'ok' || chr(10) ||
+                 'shared promotional paragraph block number ' ||
+                 (doc_id % 5) AS planted
+          FROM documents),
+        ls AS (SELECT doc_id, string_split(planted, chr(10)) AS arr
+               FROM p),
+        lines AS (
+          SELECT doc_id, i AS pos, arr[i] AS line
+          FROM ls, unnest(range(1, len(arr) + 1)) AS u(i)),
+        flagged AS (
+          SELECT doc_id, pos, line,
+                 length(line) < {PARA_MIN_CHARS} OR
+                 row_number() OVER (PARTITION BY line
+                                    ORDER BY doc_id, pos) = 1 AS keep
+          FROM lines)
+        SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY pos)
+                 FILTER (WHERE keep) AS clean_text,
+               count(*) FILTER (WHERE keep)::BIGINT AS n_kept,
+               count(*) FILTER (WHERE NOT keep)::BIGINT AS n_dropped
+        FROM flagged GROUP BY doc_id""",
     "lm_doc_scores": f"""
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                       FROM documents),

@@ -502,3 +502,44 @@ def test_curation_funnel_counts_policy_pinned(spark, tmp_path):
                    # every doc is <= 64 tokens -> one chunk each
                    "08_chunks": len(train),
                    "09_shards": len({bucket(i, 32) for i in train})}
+
+
+def test_dedup_paragraphs_first_wins_semantics(spark, tmp_path):
+    """Pin the first-occurrence contract on a hand-built corpus:
+    (a) a paragraph shared by many docs survives ONLY in its min
+    (doc_id, pos) occurrence; (b) sub-floor lines ("ok") are exempt
+    everywhere; (c) an intra-doc repeat keeps the earlier pos;
+    (d) unlike remove_boilerplate_lines, the first copy is PRESERVED
+    (no information loss); (e) reassembly preserves original line
+    order.  The planted fixture routes through the same plant the
+    driver query uses, so doc text itself carries the duplicates."""
+    shared = "every doc repeats this exact paragraph"
+    texts = {
+        # doc 1: shared para at pos 1 AND pos 3 (intra-doc repeat) —
+        # only the pos-1 copy survives anywhere in the corpus
+        1: shared + "\nmiddle filler line one\n" + shared,
+        2: shared + "\nsecond doc own content here",
+        3: "third doc own content lines\n" + shared,
+    }
+    rows = [(i, t, "en", "s", len(t)) for i, t in texts.items()]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long") \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r for r in
+           curation.dedup_paragraphs(spark, str(tmp_path)).collect()}
+
+    lines1 = got[1]["clean_text"].split("\n")
+    assert lines1[0] == shared                      # (a)+(d): first kept
+    assert lines1[1] == "middle filler line one"    # (e): order intact
+    assert "ok" in lines1                           # (b): exempt line
+    assert lines1.count(shared) == 1                # (c): repeat dropped
+    assert got[1]["n_dropped"] == 1
+    for d in (2, 3):
+        assert shared not in got[d]["clean_text"].split("\n")
+        assert "ok" in got[d]["clean_text"].split("\n")
+    # every doc keeps its unique planted para; promo block 1/2/3 all
+    # differ (doc_id % 5), so the only cross-doc drops are `shared`
+    assert got[2]["n_dropped"] == 1 and got[3]["n_dropped"] == 1
+    # totals: kept + dropped = exploded line count per doc
+    assert got[1]["n_kept"] + got[1]["n_dropped"] == 6

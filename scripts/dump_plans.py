@@ -130,6 +130,13 @@ FAMILIES = {
                                "k id joins, not a re-run of stages "
                                "1..k), so the ten unioned aggregates "
                                "share the materialized stage work"),
+    "dedup_paragraphs": ("first-wins paragraph dedup: winner is a "
+                         "partial_min(struct) aggregate re-joined on "
+                         "the line key — NO Window over line (a "
+                         "stop-paragraph would funnel its docs "
+                         "through one task); reassembly is one "
+                         "doc-keyed ObjectHashAggregate with "
+                         "partials"),
 }
 
 

@@ -75,7 +75,15 @@ QUERIES = ("dedup_jaccard_prefix", "fuzzy_doc_pairs",
            # records the chosen bits + band occupancy next to the
            # walls
            "dedup_embedding_lsh", "dedup_embedding_clusters",
-           "ann_ivf_topk")
+           "ann_ivf_topk",
+           # round 8: first-wins paragraph dedup.  The planted promo
+           # lines are the deliberate stress: at sf10 each of the 5
+           # promo paragraphs has ~100k duplicate occurrences, so the
+           # winner join's probe side carries 5 mega-hot line keys —
+           # the plan claim (map-combinable MIN agg + AQE-skew-
+           # splittable join, never a window over line) is exactly
+           # what this measures; output rows stay = n_docs
+           "dedup_paragraphs")
 
 #: queries reading the embeddings table (warm-up + observables differ)
 EMB_QUERIES = ("dedup_embedding_lsh", "dedup_embedding_clusters",
@@ -104,6 +112,7 @@ def inner(query: str, sf_dir: str) -> None:
           "dedup_embedding_lsh": similarity.dedup_embedding_lsh,
           "dedup_embedding_clusters": similarity.dedup_embedding_clusters,
           "ann_ivf_topk": similarity.ann_ivf_topk,
+          "dedup_paragraphs": curation.dedup_paragraphs,
           }[query]
     spark = get_spark("decade2_probe",
                       extra_conf={"spark.ui.enabled": "false"})

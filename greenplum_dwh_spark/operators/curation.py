@@ -263,21 +263,29 @@ def remove_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 PARA_MIN_CHARS = 12
 
 
-def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tables(spark, sf_dir)
-    planted = F.concat(
-        F.col("text"),
-        F.lit("\npara unique to document "),
-        F.col("doc_id").cast("string"),
-        F.lit("\nok\nshared promotional paragraph block number "),
-        (F.col("doc_id") % 5).cast("string"))
-    lines = (t.documents
-             .select("doc_id",
-                     F.posexplode(F.split(planted, "\n"))
-                     .alias("pos0", "line"))
-             .select("doc_id", (F.col("pos0") + 1).alias("pos"), "line"))
+def _doc_lines(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, line) — 1-based positional line explode."""
+    return (docs
+            .select("doc_id",
+                    F.posexplode(F.split("text", "\n"))
+                    .alias("pos0", "line"))
+            .select("doc_id", (F.col("pos0") + 1).alias("pos"), "line"))
+
+
+def paragraph_dedup_core(docs: DataFrame,
+                         min_chars: int = PARA_MIN_CHARS,
+                         banned: DataFrame | None = None) -> DataFrame:
+    """DataFrame-verb form over (doc_id, text): first-wins paragraph
+    dedup with per-doc ordered reassembly → (doc_id, clean_text,
+    n_kept, n_dropped).  ``banned`` (optional, a ``line`` column):
+    paragraphs already claimed by EARLIER data — dropped from every
+    doc regardless of local winnership; the streaming ingest face
+    (:func:`streaming.mart_stream.paragraph_dedup_foreach_batch`)
+    passes its persisted line index here so cross-batch first-wins
+    composes from per-batch calls."""
+    lines = _doc_lines(docs)
     winners = (lines
-               .filter(F.length("line") >= PARA_MIN_CHARS)
+               .filter(F.length("line") >= min_chars)
                .groupBy("line")
                .agg(F.min(F.struct("doc_id", "pos")).alias("w")))
     flagged = (lines.join(winners, "line", "left")
@@ -285,9 +293,18 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("w").isNull()
                            | ((F.col("w.doc_id") == F.col("doc_id"))
                               & (F.col("w.pos") == F.col("pos")))))
+    if banned is not None:
+        flagged = (flagged
+                   .join(banned.select("line").distinct()
+                         .withColumn("_banned", F.lit(True)),
+                         "line", "left")
+                   .withColumn("keep",
+                               F.when(F.col("w").isNull(),
+                                      F.col("keep"))
+                               .otherwise(F.col("keep")
+                                          & F.col("_banned").isNull())))
     # collect_list skips NULLs, so the CASE keeps reassembly to one
-    # doc-keyed exchange (no second kept-only aggregate + join); the
-    # planted unique paragraph guarantees every doc keeps ≥ 1 line
+    # doc-keyed exchange (no second kept-only aggregate + join)
     return (flagged.groupBy("doc_id")
             .agg(F.concat_ws("\n", F.expr(
                      "transform(array_sort(collect_list(CASE WHEN keep"
@@ -297,6 +314,18 @@ def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .cast("long").alias("n_kept"),
                  F.sum(F.when(F.col("keep"), 0).otherwise(1))
                  .cast("long").alias("n_dropped")))
+
+
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    planted = F.concat(
+        F.col("text"),
+        F.lit("\npara unique to document "),
+        F.col("doc_id").cast("string"),
+        F.lit("\nok\nshared promotional paragraph block number "),
+        (F.col("doc_id") % 5).cast("string"))
+    return paragraph_dedup_core(
+        t.documents.select("doc_id", planted.alias("text")))
 
 
 # ---------------------------------------------------------------------------

@@ -691,6 +691,90 @@ def neardup_ingest_foreach_batch(store, corpus_table: str,
     return handle
 
 
+def paragraph_dedup_foreach_batch(store, clean_table: str,
+                                  index_table: str,
+                                  min_chars: int | None = None):
+    """foreachBatch handler for FIRST-WINS paragraph dedup at ingest —
+    the streaming face of
+    :func:`~greenplum_dwh_spark.operators.curation.paragraph_dedup_core`
+    (round 8): each arriving micro-batch dedups its paragraphs against
+    the persisted CLAIMED-LINE index, appends the cleaned docs, and
+    claims its own surviving paragraphs for later batches.
+
+    Semantics (pinned by the stream≡batch test): a paragraph keeps its
+    first occurrence in ARRIVAL order — (batch, doc_id, pos) — and is
+    dropped from every later document; sub-floor lines are exempt
+    everywhere.  Equal to the batch operator over the concatenated
+    input whenever doc_id order refines batch order (the daily-extract
+    discipline: later files carry later ids).
+
+    Scale shape per batch: the core's two post-combine exchanges over
+    BATCH-sized data, plus one index probe pruned to the batch's
+    distinct long lines (broadcast-eligible; at warehouse scale the
+    line rides as xxhash64 and the probe is a bucket-pruned semi
+    join).  The index grows by claimed lines only — the corpus'
+    distinct-paragraph count, not its row count.
+
+    REPLAY-IDEMPOTENT (foreachBatch is at-least-once): cleaned docs
+    land as a ``_batch_id``-partitioned dynamic overwrite; the banned
+    probe EXCLUDES index rows carrying this batch's own ``_batch_id``,
+    so a replay after a crash between the index append and the
+    checkpoint commit re-reaches the same keep decisions instead of
+    banning docs against their own half-committed claims; and the
+    index append anti-joins on line, so the replay appends nothing
+    twice."""
+    from pyspark.sql import types as T
+
+    from greenplum_dwh_spark.operators.curation import (
+        PARA_MIN_CHARS, _doc_lines, paragraph_dedup_core)
+
+    mc = PARA_MIN_CHARS if min_chars is None else min_chars
+    store.init_append(index_table, T.StructType([
+        T.StructField("line", T.StringType()),
+        T.StructField("_batch_id", T.LongType())]))
+    store.init_append(clean_table, T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("clean_text", T.StringType()),
+        T.StructField("n_kept", T.LongType()),
+        T.StructField("n_dropped", T.LongType()),
+        T.StructField("_batch_id", T.LongType())]),
+        partition_cols=["_batch_id"])
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        docs = (batch_df.select("doc_id", "text")
+                .dropDuplicates(["doc_id"]))
+        banned = (store.read(index_table)
+                  .filter(F.col("_batch_id") != int(batch_id))
+                  .select("line"))
+        cleaned = paragraph_dedup_core(docs, mc, banned=banned)
+        # decisions pinned before any table mutates below (the
+        # neardup-ingest recipe): the index append would otherwise
+        # feed back into the banned probe on lazy re-execution
+        cleaned = cleaned.localCheckpoint()
+        store.overwrite_partitions(
+            clean_table,
+            cleaned.withColumn("_batch_id",
+                               F.lit(int(batch_id)).cast("long")),
+            "_batch_id")
+        # newly claimed paragraphs = the KEPT long lines (keep ⇒
+        # within-batch winner AND not banned, for every line over the
+        # floor) — derived from the pinned output so the claim set
+        # can never drift from what was actually kept
+        claimed = (_doc_lines(cleaned.select(
+                       "doc_id", F.col("clean_text").alias("text")))
+                   .filter(F.length("line") >= mc)
+                   .select("line").distinct())
+        store.append(index_table,
+                     claimed.join(store.read(index_table)
+                                  .select("line"), "line", "left_anti")
+                     .withColumn("_batch_id",
+                                 F.lit(int(batch_id)).cast("long")))
+
+    return handle
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str,
                          spark: SparkSession) -> DataFrame:
     """Drain a stream with availableNow into an in-memory table —

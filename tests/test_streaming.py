@@ -944,3 +944,85 @@ def test_stream_quota_admission_matches_prefix_fold(spark, tmp_path):
     assert admitted_set() == before_admit
     assert {tuple(r) for r in store.read("spent").collect()} \
         == before_spent
+
+
+def test_stream_paragraph_dedup_matches_batch(spark, tmp_path):
+    """First-wins paragraph dedup at ingest (round 8): three
+    micro-batches through paragraph_dedup_foreach_batch must produce
+    byte-identical cleaned docs to the batch operator over the
+    concatenated corpus — including a paragraph first claimed
+    MID-STREAM (the claimed-line index must grow between batches, not
+    just hold the seed), the sub-floor exemption, and an intra-batch
+    repeat.  Replay of the last batch must leave both tables
+    unchanged (at-least-once foreachBatch)."""
+    from pyspark.sql import types as T
+
+    from greenplum_dwh_spark.operators.curation import (
+        paragraph_dedup_core)
+    from greenplum_dwh_spark.streaming.mart_stream import (
+        paragraph_dedup_foreach_batch)
+    from greenplum_dwh_spark.tablestore import TableStore
+
+    shared1 = "every batch repeats this exact paragraph"
+    shared2 = "a later paragraph claimed mid stream"
+    batches = [
+        [(1, shared1 + "\nfirst doc own content\nok"),
+         (2, shared1 + "\nsecond doc own content")],
+        [(3, shared2 + "\nthird doc own content\nok"),
+         (4, shared1 + "\n" + shared2 + "\nfourth doc own content")],
+        [(5, shared2 + "\nfifth doc own content\n" + shared2)],
+    ]
+    doc_schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                               T.StructField("text", T.StringType())])
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    handler = paragraph_dedup_foreach_batch(store, "clean", "claimed")
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "pd_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(
+            "doc_id long, text string").parquet(str(src) + "/*.parquet")
+        q = (stream.writeStream.foreachBatch(handler)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, doc_schema).coalesce(1) \
+            .write.parquet(str(src / f"b{i}.parquet"))
+        drain()
+
+    all_rows = [r for b in batches for r in b]
+    want = {(r["doc_id"], r["clean_text"], r["n_kept"], r["n_dropped"])
+            for r in paragraph_dedup_core(
+                spark.createDataFrame(all_rows, doc_schema)).collect()}
+    got = {(r["doc_id"], r["clean_text"], r["n_kept"], r["n_dropped"])
+           for r in store.read("clean")
+           .select("doc_id", "clean_text", "n_kept", "n_dropped")
+           .collect()}
+    assert got == want
+    by_id = {d: (t, k, dr) for d, t, k, dr in got}
+    assert shared1 in by_id[1][0]                 # first claim kept
+    assert shared1 not in by_id[2][0]             # same-batch later doc
+    assert shared1 not in by_id[4][0]             # later-batch doc
+    assert shared2 in by_id[3][0]                 # mid-stream claim
+    assert shared2 not in by_id[4][0] and shared2 not in by_id[5][0]
+    assert "ok" in by_id[3][0].split("\n")        # sub-floor exempt
+    assert by_id[5] == ("fifth doc own content", 1, 2)  # intra repeat
+    # claimed index: exactly the distinct long paragraphs, once each
+    claims = [r["line"] for r in store.read("claimed").collect()]
+    assert len(claims) == len(set(claims))
+    assert {shared1, shared2} <= set(claims)
+    assert "ok" not in set(claims)
+    # at-least-once replay of the final batch: decisions and tables
+    # unchanged (the banned probe excludes this batch's own claims)
+    handler(spark.createDataFrame(batches[2], doc_schema), 2)
+    got2 = {(r["doc_id"], r["clean_text"], r["n_kept"], r["n_dropped"])
+            for r in store.read("clean")
+            .select("doc_id", "clean_text", "n_kept", "n_dropped")
+            .collect()}
+    assert got2 == want
+    assert sorted(r["line"] for r in store.read("claimed").collect()) \
+        == sorted(claims)

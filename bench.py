@@ -212,6 +212,35 @@ def code_hash() -> str:
         return "unknown"
 
 
+#: a slower total may replace the pin only within this slack — above
+#: it the run is a burst, not a reference
+PIN_REGRESSION_SLACK = 1.10
+
+
+def pin_overwrite_guard(total: float, pin_path: str) -> None:
+    """Refuse to overwrite a faster existing pin: a pin is a
+    BEST-CALM reference and measurement noise only ever inflates — so
+    a slower total must not replace a faster one (round 8: a pin that
+    passed the start gate at load 0.32 ran into a mid-run co-tenant
+    burst and wrote 132 s over the 48 s reference; start-load gating
+    alone cannot see a burst that arrives AFTER the gate).
+    ``--pin-force`` bypasses this, for the legitimate slower-pin
+    cases: a code change that genuinely costs wall, or a headline-set
+    change."""
+    if not os.path.exists(pin_path):
+        return
+    with open(pin_path) as f:
+        prev = json.load(f)
+    if total > prev.get("value", float("inf")) * PIN_REGRESSION_SLACK:
+        raise SystemExit(
+            f"--pin refused: measured total {total:.1f}s is "
+            f">{round((PIN_REGRESSION_SLACK - 1) * 100)}% over the "
+            f"existing pin {prev['value']:.1f}s ({prev.get('code')}, "
+            f"{prev.get('pinned_at')}) — a mid-run burst, not a "
+            f"reference; use --pin-force if the slowdown is a real "
+            f"code/headline change")
+
+
 def main() -> None:
     pin = any(a in ("--pin", "--pin-force") for a in sys.argv[1:])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -312,26 +341,8 @@ def main() -> None:
         pin_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)),
             "BENCH_pinned.json")
-        # a pin is a BEST-CALM reference and measurement noise only
-        # ever inflates — so a slower total must not replace a faster
-        # one (round 8: a pin that started at load 0.32 ran into a
-        # mid-run co-tenant burst and wrote 132 s over the 48 s
-        # reference; start-load gating alone cannot see a burst that
-        # arrives AFTER the gate).  --pin-force overrides, for the
-        # legitimate slower-pin cases: a code change that genuinely
-        # costs wall, or a headline-set change.
-        if ("--pin-force" not in sys.argv[1:]
-                and os.path.exists(pin_path)):
-            with open(pin_path) as f:
-                prev = json.load(f)
-            if total > prev.get("value", float("inf")) * 1.10:
-                raise SystemExit(
-                    f"--pin refused: measured total {total:.1f}s is "
-                    f">10% over the existing pin "
-                    f"{prev['value']:.1f}s ({prev.get('code')}, "
-                    f"{prev.get('pinned_at')}) — a mid-run burst, "
-                    f"not a reference; use --pin-force if the "
-                    f"slowdown is a real code/headline change")
+        if "--pin-force" not in sys.argv[1:]:
+            pin_overwrite_guard(total, pin_path)
         with open(pin_path, "w") as f:
             json.dump({"metric": "headline_queries_total_wall",
                        "value": total, "unit": "sec", "sf": sf,

@@ -1104,3 +1104,23 @@ def test_knn_doc_graph_matches_bruteforce_and_prunes_topk(spark):
     assert got == want and len(want) >= 10
     from greenplum_dwh_spark.plans import checks
     assert "WindowGroupLimit" in checks.physical_plan(out)
+
+
+def test_pin_overwrite_guard(tmp_path):
+    """The --pin burst guard (round 8): a slower total must not
+    replace a faster pin (refused past the slack), an equal-or-faster
+    or within-slack total passes, and a missing pin always passes."""
+    import json
+
+    import pytest
+
+    import bench
+
+    p = str(tmp_path / "BENCH_pinned.json")
+    bench.pin_overwrite_guard(999.0, p)          # no pin yet: passes
+    with open(p, "w") as f:
+        json.dump({"value": 48.4, "code": "abc", "pinned_at": "t"}, f)
+    bench.pin_overwrite_guard(40.0, p)           # faster: passes
+    bench.pin_overwrite_guard(48.4 * 1.09, p)    # within slack: passes
+    with pytest.raises(SystemExit, match="pin refused"):
+        bench.pin_overwrite_guard(48.4 * 1.2, p)  # burst: refused

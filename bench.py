@@ -229,8 +229,17 @@ def pin_overwrite_guard(total: float, pin_path: str) -> None:
     change."""
     if not os.path.exists(pin_path):
         return
-    with open(pin_path) as f:
-        prev = json.load(f)
+    try:
+        with open(pin_path) as f:
+            prev = json.load(f)
+    except (OSError, json.JSONDecodeError) as exc:
+        # a truncated/corrupt pin (e.g. a killed earlier --pin run) is
+        # not a reference to defend — allow the overwrite (round-8
+        # ADVICE: the raw JSONDecodeError left plain --pin users with
+        # a stack trace and no escape hatch)
+        print(f"pin guard: existing pin unreadable ({exc}); "
+              f"treating as no pin", file=sys.stderr)
+        return
     if total > prev.get("value", float("inf")) * PIN_REGRESSION_SLACK:
         raise SystemExit(
             f"--pin refused: measured total {total:.1f}s is "

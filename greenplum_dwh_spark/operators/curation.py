@@ -282,7 +282,15 @@ def paragraph_dedup_core(docs: DataFrame,
     doc regardless of local winnership; the streaming ingest face
     (:func:`streaming.mart_stream.paragraph_dedup_foreach_batch`)
     passes its persisted line index here so cross-batch first-wins
-    composes from per-batch calls."""
+    composes from per-batch calls.
+
+    Empty-doc contract (round-8 ADVICE): a doc whose EVERY line is
+    dropped yields ``clean_text = ''`` (empty string, never NULL) —
+    ``concat_ws`` over the empty kept-set is '' and the DuckDB
+    oracles coalesce their filtered ``string_agg`` to match.
+    Unreachable for the driver fixtures (each doc plants a unique
+    paragraph) but live for streaming callers whose whole doc can be
+    claimed by earlier batches."""
     lines = _doc_lines(docs)
     winners = (lines
                .filter(F.length("line") >= min_chars)
@@ -1156,8 +1164,10 @@ ORACLES = {
                                     ORDER BY doc_id, pos) = 1 AS keep
           FROM lines)
         SELECT doc_id,
-               string_agg(line, chr(10) ORDER BY pos)
-                 FILTER (WHERE keep) AS clean_text,
+               -- coalesce: Spark's concat_ws over an empty kept-set
+               -- is '' — the empty-doc contract (round-8 ADVICE)
+               coalesce(string_agg(line, chr(10) ORDER BY pos)
+                 FILTER (WHERE keep), '') AS clean_text,
                count(*) FILTER (WHERE keep)::BIGINT AS n_kept,
                count(*) FILTER (WHERE NOT keep)::BIGINT AS n_dropped
         FROM flagged GROUP BY doc_id""",

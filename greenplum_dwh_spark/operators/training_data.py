@@ -212,12 +212,51 @@ FUZZY_BLOCK_SPLIT = 768
 #: (1-based start positions for substring())
 _FUZZY_SEGS = [(i, 1 + 3 * i, 3) for i in range(12)] + [(12, 37, 4)]
 
-#: (fuzzy-docs plan semanticHash, split threshold) → over-split keys,
-#: so composing callers that rebuild the fuzzy plan in a loop pay the
-#: block-count planning job once per source relation, not per call
-#: (round-8 follow-up to the round-5 ADVICE note on fuzzy_doc_pairs;
-#: insertion-ordered dict doubles as a bounded FIFO)
+#: (fuzzy-docs plan semanticHash, split threshold, source freshness)
+#: → over-split keys, so composing callers that rebuild the fuzzy
+#: plan in a loop pay the block-count planning job once per source
+#: relation, not per call (round-8 follow-up to the round-5 ADVICE
+#: note on fuzzy_doc_pairs; insertion-ordered dict doubles as a
+#: bounded FIFO).  The freshness component exists because a parquet
+#: read's semanticHash hashes the ROOT PATH, not file contents —
+#: without it, rewriting the table at the same path between calls
+#: silently reused stale routing keys (round-8 ADVICE).
 _BIG_KEYS_MEMO: dict[tuple, list] = {}
+
+
+def _source_freshness(sf_dir: str) -> tuple:
+    """Cheap content-change signature of the documents source:
+    (file count, newest mtime_ns, total bytes) over the parquet
+    file/dir — one scandir, no Spark job.  Any in-place rewrite
+    changes at least the mtime, so folding this into the memo key
+    invalidates routing decisions the plan's semanticHash (a
+    path hash) cannot see change."""
+    import os
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isfile(path):
+            st = os.stat(path)
+            return (1, st.st_mtime_ns, st.st_size)
+        n = newest = total = 0
+        with os.scandir(path) as it:
+            for e in it:
+                if e.is_file():
+                    st = e.stat()
+                    n += 1
+                    newest = max(newest, st.st_mtime_ns)
+                    total += st.st_size
+        return (n, newest, total)
+    except OSError:
+        # unstatable source (non-local path): fall back to
+        # plan-identity-only memoization rather than failing the query
+        return ("unstatable",)
+
+
+def clear_fuzzy_memo() -> None:
+    """Drop every memoized block-routing decision — for callers that
+    mutate the documents table in place mid-session and want the next
+    ``fuzzy_doc_pairs`` call to re-plan unconditionally."""
+    _BIG_KEYS_MEMO.clear()
 
 
 def _fuzzy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -364,11 +403,13 @@ def fuzzy_doc_pairs(spark: SparkSession, sf_dir: str,
     relation pays one small job even if the returned DataFrame is
     never executed, and the chosen routing can go stale if the
     underlying table changes between build and execution.  The
-    result is memoized on the source plan's semantic hash (round 8;
-    the simhash-hotness memo discipline — valid exactly as long as an
-    unchanged plan means unchanged data), so composing loops no
-    longer re-pay it, but callers that mutate the table between calls
-    should precompute the over-split keys once and pass them in::
+    result is memoized on (source plan semanticHash, split, source
+    freshness signature) — the freshness term (file count / newest
+    mtime / total bytes, round-9 ADVICE fix) invalidates the memo
+    when the table is rewritten at the same path, which the plan
+    hash alone cannot see; ``clear_fuzzy_memo()`` forces a full
+    re-plan.  Callers that want to skip the planning job entirely
+    can still precompute the over-split keys once and pass them in::
 
         keys = [(r["lang"], r["blk"]) for r in
                 docs.groupBy("lang", "blk").count()
@@ -387,7 +428,8 @@ def fuzzy_doc_pairs(spark: SparkSession, sf_dir: str,
     # to the derived sf1) the plan IS the classic single blocked
     # self-join — zero overhead for the common case.
     if big_keys is None:
-        mkey = (d.semanticHash(), FUZZY_BLOCK_SPLIT)
+        mkey = (d.semanticHash(), FUZZY_BLOCK_SPLIT,
+                _source_freshness(sf_dir))
         big_keys = _BIG_KEYS_MEMO.get(mkey)
         if big_keys is None:
             big_keys = [(r["lang"], r["blk"]) for r in

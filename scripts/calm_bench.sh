@@ -4,6 +4,12 @@
 # consecutive checks 60 s apart) — the round-8 host showed multi-hour
 # co-tenant bursts (3% steal, load 10+ while locally idle) that
 # contaminated every afternoon artifact.  Waits up to MAX_WAIT_MIN.
+#
+# Each step's exit status is checked (round-8 ADVICE: the old
+# '2>/dev/null' swallowed pin_overwrite_guard refusals and crashes,
+# then reported 'pin done' regardless); bench.py --pin's stderr goes
+# to a log whose tail is surfaced on failure, and the script exits
+# with the number of failed steps.
 set -u
 cd "$(dirname "$0")/.."
 MAX_WAIT_MIN=${MAX_WAIT_MIN:-120}
@@ -23,12 +29,35 @@ while [ "$calm_streak" -lt 2 ]; do
     exit 1
   fi
 done
+fails=0
 echo "calm_bench: starting at load $(cat /proc/loadavg)"
 python scripts/scale_probe.py 2>&1 | tail -80
-echo "calm_bench: scale probe done, load $(cat /proc/loadavg); cooling 120s"
+rc=${PIPESTATUS[0]}
+if [ "$rc" -ne 0 ]; then
+  echo "calm_bench: WARNING scale_probe FAILED (rc=$rc)" >&2
+  fails=$((fails + 1))
+fi
+echo "calm_bench: scale probe done (rc=$rc), load $(cat /proc/loadavg); cooling 120s"
 sleep 120
-python bench.py --pin 2>/dev/null | tail -1
-echo "calm_bench: pin done, load $(cat /proc/loadavg); cooling 120s"
+pin_log=$(mktemp /tmp/calm_bench_pin.XXXXXX.log)
+python bench.py --pin 2>"$pin_log" | tail -1
+rc=${PIPESTATUS[0]}
+if [ "$rc" -ne 0 ]; then
+  echo "calm_bench: WARNING bench.py --pin FAILED (rc=$rc); stderr tail:" >&2
+  tail -5 "$pin_log" >&2
+  fails=$((fails + 1))
+else
+  # surface the pin confirmation (or guard warnings) even on success
+  grep -E "pinned ->|pin guard" "$pin_log" >&2 || true
+fi
+rm -f "$pin_log"
+echo "calm_bench: pin done (rc=$rc), load $(cat /proc/loadavg); cooling 120s"
 sleep 120
 python bench_streaming.py 2>&1 | tail -2
-echo "calm_bench: all done, load $(cat /proc/loadavg)"
+rc=${PIPESTATUS[0]}
+if [ "$rc" -ne 0 ]; then
+  echo "calm_bench: WARNING bench_streaming FAILED (rc=$rc)" >&2
+  fails=$((fails + 1))
+fi
+echo "calm_bench: all done, load $(cat /proc/loadavg), failed_steps=$fails"
+exit "$fails"

@@ -772,12 +772,17 @@ def test_fuzzy_segment_path_matches_bruteforce(spark, tmp_path,
 
 def test_fuzzy_big_keys_memo(spark, tmp_path, monkeypatch):
     """Round-8 follow-up to the round-5 ADVICE note: the block-count
-    planning job memoizes on (source plan semanticHash, split), so a
-    composing loop pays it once.  Pin (a) the first call stores the
-    exact over-split keys the collect found, and (b) a later call
-    CONSULTS the memo — poisoning the entry with [] must reproduce
-    the big_keys=[] single-leg plan, proving the collect didn't
-    silently re-run."""
+    planning job memoizes on (source plan semanticHash, split, source
+    freshness), so a composing loop pays it once.  Pin (a) the first
+    call stores the exact over-split keys the collect found, (b) a
+    later call CONSULTS the memo — poisoning the entry with [] must
+    reproduce the big_keys=[] single-leg plan, proving the collect
+    didn't silently re-run — and (c) rewriting the table at the same
+    path MISSES the memo (the round-8 ADVICE staleness hole: a
+    parquet plan's semanticHash hashes the root path, not contents).
+    The memo is monkeypatched to a fresh dict so a mid-test assertion
+    failure cannot leak a poisoned entry into other tests (round-8
+    ADVICE item 5)."""
     from greenplum_dwh_spark.operators import training_data as td
 
     spark.createDataFrame(
@@ -787,7 +792,7 @@ def test_fuzzy_big_keys_memo(spark, tmp_path, monkeypatch):
     ).write.parquet(str(tmp_path / "documents.parquet"))
 
     monkeypatch.setattr(td, "FUZZY_BLOCK_SPLIT", 10)
-    td._BIG_KEYS_MEMO.clear()
+    monkeypatch.setattr(td, "_BIG_KEYS_MEMO", {})
     td.fuzzy_doc_pairs(spark, str(tmp_path))
     ((mkey, keys),) = td._BIG_KEYS_MEMO.items()
     assert mkey[1] == 10
@@ -796,7 +801,19 @@ def test_fuzzy_big_keys_memo(spark, tmp_path, monkeypatch):
     poisoned = td.fuzzy_doc_pairs(spark, str(tmp_path))
     plain = td.fuzzy_doc_pairs(spark, str(tmp_path), big_keys=[])
     assert poisoned.semanticHash() == plain.semanticHash()
-    td._BIG_KEYS_MEMO.clear()
+    # (c) in-place rewrite → different freshness signature → the
+    # poisoned [] entry is NOT consulted; the re-run collect finds
+    # the one hot key that survives the halved fixture
+    spark.createDataFrame(
+        _fuzzy_fixture_docs()[:20],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    td.fuzzy_doc_pairs(spark, str(tmp_path))
+    assert len(td._BIG_KEYS_MEMO) == 2      # a second, fresh entry
+    assert td._BIG_KEYS_MEMO[mkey] == []    # the stale one untouched
+    td.clear_fuzzy_memo()
+    assert not td._BIG_KEYS_MEMO
 
 
 def test_empty_partitioned_init_reads_typed(spark, tmp_path):

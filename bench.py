@@ -102,6 +102,10 @@ def bench_queries() -> dict:
         # first-wins, distinct from remove_boilerplate_lines'
         # delete-everywhere; winner via map-combinable MIN agg)
         "dedup_paragraphs": curation.dedup_paragraphs,
+        # round 9: the hashed-line scale form — winner/flag exchanges
+        # carry (xxhash64, length), never paragraph text; text moves
+        # once, through the doc_id reassembly join
+        "dedup_paragraphs_hashed": curation.dedup_paragraphs_hashed,
         "chain_fraud_window": relational.chain_fraud_window,
         "sessionize_events": sessions.sessionize_events,
         "dedup_minhash_lsh": dedup.dedup_minhash_lsh,

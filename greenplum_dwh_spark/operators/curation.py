@@ -274,7 +274,8 @@ def _doc_lines(docs: DataFrame) -> DataFrame:
 
 def paragraph_dedup_core(docs: DataFrame,
                          min_chars: int = PARA_MIN_CHARS,
-                         banned: DataFrame | None = None) -> DataFrame:
+                         banned: DataFrame | None = None,
+                         hashed: bool = False) -> DataFrame:
     """DataFrame-verb form over (doc_id, text): first-wins paragraph
     dedup with per-doc ordered reassembly → (doc_id, clean_text,
     n_kept, n_dropped).  ``banned`` (optional, a ``line`` column):
@@ -290,7 +291,27 @@ def paragraph_dedup_core(docs: DataFrame,
     oracles coalesce their filtered ``string_agg`` to match.
     Unreachable for the driver fixtures (each doc plants a unique
     paragraph) but live for streaming callers whose whole doc can be
-    claimed by earlier batches."""
+    claimed by earlier batches.
+
+    ``hashed=True`` (round 9 — the 100 TB form, previously prose in
+    this module): byte-identical output from a plan in which NO
+    exchange carries paragraph text.  Lines ride the winner aggregate
+    and the flag join as ``(xxhash64(line), length(line))`` — 12
+    bytes, not the paragraph — and reassembly never re-shuffles
+    exploded lines at all: the per-doc DROPPED positions (typically
+    few; Σ = the corpus duplicate count) aggregate to one array per
+    doc, join back to the ORIGINAL docs relation on doc_id, and a
+    map-side ``filter(split(text))`` rebuilds clean_text in place.
+    Verbatim text therefore moves through exactly one exchange (the
+    doc_id join — irreducible, the output IS the text), vs three in
+    the verbatim plan (winner join probe, flag carry, reassembly
+    groupBy).  Collision contract: two distinct paragraphs merge only
+    on a full 64-bit xxhash collision AT EQUAL LENGTH — expected
+    collisions ≈ L²/2⁶⁵ per length class over L distinct corpus-wide
+    paragraphs (~3·10⁻⁶ at a billion paragraphs); the unit suite pins
+    the two paths byte-identical on every fixture."""
+    if hashed:
+        return _paragraph_dedup_hashed(docs, min_chars, banned)
     lines = _doc_lines(docs)
     winners = (lines
                .filter(F.length("line") >= min_chars)
@@ -324,16 +345,93 @@ def paragraph_dedup_core(docs: DataFrame,
                  .cast("long").alias("n_dropped")))
 
 
-def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = Tables(spark, sf_dir)
+def _line_key(line_col) -> list:
+    """The hashed-path line identity: (xxhash64, length) — length
+    doubles as the sub-floor predicate input AND halves the collision
+    surface (a merge needs a full 64-bit collision at equal length)."""
+    return [F.xxhash64(line_col).alias("lh"),
+            F.length(line_col).alias("ln")]
+
+
+def _paragraph_dedup_hashed(docs: DataFrame, min_chars: int,
+                            banned: DataFrame | None) -> DataFrame:
+    """The ``hashed=True`` plan of :func:`paragraph_dedup_core` —
+    see its docstring for the shuffle accounting and collision
+    contract.  Output is byte-identical to the verbatim plan."""
+    # map-side: (doc_id, pos, lh, ln) — 1-based positions, no text
+    keyed = (docs
+             .select("doc_id",
+                     F.posexplode(F.split("text", "\n"))
+                     .alias("pos0", "line"))
+             .select("doc_id", (F.col("pos0") + 1).alias("pos"),
+                     *_line_key(F.col("line"))))
+    winners = (keyed
+               .filter(F.col("ln") >= min_chars)
+               .groupBy("lh", "ln")
+               .agg(F.min(F.struct("doc_id", "pos")).alias("w")))
+    flagged = (keyed.join(winners, ["lh", "ln"], "left")
+               .withColumn("keep",
+                           F.col("w").isNull()
+                           | ((F.col("w.doc_id") == F.col("doc_id"))
+                              & (F.col("w.pos") == F.col("pos")))))
+    if banned is not None:
+        bkeys = (banned.select(*_line_key(F.col("line"))).distinct()
+                 .withColumn("_banned", F.lit(True)))
+        flagged = (flagged.join(bkeys, ["lh", "ln"], "left")
+                   .withColumn("keep",
+                               F.when(F.col("w").isNull(),
+                                      F.col("keep"))
+                               .otherwise(F.col("keep")
+                                          & F.col("_banned").isNull())))
+    # per-doc dropped positions: Σ rows = the corpus duplicate count,
+    # one array row per doc that lost anything — the ONLY state that
+    # re-joins the docs relation
+    drops = (flagged.filter(~F.col("keep"))
+             .groupBy("doc_id")
+             .agg(F.sort_array(F.collect_list("pos")).alias("_dp"),
+                  F.count(F.lit(1)).alias("_nd")))
+    # map-side reassembly on the original text: filter the split by
+    # dropped position (O(kept·dropped) per doc — bounded by the
+    # doc's own line count, never the corpus)
+    arr = F.split("text", "\n")
+    kept_arr = F.when(F.col("_dp").isNull(), arr).otherwise(
+        F.filter(arr, lambda x, i:
+                 ~F.array_contains(F.col("_dp"), i + F.lit(1))))
+    return (docs.join(drops, "doc_id", "left")
+            .select("doc_id",
+                    F.concat_ws("\n", kept_arr).alias("clean_text"),
+                    (F.size(arr)
+                     - F.coalesce(F.col("_nd"), F.lit(0)))
+                    .cast("long").alias("n_kept"),
+                    F.coalesce(F.col("_nd"), F.lit(0))
+                    .cast("long").alias("n_dropped")))
+
+
+def _planted_paragraph_docs(t: Tables) -> DataFrame:
+    """The shared dedup_paragraphs driver fixture: a per-doc unique
+    paragraph (never dropped), a sub-floor 'ok' line (pins the length
+    exemption), and one of five promo paragraphs by doc_id % 5 (each
+    kept exactly once corpus-wide)."""
     planted = F.concat(
         F.col("text"),
         F.lit("\npara unique to document "),
         F.col("doc_id").cast("string"),
         F.lit("\nok\nshared promotional paragraph block number "),
         (F.col("doc_id") % 5).cast("string"))
+    return t.documents.select("doc_id", planted.alias("text"))
+
+
+def dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return paragraph_dedup_core(_planted_paragraph_docs(Tables(spark, sf_dir)))
+
+
+def dedup_paragraphs_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashed-line twin of :func:`dedup_paragraphs` — identical
+    output (same DuckDB oracle), scale-form plan: paragraph text
+    never rides the winner aggregate, the flag join, or a reassembly
+    groupBy (see :func:`paragraph_dedup_core` ``hashed=True``)."""
     return paragraph_dedup_core(
-        t.documents.select("doc_id", planted.alias("text")))
+        _planted_paragraph_docs(Tables(spark, sf_dir)), hashed=True)
 
 
 # ---------------------------------------------------------------------------
@@ -802,6 +900,9 @@ QUERIES = {
     "chunk_documents": chunk_documents,
     "remove_boilerplate_lines": remove_boilerplate_lines,
     "dedup_paragraphs": dedup_paragraphs,
+    # round 9: the hashed-line scale form, proven against the SAME
+    # oracle (identical output, no text on the winner/flag exchanges)
+    "dedup_paragraphs_hashed": dedup_paragraphs_hashed,
     # round-7 ledger consolidation (round-6 verdict item 3):
     # ``bigram_lm_counts`` and ``bpe_pair_counts`` are retired as
     # DRIVER queries — their kernels are strict sub-stages of the two
@@ -1039,6 +1140,35 @@ def _bpe_encode_oracle() -> str:
     return "".join(parts)
 
 
+#: shared by dedup_paragraphs and its hashed-line twin (identical
+#: output is the twin's contract; the coalesce is the empty-doc
+#: contract — Spark's concat_ws over an empty kept-set is '')
+_DEDUP_PARAGRAPHS_ORACLE = f"""
+        WITH p AS (
+          SELECT doc_id,
+                 text || chr(10) || 'para unique to document ' ||
+                 doc_id || chr(10) || 'ok' || chr(10) ||
+                 'shared promotional paragraph block number ' ||
+                 (doc_id % 5) AS planted
+          FROM documents),
+        ls AS (SELECT doc_id, string_split(planted, chr(10)) AS arr
+               FROM p),
+        lines AS (
+          SELECT doc_id, i AS pos, arr[i] AS line
+          FROM ls, unnest(range(1, len(arr) + 1)) AS u(i)),
+        flagged AS (
+          SELECT doc_id, pos, line,
+                 length(line) < {PARA_MIN_CHARS} OR
+                 row_number() OVER (PARTITION BY line
+                                    ORDER BY doc_id, pos) = 1 AS keep
+          FROM lines)
+        SELECT doc_id,
+               coalesce(string_agg(line, chr(10) ORDER BY pos)
+                 FILTER (WHERE keep), '') AS clean_text,
+               count(*) FILTER (WHERE keep)::BIGINT AS n_kept,
+               count(*) FILTER (WHERE NOT keep)::BIGINT AS n_dropped
+        FROM flagged GROUP BY doc_id"""
+
 ORACLES = {
     "decontaminate_ngrams": f"""
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
@@ -1144,33 +1274,11 @@ ORACLES = {
                string_agg(line, chr(10) ORDER BY pos) AS clean_text,
                count(*)::BIGINT AS n_lines_kept
         FROM kept GROUP BY doc_id""",
-    "dedup_paragraphs": f"""
-        WITH p AS (
-          SELECT doc_id,
-                 text || chr(10) || 'para unique to document ' ||
-                 doc_id || chr(10) || 'ok' || chr(10) ||
-                 'shared promotional paragraph block number ' ||
-                 (doc_id % 5) AS planted
-          FROM documents),
-        ls AS (SELECT doc_id, string_split(planted, chr(10)) AS arr
-               FROM p),
-        lines AS (
-          SELECT doc_id, i AS pos, arr[i] AS line
-          FROM ls, unnest(range(1, len(arr) + 1)) AS u(i)),
-        flagged AS (
-          SELECT doc_id, pos, line,
-                 length(line) < {PARA_MIN_CHARS} OR
-                 row_number() OVER (PARTITION BY line
-                                    ORDER BY doc_id, pos) = 1 AS keep
-          FROM lines)
-        SELECT doc_id,
-               -- coalesce: Spark's concat_ws over an empty kept-set
-               -- is '' — the empty-doc contract (round-8 ADVICE)
-               coalesce(string_agg(line, chr(10) ORDER BY pos)
-                 FILTER (WHERE keep), '') AS clean_text,
-               count(*) FILTER (WHERE keep)::BIGINT AS n_kept,
-               count(*) FILTER (WHERE NOT keep)::BIGINT AS n_dropped
-        FROM flagged GROUP BY doc_id""",
+    "dedup_paragraphs": _DEDUP_PARAGRAPHS_ORACLE,
+    # the hashed-line plan is output-identical BY CONTRACT — same
+    # oracle, so the driver proves the scale form against DuckDB
+    # directly, not merely against the verbatim path
+    "dedup_paragraphs_hashed": _DEDUP_PARAGRAPHS_ORACLE,
     "lm_doc_scores": f"""
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
                       FROM documents),

@@ -543,3 +543,58 @@ def test_dedup_paragraphs_first_wins_semantics(spark, tmp_path):
     assert got[2]["n_dropped"] == 1 and got[3]["n_dropped"] == 1
     # totals: kept + dropped = exploded line count per doc
     assert got[1]["n_kept"] + got[1]["n_dropped"] == 6
+
+
+def _collect_para(df):
+    return sorted((r["doc_id"], r["clean_text"], r["n_kept"],
+                   r["n_dropped"]) for r in df.collect())
+
+
+def test_paragraph_dedup_hashed_byte_identical(spark):
+    """Round 9: the hashed-line plan (text never rides the winner
+    aggregate / flag join / a reassembly groupBy) must be
+    BYTE-IDENTICAL to the verbatim plan — on first-wins, intra-doc
+    repeats, the sub-floor exemption, the banned face, and the
+    empty-doc contract (a fully-banned doc yields clean_text = ''
+    on both paths)."""
+    shared = "every doc repeats this exact paragraph"
+    other = "a different shared paragraph block"
+    docs = spark.createDataFrame(
+        [(1, shared + "\nmiddle filler line one\n" + shared),
+         (2, shared + "\nok\nsecond doc own content here"),
+         (3, other + "\n" + shared + "\nthird doc own content"),
+         # doc 4: EVERY line banned/duplicate -> fully emptied
+         (4, shared + "\n" + other)],
+        "doc_id long, text string")
+    banned = spark.createDataFrame(
+        [(shared,), (other,), ("claimed by an earlier batch",)],
+        "line string")
+    for b in (None, banned):
+        got_v = _collect_para(curation.paragraph_dedup_core(
+            docs, banned=b))
+        got_h = _collect_para(curation.paragraph_dedup_core(
+            docs, banned=b, hashed=True))
+        assert got_v == got_h
+    # the banned run empties doc 4 entirely: '' (never NULL), 0 kept
+    emptied = [r for r in got_h if r[0] == 4]
+    assert emptied == [(4, "", 0, 2)]
+
+
+def test_paragraph_dedup_hashed_randomized_parity(spark):
+    """Property-style pin: 60 docs assembled from a 14-paragraph pool
+    (plus sub-floor fragments and intra-doc repeats, deterministic
+    arrangement) — the hashed and verbatim plans agree byte-for-byte
+    on every doc."""
+    import hashlib
+    pool = [f"pool paragraph number {i} with shared body text"
+            for i in range(14)] + ["ok", "hm", "tiny"]
+    rows = []
+    for d in range(60):
+        h = hashlib.md5(str(d).encode()).hexdigest()
+        lines = [pool[int(h[j], 16) % len(pool)] for j in range(6)]
+        lines.append(f"unique closer for document {d}")
+        rows.append((d, "\n".join(lines)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    assert (_collect_para(curation.paragraph_dedup_core(docs))
+            == _collect_para(curation.paragraph_dedup_core(
+                docs, hashed=True)))

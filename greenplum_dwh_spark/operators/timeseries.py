@@ -206,6 +206,46 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("cum_users")))
 
 
+# The streaming-rollup twin (round 9): the incremental form a
+# continuous "running uniques" dashboard maintains.  A streaming
+# maintainer cannot re-scan history per batch — it appends each
+# batch's PARTIAL first-seen index (user_id, min day within the
+# batch) and merges on read, exactly the HourlyRollup recipe
+# (`rollup_store.py`) applied to a MIN aggregate: first-seen is
+# algebraic (min of per-batch mins IS the global min), so partials
+# merge exactly regardless of how rows split across batches — unlike
+# a COUNT DISTINCT, which is why the index stores per-user state and
+# not per-day counts.  The query expresses one maintenance cycle as
+# a batch plan: three disjoint event slices (stand-ins for arrival
+# batches; pmod, NOT time slices, to pin order-independence) each
+# aggregate to a per-user partial, the union merges to the global
+# first-day index, and the daily rollup + running window finish it.
+# Must equal the serial single-scan oracle bit-for-bit.
+def cumulative_users_rollup_merge(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    t = Tables(spark, sf_dir)
+    ev = t.events.select("user_id", "event_id",
+                         F.to_date("ts").alias("day"))
+    parts = None
+    for i in range(3):
+        p = (ev.filter(F.pmod(F.col("event_id"), F.lit(3)) == i)
+             .groupBy("user_id")
+             .agg(F.min("day").alias("day")))
+        parts = p if parts is None else parts.unionByName(p)
+    first_day = (parts.groupBy("user_id")
+                 .agg(F.min("day").alias("day"))
+                 .groupBy("day")
+                 .agg(F.count(F.lit(1)).alias("new_users")))
+    days = ev.select("day").distinct()
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (days.join(first_day, "day", "left")
+            .select(F.date_format("day", "yyyy-MM-dd").alias("day"),
+                    F.coalesce("new_users", F.lit(0)).alias("new_users"),
+                    F.sum(F.coalesce("new_users", F.lit(0))).over(w)
+                    .alias("cum_users")))
+
+
 # ---------------------------------------------------------------------------
 # Point-in-time (as-of) dimension lookup — the join SCD2 exists for:
 # attach to each fact row the dimension version that was valid AT the
@@ -453,11 +493,30 @@ QUERIES = {
     "gapfill_forward_fill": gapfill_forward_fill,
     "resample_ohlc": resample_ohlc,
     "cumulative_distinct_users": cumulative_distinct_users,
+    # round 9: the streaming-rollup twin — per-batch partial
+    # first-seen indexes merged on read (MIN is algebraic), same
+    # serial oracle
+    "cumulative_users_rollup_merge": cumulative_users_rollup_merge,
     "stats_moments_events": stats_moments_events,
     "covar_components_events": covar_components_events,
     "histogram_orders": histogram_orders,
     "outlier_iqr_events": outlier_iqr_events,
 }
+
+#: shared by cumulative_distinct_users and its rollup-merge twin —
+#: the serial single-scan formulation both plans must reproduce
+_CUM_USERS_ORACLE = """
+        WITH ev AS (SELECT user_id, ts::DATE AS day FROM events),
+        fd AS (SELECT user_id, min(day) AS first_day
+               FROM ev GROUP BY user_id),
+        days AS (SELECT DISTINCT day FROM ev),
+        newu AS (SELECT first_day AS day, count(*)::BIGINT AS new_users
+                 FROM fd GROUP BY first_day)
+        SELECT strftime(d.day, '%Y-%m-%d') AS day,
+               coalesce(n.new_users, 0)::BIGINT AS new_users,
+               (SELECT count(*) FROM fd
+                WHERE fd.first_day <= d.day)::BIGINT AS cum_users
+        FROM days d LEFT JOIN newu n ON d.day = n.day"""
 
 ORACLES = {
     # backward pick = max (ts, id) among clicks ≤ t, forward pick =
@@ -542,18 +601,12 @@ ORACLES = {
                                    l_shipdate)""",
     # independent formulation: per-day count of users whose first
     # active day is <= d (correlated semantics, not the same plan)
-    "cumulative_distinct_users": """
-        WITH ev AS (SELECT user_id, ts::DATE AS day FROM events),
-        fd AS (SELECT user_id, min(day) AS first_day
-               FROM ev GROUP BY user_id),
-        days AS (SELECT DISTINCT day FROM ev),
-        newu AS (SELECT first_day AS day, count(*)::BIGINT AS new_users
-                 FROM fd GROUP BY first_day)
-        SELECT strftime(d.day, '%Y-%m-%d') AS day,
-               coalesce(n.new_users, 0)::BIGINT AS new_users,
-               (SELECT count(*) FROM fd
-                WHERE fd.first_day <= d.day)::BIGINT AS cum_users
-        FROM days d LEFT JOIN newu n ON d.day = n.day""",
+    "cumulative_distinct_users": _CUM_USERS_ORACLE,
+    # the rollup-merge decomposition is output-identical BY CONTRACT
+    # (min of per-slice mins = global min) — same serial oracle, so
+    # the driver proves the streaming maintenance algebra against
+    # DuckDB directly
+    "cumulative_users_rollup_merge": _CUM_USERS_ORACLE,
     "resample_ohlc": """
         WITH ev AS (
           SELECT user_id, date_trunc('hour', ts) AS hour, ts, event_id,

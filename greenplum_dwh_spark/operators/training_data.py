@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from greenplum_dwh_spark.functions.hashing import MD5_BUCKET_SQL
 from greenplum_dwh_spark.sources.tpch import Tables
 
 #: Per-language keep-rate (basis points of the 10k hash space):
@@ -542,8 +543,41 @@ def mixture_sampling_rates(spark: SparkSession,
                     .alias("rate_ppm")))
 
 
+# Mixture APPLICATION (round 9): chain the rates mixture_sampling_rates
+# computes into the actual sampling decision and count what comes out —
+# the step a real pipeline runs next, previously unproven as a
+# composition.  Keep/drop derives from the ONE md5_bucket recipe
+# (functions/hashing.py) in parts-per-million space, so the decision is
+# deterministic, partitioning-independent, and bit-portable to DuckDB.
+# Plan shape: the rates table is |sources| rows → broadcast onto the
+# corpus scan; one conditional aggregate per source finishes it — the
+# corpus is read ONCE (Spark reuses the token-count scan for the rates
+# subplan via exchange reuse where eligible; either way no join ever
+# shuffles the corpus).  Output pins both faces: the input mass, the
+# sampled doc count, and the sampled token mass whose ppm ratio the
+# rates were derived to hit.
+def mixture_apply_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from greenplum_dwh_spark.functions.hashing import md5_bucket
+    t = Tables(spark, sf_dir)
+    rates = mixture_sampling_rates(spark, sf_dir) \
+        .select("source", "rate_ppm")
+    d = t.documents.select(
+        "source", F.size(F.split("text", " ")).alias("n"),
+        md5_bucket(F.col("doc_id"), 1_000_000).alias("b"))
+    keep = F.col("b") < F.col("rate_ppm")
+    return (d.join(F.broadcast(rates), "source")
+            .groupBy("source", "rate_ppm")
+            .agg(F.count(F.lit(1)).alias("n_docs_in"),
+                 F.sum("n").cast("long").alias("n_tokens_in"),
+                 F.sum(F.when(keep, 1).otherwise(0)).cast("long")
+                 .alias("n_docs_sampled"),
+                 F.sum(F.when(keep, F.col("n")).otherwise(0))
+                 .cast("long").alias("n_tokens_sampled")))
+
+
 QUERIES = {
     "mixture_sampling_rates": mixture_sampling_rates,
+    "mixture_apply_sample": mixture_apply_sample,
     "contrastive_negatives": contrastive_negatives,
     "sample_hash_stratified": sample_hash_stratified,
     "scrub_pii": scrub_pii,
@@ -575,6 +609,32 @@ ORACLES = {
                      (1000000::BIGINT * t.total_tokens)
                      // (t.n_sources * n_tokens)) AS rate_ppm
         FROM per_src CROSS JOIN totals t""",
+    "mixture_apply_sample": f"""
+        WITH per_src AS (
+          SELECT source,
+                 sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+          FROM documents GROUP BY source),
+        totals AS (SELECT sum(n_tokens)::BIGINT AS total_tokens,
+                          count(*)::BIGINT AS n_sources FROM per_src),
+        rates AS (
+          SELECT source,
+                 least(1000000::BIGINT,
+                       (1000000::BIGINT * t.total_tokens)
+                       // (t.n_sources * n_tokens)) AS rate_ppm
+          FROM per_src CROSS JOIN totals t),
+        d AS (SELECT source,
+                     len(string_split(text, ' '))::BIGINT AS n,
+                     {MD5_BUCKET_SQL.format('doc_id', 1_000_000)} AS b
+              FROM documents)
+        SELECT d.source, r.rate_ppm,
+               count(*)::BIGINT AS n_docs_in,
+               sum(d.n)::BIGINT AS n_tokens_in,
+               count(*) FILTER (WHERE d.b < r.rate_ppm)::BIGINT
+                   AS n_docs_sampled,
+               coalesce(sum(d.n) FILTER (WHERE d.b < r.rate_ppm),
+                        0)::BIGINT AS n_tokens_sampled
+        FROM d JOIN rates r USING (source)
+        GROUP BY d.source, r.rate_ppm""",
     "contrastive_negatives": f"""
         WITH anchors AS (SELECT doc_id AS anchor_id, lang AS anchor_lang
                          FROM documents

@@ -598,3 +598,76 @@ def test_paragraph_dedup_hashed_randomized_parity(spark):
     assert (_collect_para(curation.paragraph_dedup_core(docs))
             == _collect_para(curation.paragraph_dedup_core(
                 docs, hashed=True)))
+
+
+def test_cumulative_users_rollup_merge_equals_serial(spark, sf_dir,
+                                                     tmp_path):
+    """Round 9: the streaming-rollup decomposition (per-slice partial
+    first-seen indexes merged on read) must equal the serial
+    single-scan form — on the corpus AND on a hand fixture where a
+    user's global first day lives in a DIFFERENT slice than most of
+    their events (the case a per-day partial count, unlike a per-user
+    MIN, would get wrong)."""
+    from datetime import datetime as dt
+
+    from greenplum_dwh_spark.operators.timeseries import (
+        cumulative_distinct_users, cumulative_users_rollup_merge)
+
+    serial = sorted(map(tuple,
+                        cumulative_distinct_users(spark, sf_dir)
+                        .collect()))
+    merged = sorted(map(tuple,
+                        cumulative_users_rollup_merge(spark, sf_dir)
+                        .collect()))
+    assert serial == merged
+
+    # user 1: first event (day 1) has event_id 2 -> slice 2; their
+    # other events sit in slices 0/1 on later days.  user 2 appears
+    # only on day 1.  A per-slice per-day count would report user 1
+    # as "new" twice; the per-user MIN partial must not.
+    rows = [(2, dt(2024, 3, 1), 1), (3, dt(2024, 3, 2), 1),
+            (4, dt(2024, 3, 3), 1), (6, dt(2024, 3, 1), 2),
+            (7, dt(2024, 3, 3), 3)]
+    spark.createDataFrame(
+        [(e, t, u, "click", 1.0, "{}") for e, t, u in rows],
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string") \
+        .write.parquet(str(tmp_path / "events.parquet"))
+    got = sorted(map(tuple, cumulative_users_rollup_merge(
+        spark, str(tmp_path)).collect()))
+    assert got == [("2024-03-01", 2, 2), ("2024-03-02", 0, 2),
+                   ("2024-03-03", 1, 3)]
+
+
+def test_mixture_apply_sample_consistency(spark, sf_dir):
+    """Round 9: the mixture-application query's outputs must be
+    internally consistent with the rates table it chains — same
+    rate_ppm per source, sampled ⊆ input, a full-rate source
+    (rate_ppm = 1e6) keeps everything, and every sampled doc count
+    matches an independent recount under the shared md5 recipe."""
+    from greenplum_dwh_spark.functions.hashing import md5_bucket
+    from greenplum_dwh_spark.operators.training_data import (
+        mixture_apply_sample, mixture_sampling_rates)
+
+    rates = {r["source"]: r["rate_ppm"] for r in
+             mixture_sampling_rates(spark, sf_dir).collect()}
+    got = {r["source"]: r for r in
+           mixture_apply_sample(spark, sf_dir).collect()}
+    assert set(got) == set(rates)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    for src, r in got.items():
+        assert r["rate_ppm"] == rates[src]
+        # independent recount under the shared md5 recipe
+        assert r["n_docs_sampled"] == docs.filter(
+            (F.col("source") == src)
+            & (md5_bucket(F.col("doc_id"), 1_000_000)
+               < rates[src])).count()
+        assert 0 <= r["n_docs_sampled"] <= r["n_docs_in"]
+        assert 0 <= r["n_tokens_sampled"] <= r["n_tokens_in"]
+        if r["rate_ppm"] == 1_000_000:
+            assert r["n_docs_sampled"] == r["n_docs_in"]
+            assert r["n_tokens_sampled"] == r["n_tokens_in"]
+    # at least one source must actually be downsampled for the query
+    # to be exercising the rate (the corpus mixes source masses)
+    assert any(r["n_docs_sampled"] < r["n_docs_in"]
+               for r in got.values())

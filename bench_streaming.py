@@ -43,7 +43,7 @@ INGEST_BATCHES = int(os.environ.get("STREAM_BENCH_INGEST_BATCHES",
                                     "5"))
 CDC_ROWS_PER_BATCH = 10_000
 
-OUT_PATH = os.path.join(REPO, "BENCH_stream_r08.json")
+OUT_PATH = os.path.join(REPO, "BENCH_stream_r09.json")
 
 
 def _timed(handler, walls: list):
@@ -374,6 +374,84 @@ def bench_neardup_ingest(spark, tmp: str) -> dict:
     }
 
 
+def bench_paragraph_dedup_stream(spark, tmp: str) -> dict:
+    """First-wins paragraph dedup at ingest (round-8 twin, benched
+    round 9 — round-8 verdict item 4): the sf0.01 documents table
+    with the driver query's plant (a unique para per doc + one of
+    five shared promo paragraphs, so cross-batch duplicates exist by
+    construction) drained one contiguous doc_id range per trigger
+    through paragraph_dedup_foreach_batch.  Per-batch wall covers the
+    claimed-line-index probe, the core dedup, the partitioned dynamic
+    overwrite and the anti-join index append; the per-batch list is
+    recorded whole because the claim the row exists to check is
+    FLATNESS — the index grows by distinct paragraphs, so batch cost
+    must not trend with batches already ingested."""
+    from pyspark.sql import functions as F
+
+    from greenplum_dwh_spark.operators.curation import PARA_MIN_CHARS
+    from greenplum_dwh_spark.streaming.mart_stream import (
+        paragraph_dedup_foreach_batch)
+    from greenplum_dwh_spark.tablestore import TableStore
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL",
+                            "/root/testdata/sf0.01")
+    planted = F.concat(
+        F.col("text"), F.lit("\npara unique to document "),
+        F.col("doc_id").cast("string"),
+        F.lit("\nok\nshared promotional paragraph block number "),
+        (F.col("doc_id") % 5).cast("string"))
+    docs = (spark.read.parquet(os.path.join(sf_dir,
+                                            "documents.parquet"))
+            .select("doc_id", planted.alias("text")))
+    n_docs = docs.count()
+    lines = docs.select(F.explode(F.split("text", "\n")).alias("line")) \
+        .filter(F.length("line") >= PARA_MIN_CHARS)
+    n_long_lines = lines.count()
+    n_batches = 4
+    src = os.path.join(tmp, "para_src")
+    os.makedirs(src)
+    span = -(-n_docs // n_batches)  # ceil: contiguous arrival ranges
+    for b in range(n_batches):
+        (docs.filter((F.col("doc_id") >= b * span)
+                     & (F.col("doc_id") < (b + 1) * span))
+         .coalesce(1).write.parquet(os.path.join(src, f"b{b}.parquet")))
+    store = TableStore(spark, os.path.join(tmp, "para_store"))
+    walls: list = []
+    handler = paragraph_dedup_foreach_batch(store, "clean", "claimed")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/*.parquet"))
+    t0 = time.time()
+    q = (stream.writeStream
+         .foreachBatch(_timed(handler, walls))
+         .option("checkpointLocation", os.path.join(tmp, "para_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    wall = time.time() - t0
+    index_rows = store.read("claimed").count()
+    clean = store.read("clean")
+    return {
+        "batches": len(walls),
+        "input_docs": n_docs,
+        "clean_docs": clean.count(),
+        "input_long_lines": n_long_lines,
+        "index_rows": int(index_rows),
+        # < 1 ⇔ the stream actually deduplicated: the claimed-line
+        # index holds DISTINCT paragraphs, input rows hold occurrences
+        "claimed_vs_input": round(index_rows / max(n_long_lines, 1), 3),
+        "dropped_paragraphs": int(clean.agg(
+            F.sum("n_dropped")).collect()[0][0] or 0),
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "per_batch_wall_sec": walls,
+        "batch_wall_sec": {
+            "mean": round(sum(walls) / max(len(walls), 1), 3),
+            "max": round(max(walls), 3) if walls else None,
+            "min": round(min(walls), 3) if walls else None,
+        },
+    }
+
+
 def main() -> None:
     from greenplum_dwh_spark.session import get_spark
     spark = get_spark("bench_streaming",
@@ -391,6 +469,8 @@ def main() -> None:
             "cdc_pruned_scaling": bench_cdc_pruned_scaling(spark, tmp),
             "neardup_ingest": bench_neardup_ingest(spark, tmp),
             "quota_admission": bench_quota_admission(spark, tmp),
+            "paragraph_dedup_stream":
+                bench_paragraph_dedup_stream(spark, tmp),
         }
         result["host"] = {"before": load_before, "after": host_load()}
     finally:

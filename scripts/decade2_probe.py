@@ -83,7 +83,15 @@ QUERIES = ("dedup_jaccard_prefix", "fuzzy_doc_pairs",
            # the plan claim (map-combinable MIN agg + AQE-skew-
            # splittable join, never a window over line) is exactly
            # what this measures; output rows stay = n_docs
-           "dedup_paragraphs")
+           "dedup_paragraphs",
+           # round 9: the hashed-line twin — same 100k-duplicate
+           # stress, but the winner join and banned probe carry
+           # (xxhash64, length) instead of the paragraph text, and
+           # reassembly is a map-side filter over split(text).  The
+           # verbatim r8 ratio (5.4×) was dominated by text movement;
+           # this row measures what remains once text rides only the
+           # doc_id join
+           "dedup_paragraphs_hashed")
 
 #: queries reading the embeddings table (warm-up + observables differ)
 EMB_QUERIES = ("dedup_embedding_lsh", "dedup_embedding_clusters",
@@ -113,6 +121,7 @@ def inner(query: str, sf_dir: str) -> None:
           "dedup_embedding_clusters": similarity.dedup_embedding_clusters,
           "ann_ivf_topk": similarity.ann_ivf_topk,
           "dedup_paragraphs": curation.dedup_paragraphs,
+          "dedup_paragraphs_hashed": curation.dedup_paragraphs_hashed,
           }[query]
     spark = get_spark("decade2_probe",
                       extra_conf={"spark.ui.enabled": "false"})

@@ -25,8 +25,17 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+#: non-headline queries that still get probe rows (round-8 verdict
+#: item 5): the 10-stage curation funnel is deliberately not a
+#: headline kernel (11 s composition of already-benched stages), but
+#: its checkpoint-chain cost under 10× data is exactly what the probe
+#: exists to measure
+EXTRA_PROBE_QUERIES = "curation_funnel_counts"
+
+
 def bench(sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+               SPARK_GRAFT_BENCH_EXTRA=EXTRA_PROBE_QUERIES)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env, cwd=REPO, capture_output=True, text=True, check=True)

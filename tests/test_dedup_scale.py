@@ -1124,3 +1124,67 @@ def test_pin_overwrite_guard(tmp_path):
     bench.pin_overwrite_guard(48.4 * 1.09, p)    # within slack: passes
     with pytest.raises(SystemExit, match="pin refused"):
         bench.pin_overwrite_guard(48.4 * 1.2, p)  # burst: refused
+
+
+def test_pin_guard_corrupt_pin_allows(tmp_path, capsys):
+    """Round-8 ADVICE: a truncated/corrupt pin file (killed earlier
+    --pin run) is 'no pin', not a crash — the guard warns and allows."""
+    import bench
+
+    p = str(tmp_path / "BENCH_pinned.json")
+    with open(p, "w") as f:
+        f.write('{"value": 48.')         # truncated JSON
+    bench.pin_overwrite_guard(999.0, p)  # must not raise
+
+
+def test_vs_pin_block_burst_adjudication(tmp_path):
+    """Round-8 verdict item 2: the artifact adjudicates its own
+    bursts.  A uniformly 2×-inflated run reads controls_median ≈ 2
+    (host steal visible on zero-exchange plans); a calm run reads
+    ≈ 1 with no flags; no/corrupt pin → None; queries absent from
+    the pin are skipped, never divided by zero."""
+    import json
+
+    import bench
+
+    p = str(tmp_path / "BENCH_pinned.json")
+    assert bench.vs_pin_block({"q": 1.0}, p) is None     # no pin
+    pin_q = {c: 0.5 for c in bench.MAP_ONLY_CONTROLS}
+    pin_q.update({"dedup_simhash": 2.0, "q1": 1.0, "zero": 0.0})
+    with open(p, "w") as f:
+        json.dump({"value": 4.0, "code": "abc", "queries": pin_q}, f)
+
+    calm = bench.vs_pin_block(
+        {**{c: 0.52 for c in bench.MAP_ONLY_CONTROLS},
+         "dedup_simhash": 2.1, "q1": 0.9, "zero": 3.0, "new_q": 1.0},
+        p)
+    assert calm["controls_median"] == 1.04
+    assert calm["n_over_1p5"] == 0
+    assert "zero" not in calm["ratios"]      # 0-valued pin skipped
+    assert "new_q" not in calm["ratios"]     # not in pin: skipped
+    assert calm["pin_value"] == 4.0
+
+    burst = bench.vs_pin_block(
+        {**{c: 1.0 for c in bench.MAP_ONLY_CONTROLS},
+         "dedup_simhash": 4.2, "q1": 2.0}, p)
+    assert burst["controls_median"] == 2.0
+    assert burst["median"] == 2.0
+    assert burst["n_over_1p5"] == 6
+
+    with open(p, "w") as f:
+        f.write("{corrupt")
+    assert bench.vs_pin_block({"q": 1.0}, p) is None     # corrupt pin
+
+
+def test_vs_pin_block_sf_mismatch_none(tmp_path):
+    """A pin measured at another scale factor is not a reference for
+    this run — cross-scale ratios would read as a burst."""
+    import json
+
+    import bench
+
+    p = str(tmp_path / "BENCH_pinned.json")
+    with open(p, "w") as f:
+        json.dump({"value": 4.0, "sf": 0.1, "queries": {"q": 1.0}}, f)
+    assert bench.vs_pin_block({"q": 2.0}, p, sf=0.001) is None
+    assert bench.vs_pin_block({"q": 2.0}, p, sf=0.1) is not None

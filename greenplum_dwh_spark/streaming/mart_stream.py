@@ -708,12 +708,16 @@ def paragraph_dedup_foreach_batch(store, clean_table: str,
     input whenever doc_id order refines batch order (the daily-extract
     discipline: later files carry later ids).
 
-    Scale shape per batch: the core's two post-combine exchanges over
-    BATCH-sized data, plus one index probe pruned to the batch's
-    distinct long lines (broadcast-eligible; at warehouse scale the
-    line rides as xxhash64 and the probe is a bucket-pruned semi
-    join).  The index grows by claimed lines only — the corpus'
-    distinct-paragraph count, not its row count.
+    Scale shape per batch: the HASHED core (round 9 —
+    ``paragraph_dedup_core(hashed=True)``): winner/flag/banned
+    exchanges carry (xxhash64, length) only, batch text rides one
+    doc_id join, and the index probe moves hashed keys, not
+    paragraphs (the index itself stays verbatim — one row per claimed
+    paragraph — because claims are data, not routing).  The index
+    grows by claimed lines only — the corpus' distinct-paragraph
+    count, not its row count.  Output is byte-identical to the
+    verbatim core (the pinned contract), so stream ≡ batch holds
+    against EITHER face.
 
     REPLAY-IDEMPOTENT (foreachBatch is at-least-once): cleaned docs
     land as a ``_batch_id``-partitioned dynamic overwrite; the banned
@@ -748,7 +752,8 @@ def paragraph_dedup_foreach_batch(store, clean_table: str,
         banned = (store.read(index_table)
                   .filter(F.col("_batch_id") != int(batch_id))
                   .select("line"))
-        cleaned = paragraph_dedup_core(docs, mc, banned=banned)
+        cleaned = paragraph_dedup_core(docs, mc, banned=banned,
+                                       hashed=True)
         # decisions pinned before any table mutates below (the
         # neardup-ingest recipe): the index append would otherwise
         # feed back into the banned probe on lazy re-execution

@@ -137,6 +137,26 @@ FAMILIES = {
                          "through one task); reassembly is one "
                          "doc-keyed ObjectHashAggregate with "
                          "partials"),
+    "dedup_paragraphs_hashed": ("the 100 TB form: winner agg, flag "
+                                "join and drop aggregate all key on "
+                                "(xxhash64, length) — the paragraph "
+                                "text column appears in NO exchange "
+                                "before the final doc_id join; "
+                                "reassembly is a map-side filter "
+                                "over split(text), no line-level "
+                                "groupBy at all"),
+    "cumulative_users_rollup_merge": ("streaming-rollup algebra: three "
+                                      "slice scans reduce to per-user "
+                                      "partial MIN aggregates (partial "
+                                      "before each exchange), one merge "
+                                      "aggregate, then day-level "
+                                      "work on |days| rows — no "
+                                      "corpus-sized window"),
+    "mixture_apply_sample": ("mixture application: the rates subplan "
+                             "aggregates to |sources| rows and joins "
+                             "back as a BroadcastHashJoin — the "
+                             "corpus scan is never re-shuffled; "
+                             "keep/drop is a map-side md5 predicate"),
 }
 
 

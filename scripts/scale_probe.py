@@ -33,13 +33,34 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXTRA_PROBE_QUERIES = "curation_funnel_counts"
 
 
-def bench(sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
-               SPARK_GRAFT_BENCH_EXTRA=EXTRA_PROBE_QUERIES)
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        env=env, cwd=REPO, capture_output=True, text=True, check=True)
-    r = json.loads(out.stdout.strip().splitlines()[-1])
+def bench(sf_dir: str, retries: int = 2,
+          max_controls_median: float = 1.25) -> dict:
+    """One fresh-JVM bench leg.  The sf0.1 leg self-adjudicates
+    against the committed calm pin (round 9): when its map-only
+    control median reads > ``max_controls_median`` the leg was
+    burst-inflated (host steal on zero-exchange plans) and is
+    RETRIED after a load drain — the mechanical version of the
+    'which run was calm' call that round-8/9 probe runs kept needing
+    by hand (three same-code runs flagged three disjoint query
+    sets).  The big leg has no pin; its honesty signal is the
+    committed artifact's host stamps + round-over-round comparison."""
+    for attempt in range(retries + 1):
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir,
+                   SPARK_GRAFT_BENCH_EXTRA=EXTRA_PROBE_QUERIES)
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, cwd=REPO, capture_output=True, text=True,
+            check=True)
+        r = json.loads(out.stdout.strip().splitlines()[-1])
+        cm = (r.get("vs_pin") or {}).get("controls_median")
+        if cm is not None and cm > max_controls_median \
+                and attempt < retries:
+            print(f"scale_probe: {sf_dir} leg burst-inflated "
+                  f"(controls_median {cm}); draining + retrying",
+                  file=sys.stderr, flush=True)
+            wait_load_drain()
+            continue
+        break
     # band_guard/ppjoin moved OFF bench.py's stdout line into the
     # sidecar in round 7 (the driver's tail capture had truncated the
     # headline total); read the sidecar HERE, before the next bench
@@ -53,11 +74,31 @@ def bench(sf_dir: str) -> dict:
     return r
 
 
+def wait_load_drain(threshold: float = 1.5,
+                    max_wait_s: int = 600) -> None:
+    """Block until load_1m drops under ``threshold`` (or the cap) —
+    the small leg's own 32-thread load otherwise bleeds into the big
+    leg's first queries and shows up as a phantom super-linear ratio
+    (round 9: two same-code probe runs flagged disjoint query sets,
+    q3_segment_revenue read 1.65× then 3.72× with the big leg
+    starting at load 5.9)."""
+    import time
+    waited = 0
+    while waited < max_wait_s:
+        if os.getloadavg()[0] < threshold:
+            return
+        time.sleep(30)
+        waited += 30
+    print(f"scale_probe: load never drained under {threshold} "
+          f"in {max_wait_s}s; proceeding", file=sys.stderr)
+
+
 def main() -> None:
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     big = sys.argv[2] if len(sys.argv) > 2 else \
         os.path.join(REPO, ".bigdata/sf1")
     a = bench(small)
+    wait_load_drain()
     b = bench(big)
     print(f"{'query':32s} {'small':>7s} {'big':>8s} {'ratio':>6s}")
     flagged, ratios = [], {}
@@ -83,6 +124,22 @@ def main() -> None:
     artifact = dict(b)
     artifact["small_sf"] = a["sf"]
     artifact["small_total"] = a["value"]
+    # rider queries inflate the raw totals (the funnel alone is ~12 s
+    # small / ~30 s big), so round-over-round total comparisons use
+    # the HEADLINE-ONLY totals recorded here
+    riders = [x.strip() for x in EXTRA_PROBE_QUERIES.split(",")
+              if x.strip()]
+    artifact["rider_queries"] = riders
+    artifact["small_total_headline"] = round(
+        a["value"] - sum(a["queries"].get(x, 0) for x in riders), 3)
+    artifact["value_headline"] = round(
+        b["value"] - sum(b["queries"].get(x, 0) for x in riders), 3)
+    # the small leg's own burst adjudication (vs the committed pin)
+    # and both legs' per-query load summaries ride the artifact, so
+    # a reader can judge each leg's calm-ness without re-deriving it
+    artifact["small_vs_pin"] = a.get("vs_pin")
+    artifact["small_load"] = a.get("load")
+    artifact["big_load"] = b.get("load")
     artifact["ratios_vs_small"] = ratios
     artifact["flagged_over_3x"] = flagged
     # when the big scale actually LOST rows, grade the recall loss

@@ -275,7 +275,9 @@ def _doc_lines(docs: DataFrame) -> DataFrame:
 def paragraph_dedup_core(docs: DataFrame,
                          min_chars: int = PARA_MIN_CHARS,
                          banned: DataFrame | None = None,
-                         hashed: bool = False) -> DataFrame:
+                         hashed: bool = False,
+                         banned_keys: DataFrame | None = None
+                         ) -> DataFrame:
     """DataFrame-verb form over (doc_id, text): first-wins paragraph
     dedup with per-doc ordered reassembly → (doc_id, clean_text,
     n_kept, n_dropped).  ``banned`` (optional, a ``line`` column):
@@ -309,9 +311,23 @@ def paragraph_dedup_core(docs: DataFrame,
     on a full 64-bit xxhash collision AT EQUAL LENGTH — expected
     collisions ≈ L²/2⁶⁵ per length class over L distinct corpus-wide
     paragraphs (~3·10⁻⁶ at a billion paragraphs); the unit suite pins
-    the two paths byte-identical on every fixture."""
+    the two paths byte-identical on every fixture.
+
+    ``banned_keys`` (hashed-only): a PRE-HASHED banned set —
+    ``(lh, ln)`` columns as produced by the same (xxhash64, length)
+    recipe — for callers that persist the keys next to the claimed
+    lines (the streaming index): the ban probe then COLUMN-PRUNES to
+    12 bytes/row at the parquet scan instead of re-reading and
+    re-hashing every claimed paragraph per batch.  Identical
+    semantics to ``banned`` under the hashed path's collision
+    contract (the verbatim-line ``banned`` input is hashed to exactly
+    these keys internally)."""
+    if banned_keys is not None and not hashed:
+        raise ValueError("banned_keys requires hashed=True — the "
+                         "verbatim plan joins on the line itself")
     if hashed:
-        return _paragraph_dedup_hashed(docs, min_chars, banned)
+        return _paragraph_dedup_hashed(docs, min_chars, banned,
+                                       banned_keys)
     lines = _doc_lines(docs)
     winners = (lines
                .filter(F.length("line") >= min_chars)
@@ -354,7 +370,9 @@ def _line_key(line_col) -> list:
 
 
 def _paragraph_dedup_hashed(docs: DataFrame, min_chars: int,
-                            banned: DataFrame | None) -> DataFrame:
+                            banned: DataFrame | None,
+                            banned_keys: DataFrame | None = None
+                            ) -> DataFrame:
     """The ``hashed=True`` plan of :func:`paragraph_dedup_core` —
     see its docstring for the shuffle accounting and collision
     contract.  Output is byte-identical to the verbatim plan."""
@@ -374,9 +392,11 @@ def _paragraph_dedup_hashed(docs: DataFrame, min_chars: int,
                            F.col("w").isNull()
                            | ((F.col("w.doc_id") == F.col("doc_id"))
                               & (F.col("w.pos") == F.col("pos")))))
-    if banned is not None:
-        bkeys = (banned.select(*_line_key(F.col("line"))).distinct()
-                 .withColumn("_banned", F.lit(True)))
+    if banned is not None or banned_keys is not None:
+        bkeys = (banned_keys.select("lh", "ln")
+                 if banned_keys is not None
+                 else banned.select(*_line_key(F.col("line"))))
+        bkeys = bkeys.distinct().withColumn("_banned", F.lit(True))
         flagged = (flagged.join(bkeys, ["lh", "ln"], "left")
                    .withColumn("keep",
                                F.when(F.col("w").isNull(),

@@ -711,13 +711,15 @@ def paragraph_dedup_foreach_batch(store, clean_table: str,
     Scale shape per batch: the HASHED core (round 9 —
     ``paragraph_dedup_core(hashed=True)``): winner/flag/banned
     exchanges carry (xxhash64, length) only, batch text rides one
-    doc_id join, and the index probe moves hashed keys, not
-    paragraphs (the index itself stays verbatim — one row per claimed
-    paragraph — because claims are data, not routing).  The index
-    grows by claimed lines only — the corpus' distinct-paragraph
-    count, not its row count.  Output is byte-identical to the
-    verbatim core (the pinned contract), so stream ≡ batch holds
-    against EITHER face.
+    doc_id join, and the ban probe reads ONLY the index's
+    pre-computed (lh, ln) key columns — a column-pruned 12-byte/row
+    parquet scan, never the claimed paragraphs themselves (the index
+    still stores the verbatim line beside its keys: claims are data —
+    audits and rebuilds need them — but routing never re-reads or
+    re-hashes them).  The index grows by claimed lines only — the
+    corpus' distinct-paragraph count, not its row count.  Output is
+    byte-identical to the verbatim core (the pinned contract), so
+    stream ≡ batch holds against EITHER face.
 
     REPLAY-IDEMPOTENT (foreachBatch is at-least-once): cleaned docs
     land as a ``_batch_id``-partitioned dynamic overwrite; the banned
@@ -725,16 +727,18 @@ def paragraph_dedup_foreach_batch(store, clean_table: str,
     so a replay after a crash between the index append and the
     checkpoint commit re-reaches the same keep decisions instead of
     banning docs against their own half-committed claims; and the
-    index append anti-joins on line, so the replay appends nothing
-    twice."""
+    index append anti-joins on the (lh, ln) key, so the replay
+    appends nothing twice."""
     from pyspark.sql import types as T
 
     from greenplum_dwh_spark.operators.curation import (
-        PARA_MIN_CHARS, _doc_lines, paragraph_dedup_core)
+        PARA_MIN_CHARS, _doc_lines, _line_key, paragraph_dedup_core)
 
     mc = PARA_MIN_CHARS if min_chars is None else min_chars
     store.init_append(index_table, T.StructType([
         T.StructField("line", T.StringType()),
+        T.StructField("lh", T.LongType()),
+        T.StructField("ln", T.IntegerType()),
         T.StructField("_batch_id", T.LongType())]))
     store.init_append(clean_table, T.StructType([
         T.StructField("doc_id", T.LongType()),
@@ -749,11 +753,11 @@ def paragraph_dedup_foreach_batch(store, clean_table: str,
             return
         docs = (batch_df.select("doc_id", "text")
                 .dropDuplicates(["doc_id"]))
-        banned = (store.read(index_table)
-                  .filter(F.col("_batch_id") != int(batch_id))
-                  .select("line"))
-        cleaned = paragraph_dedup_core(docs, mc, banned=banned,
-                                       hashed=True)
+        banned_keys = (store.read(index_table)
+                       .filter(F.col("_batch_id") != int(batch_id))
+                       .select("lh", "ln"))
+        cleaned = paragraph_dedup_core(docs, mc, hashed=True,
+                                       banned_keys=banned_keys)
         # decisions pinned before any table mutates below (the
         # neardup-ingest recipe): the index append would otherwise
         # feed back into the banned probe on lazy re-execution
@@ -771,9 +775,17 @@ def paragraph_dedup_foreach_batch(store, clean_table: str,
                        "doc_id", F.col("clean_text").alias("text")))
                    .filter(F.length("line") >= mc)
                    .select("line").distinct())
+        # replay anti-join keys on (lh, ln) too, so NO index read in
+        # this handler ever touches the stored paragraph text — a
+        # hash-collision "duplicate" claim would be unreachable
+        # anyway (the ban probe, keyed identically, already bans its
+        # line), so the collision contract stays consistent
         store.append(index_table,
-                     claimed.join(store.read(index_table)
-                                  .select("line"), "line", "left_anti")
+                     claimed.select("line", *_line_key(F.col("line")))
+                     .join(store.read(index_table)
+                           .select("lh", "ln"), ["lh", "ln"],
+                           "left_anti")
+                     .select("line", "lh", "ln")
                      .withColumn("_batch_id",
                                  F.lit(int(batch_id)).cast("long")))
 

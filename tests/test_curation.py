@@ -671,3 +671,28 @@ def test_mixture_apply_sample_consistency(spark, sf_dir):
     # to be exercising the rate (the corpus mixes source masses)
     assert any(r["n_docs_sampled"] < r["n_docs_in"]
                for r in got.values())
+
+
+def test_paragraph_dedup_banned_keys_parity(spark):
+    """Round 9: a PRE-HASHED banned set (the streaming index's
+    (lh, ln) columns) must produce byte-identical output to the
+    verbatim-line banned input under the hashed path, and
+    banned_keys without hashed=True must be refused."""
+    import pytest
+
+    docs = spark.createDataFrame(
+        [(1, "shared paragraph body text\nunique one"),
+         (2, "shared paragraph body text\nok\nunique two")],
+        "doc_id long, text string")
+    banned = spark.createDataFrame(
+        [("shared paragraph body text",)], "line string")
+    keys = banned.select(*curation._line_key(F.col("line")))
+    via_lines = _collect_para(curation.paragraph_dedup_core(
+        docs, banned=banned, hashed=True))
+    via_keys = _collect_para(curation.paragraph_dedup_core(
+        docs, banned_keys=keys, hashed=True))
+    assert via_lines == via_keys
+    # the shared para is banned from BOTH docs (no local winner)
+    assert all("shared" not in r[1] for r in via_keys)
+    with pytest.raises(ValueError, match="hashed"):
+        curation.paragraph_dedup_core(docs, banned_keys=keys)

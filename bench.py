@@ -446,6 +446,14 @@ def main() -> None:
                                timespec="seconds"),
                        "pin_max_load": PIN_MAX_LOAD}, f, indent=1)
             f.write("\n")
+        # preserve the pin run's OBSERVABLES too (per-query load,
+        # vs-pin ratios, band-guard/ppjoin counts): the plain sidecar
+        # is overwritten by every later bench/probe leg, which cost
+        # round 9 its calm sidecar
+        import shutil
+        shutil.copyfile(sidecar, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            "BENCH_observables_pinned.json"))
         print(f"pinned -> {pin_path}", file=sys.stderr)
 
 

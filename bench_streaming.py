@@ -410,10 +410,15 @@ def bench_paragraph_dedup_stream(spark, tmp: str) -> dict:
     n_batches = 4
     src = os.path.join(tmp, "para_src")
     os.makedirs(src)
-    span = -(-n_docs // n_batches)  # ceil: contiguous arrival ranges
+    # contiguous arrival ranges anchored at the ACTUAL id extent
+    # (round-9 ADVICE: a [b*span,(b+1)*span) slice over 0 assumes
+    # dense 0-based ids and silently drops the max-id doc when ids
+    # start at 1 and n divides n_batches)
+    lo, hi = docs.agg(F.min("doc_id"), F.max("doc_id")).first()
+    span = -(-(hi - lo + 1) // n_batches)  # ceil over the id extent
     for b in range(n_batches):
-        (docs.filter((F.col("doc_id") >= b * span)
-                     & (F.col("doc_id") < (b + 1) * span))
+        (docs.filter((F.col("doc_id") >= lo + b * span)
+                     & (F.col("doc_id") < lo + (b + 1) * span))
          .coalesce(1).write.parquet(os.path.join(src, f"b{b}.parquet")))
     store = TableStore(spark, os.path.join(tmp, "para_store"))
     walls: list = []

@@ -280,7 +280,18 @@ def paragraph_dedup_core(docs: DataFrame,
                          ) -> DataFrame:
     """DataFrame-verb form over (doc_id, text): first-wins paragraph
     dedup with per-doc ordered reassembly → (doc_id, clean_text,
-    n_kept, n_dropped).  ``banned`` (optional, a ``line`` column):
+    n_kept, n_dropped).
+
+    PRECONDITION: ``doc_id`` is unique in ``docs`` (round-9 ADVICE).
+    The verbatim plan's final groupBy(doc_id) would MERGE duplicate
+    input rows into one interleaved output row while the hashed
+    plan's doc_id join would emit one row per input occurrence — the
+    byte-identical contract between the two faces holds only for
+    unique ids, so callers must dedup first (the streaming ingest
+    face dropDuplicates(["doc_id"]) before calling; the driver
+    fixtures derive from the unique-keyed documents table).
+
+    ``banned`` (optional, a ``line`` column):
     paragraphs already claimed by EARLIER data — dropped from every
     doc regardless of local winnership; the streaming ingest face
     (:func:`streaming.mart_stream.paragraph_dedup_foreach_batch`)

@@ -228,24 +228,31 @@ _BIG_KEYS_MEMO: dict[tuple, list] = {}
 def _source_freshness(sf_dir: str) -> tuple:
     """Cheap content-change signature of the documents source:
     (file count, newest mtime_ns, total bytes) over the parquet
-    file/dir — one scandir, no Spark job.  Any in-place rewrite
-    changes at least the mtime, so folding this into the memo key
-    invalidates routing decisions the plan's semanticHash (a
-    path hash) cannot see change."""
+    file/dir — one directory walk, no Spark job.  Any in-place
+    rewrite changes at least the mtime, so folding this into the
+    memo key invalidates routing decisions the plan's semanticHash
+    (a path hash) cannot see change.  The walk is recursive and
+    folds SUBDIRECTORY mtimes in too (round-9 ADVICE): a dynamic
+    partition overwrite confined to one partition subdirectory of a
+    partitioned layout touches that subdir's mtime even when the
+    top-level marker and the (count, bytes) totals stay unchanged."""
     import os
     path = os.path.join(sf_dir, "documents.parquet")
     try:
         if os.path.isfile(path):
             st = os.stat(path)
             return (1, st.st_mtime_ns, st.st_size)
-        n = newest = total = 0
-        with os.scandir(path) as it:
-            for e in it:
-                if e.is_file():
-                    st = e.stat()
-                    n += 1
-                    newest = max(newest, st.st_mtime_ns)
-                    total += st.st_size
+        n = total = 0
+        newest = os.stat(path).st_mtime_ns
+        for root, dirs, files in os.walk(path):
+            for d in dirs:
+                newest = max(newest, os.stat(
+                    os.path.join(root, d)).st_mtime_ns)
+            for f in files:
+                st = os.stat(os.path.join(root, f))
+                n += 1
+                newest = max(newest, st.st_mtime_ns)
+                total += st.st_size
         return (n, newest, total)
     except OSError:
         # unstatable source (non-local path): fall back to

@@ -735,11 +735,44 @@ def paragraph_dedup_foreach_batch(store, clean_table: str,
         PARA_MIN_CHARS, _doc_lines, _line_key, paragraph_dedup_core)
 
     mc = PARA_MIN_CHARS if min_chars is None else min_chars
-    store.init_append(index_table, T.StructType([
+    index_schema = T.StructType([
         T.StructField("line", T.StringType()),
         T.StructField("lh", T.LongType()),
         T.StructField("ln", T.IntegerType()),
-        T.StructField("_batch_id", T.LongType())]))
+        T.StructField("_batch_id", T.LongType())])
+    legacy = store.exists(index_table)
+    store.init_append(index_table, index_schema)
+    if legacy:
+        # one-shot legacy-index migration (round-9 ADVICE): a
+        # pre-round-9 index stores only (line, _batch_id) — resuming
+        # over it would either raise (lh/ln missing from every file)
+        # or, with mixed old/new files, infer the new schema and
+        # return NULL keys for old rows, silently un-banning their
+        # lines.  Detect either shape and rewrite ONCE with keys
+        # derived from the stored verbatim line (the one read that
+        # legitimately touches paragraph text); every later batch
+        # read stays a column-pruned 12-byte/row key scan.
+        idx = store.read(index_table)
+        cols = idx.columns
+        needs = "lh" not in cols or "ln" not in cols
+        if not needs and idx.filter(F.col("lh").isNull()
+                                    & F.col("line").isNotNull()).take(1):
+            needs = True
+        if needs:
+            lh = (F.col("lh") if "lh" in cols
+                  else F.lit(None).cast("long"))
+            ln = (F.col("ln") if "ln" in cols
+                  else F.lit(None).cast("int"))
+            bid = (F.col("_batch_id") if "_batch_id" in cols
+                   else F.lit(-1).cast("long"))
+            fixed = (idx.select(
+                "line",
+                F.coalesce(lh, F.xxhash64("line")).alias("lh"),
+                F.coalesce(ln, F.length("line")).alias("ln"),
+                bid.alias("_batch_id"))
+                .localCheckpoint())  # pin rows before truncate
+            store.truncate(index_table, index_schema)
+            store.append(index_table, fixed)
     store.init_append(clean_table, T.StructType([
         T.StructField("doc_id", T.LongType()),
         T.StructField("clean_text", T.StringType()),

@@ -1026,3 +1026,71 @@ def test_stream_paragraph_dedup_matches_batch(spark, tmp_path):
     assert got2 == want
     assert sorted(r["line"] for r in store.read("claimed").collect()) \
         == sorted(claims)
+
+
+def test_stream_paragraph_dedup_legacy_index_migration(spark, tmp_path):
+    """Round-9 ADVICE (medium): resuming a paragraph-dedup stream
+    over a PRE-round-9 claimed-line index — (line, _batch_id) only,
+    no (lh, ln) key columns — must not raise on the pruned key reads
+    and must not silently un-ban the legacy claims.  Handler creation
+    performs a one-shot backfill deriving the keys from the stored
+    verbatim line; afterwards (a) the index carries correct non-NULL
+    keys for every legacy row and (b) a new batch repeating a
+    legacy-claimed paragraph drops it.  The mixed-file shape (new
+    appends beside old files → NULL keys on old rows) is exercised
+    too."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from greenplum_dwh_spark.streaming.mart_stream import (
+        paragraph_dedup_foreach_batch)
+    from greenplum_dwh_spark.tablestore import TableStore
+
+    claimed_line = "a paragraph claimed before the round nine schema"
+    store = TableStore(spark, str(tmp_path / "store"))
+    # simulate the pre-round-9 index: parquet files with the OLD
+    # schema written straight into the store's table directory
+    legacy_schema = T.StructType([
+        T.StructField("line", T.StringType()),
+        T.StructField("_batch_id", T.LongType())])
+    spark.createDataFrame([(claimed_line, 0)], legacy_schema) \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(str(tmp_path / "store" / "claimed"))
+
+    handler = paragraph_dedup_foreach_batch(store, "clean", "claimed")
+    idx = store.read("claimed")
+    assert {"line", "lh", "ln", "_batch_id"} <= set(idx.columns)
+    row = idx.filter(F.col("line") == claimed_line).collect()
+    assert len(row) == 1
+    want_key = spark.range(1).select(
+        F.xxhash64(F.lit(claimed_line)).alias("lh"),
+        F.length(F.lit(claimed_line)).alias("ln")).first()
+    assert (row[0]["lh"], row[0]["ln"]) == (want_key["lh"],
+                                            want_key["ln"])
+    # the legacy claim still bans: a new doc repeating it loses the
+    # line, keeps its own content
+    doc_schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                               T.StructField("text", T.StringType())])
+    handler(spark.createDataFrame(
+        [(7, claimed_line + "\nfresh doc own paragraph body")],
+        doc_schema), 1)
+    got = store.read("clean").filter(F.col("doc_id") == 7).first()
+    assert got["clean_text"] == "fresh doc own paragraph body"
+    assert (got["n_kept"], got["n_dropped"]) == (1, 1)
+
+    # mixed-file shape: an old-schema file appended beside the new
+    # ones — read may infer the merged/new schema with NULL keys on
+    # the old rows; a fresh handler must backfill those rows too
+    stale_line = "another legacy claim arriving as a null keyed row"
+    spark.createDataFrame([(stale_line, 0)], legacy_schema) \
+        .coalesce(1).write.mode("append") \
+        .parquet(str(tmp_path / "store" / "claimed"))
+    handler2 = paragraph_dedup_foreach_batch(store, "clean", "claimed")
+    idx2 = store.read("claimed")
+    assert idx2.filter(F.col("lh").isNull()).count() == 0
+    assert idx2.filter(F.col("line") == stale_line).count() == 1
+    handler2(spark.createDataFrame(
+        [(8, stale_line + "\neighth doc own paragraph body")],
+        doc_schema), 2)
+    got8 = store.read("clean").filter(F.col("doc_id") == 8).first()
+    assert got8["clean_text"] == "eighth doc own paragraph body"

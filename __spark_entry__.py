@@ -48,49 +48,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Run order for the driver's correctness pass.  The driver truncates
 #: the tail of this dict when its global budget (~50 slots) runs out,
-#: so the ordering IS the verification-freshness lever.  Round-9
-#: rotation (round-8 verdict item 1, mechanical): (0) the three NEW
-#: round-9 queries (hashed-line paragraph dedup twin, the
-#: streaming-rollup cumulative-users twin, mixture application),
-#: then (a) ALL 23 queries whose latest green row is r06 — two
-#: rounds stale, exactly the list the round-8 verdict names — then
-#: (b) queries whose code or ORACLE changed in round 9
-#: (dedup_paragraphs' oracle gained the empty-doc coalesce;
-#: fuzzy_doc_pairs' routing memo gained the freshness key), then
-#: (c) the oldest r07-green rows by registration order with the
-#: remaining ~22 slots.  Queries not listed fall in registration
-#: order after these; the 7 no-oracle-by-design queries sit in
-#: _RUN_LAST so they never burn a budget slot on a rows-only check
-#: while oracle debt exists.
+#: so the ordering IS the verification-freshness lever.  Round-10
+#: rotation (round-9 verdict item 1, mechanical): (0) the NEW
+#: round-10 query (image perceptual-hash near-dup), then (a) ALL 24
+#: still-active queries whose latest green row is r07 — two rounds
+#: stale, exactly the round-9 verdict's list minus the retired
+#: range_join_hour_buckets — then (b) queries whose code changed in
+#: round 10 (fuzzy_doc_pairs' freshness signature became a recursive
+#: walk), then (c) the oldest r08-green rows by registration order
+#: with the remaining ~24 slots (the rest of the r08 cohort rotates
+#: in round 11).  Queries not listed fall in registration order
+#: after these; the 7 no-oracle-by-design queries sit in _RUN_LAST
+#: so they never burn a budget slot on a rows-only check while
+#: oracle debt exists.
 _RUN_FIRST = [
-    # (0) new in round 9, never driver-checked
-    "dedup_paragraphs_hashed", "cumulative_users_rollup_merge",
-    "mixture_apply_sample",
-    # (a) latest green row is r06 — two rounds stale, clear it all
-    # (the round-8 verdict's list, registration order)
-    "ann_cosine_topk", "ann_euclidean_topk", "contrastive_negatives",
-    "covar_components_events", "cumulative_distinct_users",
-    "dedup_embedding", "dq_orders_profile", "embedding_hof_norms",
-    "embedding_quantize", "histogram_orders", "key_skew_profile",
-    "label_centroids_scaled", "lang_quota_sample",
-    "merge_upsert_orders", "outlier_iqr_events",
-    "padding_waste_by_order", "rank_fusion_rrf", "resample_ohlc",
-    "retention_cohorts", "sessionize_native_window",
-    "stats_moments_events", "topk_docs_per_lang",
-    "vocab_topk_coverage",
-    # (b) oracle/code touched in round 9 — must re-green fresh
-    "dedup_paragraphs", "fuzzy_doc_pairs",
-    # (c) oldest r07-green, registration order, filling the ~50
-    # budget (the rest of the r07 cohort rotates in round 10)
-    "late_shipments", "moving_sum_rows_frame", "window_rank_family",
-    "pivot_status_counts", "last_week_threshold",
-    "q1_pricing_summary", "q3_segment_revenue", "q5_nation_revenue",
-    "multimodal_av", "multimodal_decode", "multimodal_features",
-    "sessionize_events", "dedup_minhash_lsh", "dedup_jaccard_prefix",
-    "dedup_char_jaccard", "dedup_containment", "dedup_incremental",
-    "dedup_keep_best", "dedup_source_overlap", "dup_ngram_fraction",
-    "funnel_users", "dedup_repeated_spans", "gapfill_forward_fill",
-    "gram_novelty_scores", "quality_percentile_filter",
+    # (0) new in round 10, never driver-checked
+    "dedup_image_phash",
+    # (a) latest green row is r07 — two rounds stale, clear it all
+    # (the round-9 verdict's list, registration order)
+    "range_frame_hour_sum", "percentile_prices", "null_handling_demo",
+    "not_in_customers", "orders_calendar", "json_props_agg",
+    "skew_salted_user_totals", "rollup_merge_hourly",
+    "grouping_sets_priority_status", "text_bm25_topk_ranks",
+    "gram_novelty_scores", "dq_constraint_violations",
+    "pit_lookup_orders", "nearest_click_event",
+    "gapfill_forward_fill", "mixture_sampling_rates",
+    "canon_text_dedup", "tokens_posexplode", "decontaminate_ngrams",
+    "decontaminate_ngrams8_planted", "chunk_documents",
+    "lm_doc_scores", "bpe_encode_top_words",
+    "quality_percentile_filter",
+    # (b) code touched in round 10 — must re-green fresh
+    "fuzzy_doc_pairs",
+    # (c) oldest r08-green, registration order, filling the ~50
+    # budget (the rest of the r08 cohort rotates in round 11)
+    "q10_returned_items", "zorder_keys_orders", "q18_large_orders",
+    "window_lead_scd2", "window_lag_hop", "window_last_scd1",
+    "anti_join_no_orders", "semi_join_big_orders",
+    "union_labeled_rules", "string_funcs_demo",
+    "range_join_tumbling_rewrite", "scalar_subquery_acctbal",
+    "set_intersect_customers", "set_except_customers",
+    "amount_diff_lag", "rollup_status_priority",
+    "cube_status_priority", "distinct_parts_per_flag",
+    "tumbling_hourly", "asof_last_click", "asof_join_multikey",
+    "chain_fraud_window", "unpivot_status_counts",
+    "big_spenders_having",
 ]
 _RUN_LAST = [
     # no-oracle-by-design (rows-only checks; each pinned by tests —

@@ -40,7 +40,10 @@ GUARDED_QUERIES = ("dedup_minhash_lsh", "dedup_simhash",
                    # round 6: the dense-slice hybrid's banded leg —
                    # its hot-band drops are the hybrid's only recall
                    # exposure, so they belong in the artifact
-                   "dedup_char_jaccard")
+                   "dedup_char_jaccard",
+                   # round 10: image dHash hamming bands — drops are
+                   # the only gap between banded and brute-force
+                   "dedup_image_phash")
 
 #: queries whose plan runs the PPJoin pruning stack; after each one's
 #: action the surviving-candidate count (the exact-verify volume) is
@@ -175,6 +178,11 @@ def bench_queries() -> dict:
         "bpe_encode_top_words": curation.bpe_encode_top_words,
         "nearest_click_event": timeseries.nearest_click_event,
     }
+    # round 10: image perceptual-hash near-dup (one Arrow dHash pass,
+    # simhash band machinery over 8×16-bit bands, JVM xor/popcount
+    # verify) — the multimodal family's dedup closer
+    from greenplum_dwh_spark.operators import multimodal_ops
+    out["dedup_image_phash"] = multimodal_ops.dedup_image_phash
     # non-headline probe riders (round-8 verdict item 5): the scale
     # probe sets SPARK_GRAFT_BENCH_EXTRA to time queries that are
     # deliberately NOT headline entries (e.g. curation_funnel_counts,

@@ -436,3 +436,74 @@ def decode_images(packed: DataFrame) -> DataFrame:
     ensure_shipped(packed.sparkSession)
     return packed.select("doc_id", "payload").mapInPandas(
         run, DECODE_SCHEMA)
+
+
+DHASH_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("h1", T.LongType()),
+    T.StructField("h2", T.LongType()),
+])
+
+#: dHash grid: 16 sampled rows × 9 sampled columns → 8 horizontal
+#: gradient comparisons per row = 128 bits, packed as two int64
+#: halves (rows 0-7 → h1, rows 8-15 → h2).  128 bits (vs the classic
+#: 64) buys 16-bit LSH bands — the band alphabet that keeps banded
+#: buckets sparse at corpus scale (8 bands × 65 536 keys).
+DHASH_ROWS = 16
+DHASH_COLS = 9
+
+
+def dhash_bmp(payload: bytes) -> tuple[int, int] | None:
+    """128-bit difference hash of a 24-bit BMP — the classic dHash
+    recipe (downsample to a small grid, emit 1 bit per horizontal
+    luminance gradient) in pure numpy over the real pixel rows, no
+    image library.  Grayscale is the exact integer CHANNEL SUM
+    (order-free, division-free — bit-reproducible by the byte-level
+    SQL oracle), the grid is nearest-neighbor top-left-anchored
+    (the :func:`resize_bmp` convention: sampled row ``gy`` reads
+    source row ``gy*h//16``, sampled col ``gx`` reads ``gx*w//9``),
+    and each packed half wraps to signed int64 so Spark/DuckDB BIGINT
+    columns carry it natively.  Returns ``None`` for payloads that
+    are not 24-bit BMPs."""
+    import numpy as np
+    meta = decode_image(payload)
+    if meta is None or meta["format"] != "bmp" or meta["channels"] != 3:
+        return None
+    b = bytes(payload)
+    w, h = meta["width"], meta["height"]
+    data_off = struct.unpack_from("<I", b, 10)[0]
+    stride = (w * 3 + 3) & ~3
+    img = (np.frombuffer(b, np.uint8, stride * h, data_off)
+           .reshape(h, stride)[::-1, :w * 3].reshape(h, w, 3))
+    gray = img.sum(axis=2, dtype=np.int32)          # (h, w) channel sums
+    ys = [gy * h // DHASH_ROWS for gy in range(DHASH_ROWS)]
+    xs = [gx * w // DHASH_COLS for gx in range(DHASH_COLS)]
+    grid = gray[np.ix_(ys, xs)]                     # (16, 9)
+    bits = (grid[:, 1:] > grid[:, :-1]).astype(np.uint64)  # (16, 8)
+    weights = (np.uint64(1) << np.arange(64, dtype=np.uint64)).reshape(8, 8)
+    h1 = int((bits[:8] * weights).sum(dtype=np.uint64).astype(np.int64))
+    h2 = int((bits[8:] * weights).sum(dtype=np.uint64).astype(np.int64))
+    return h1, h2
+
+
+def image_dhashes(packed: DataFrame) -> DataFrame:
+    """Arrow-batched perceptual hashing over mapInPandas:
+    (doc_id, payload) → (doc_id, h1, h2); non-BMP payloads yield
+    nulls.  One Python pass per image — everything downstream of the
+    hash (banding, candidate join, hamming verify) stays JVM-side."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = pdf["payload"].map(dhash_bmp)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "h1": hashes.map(
+                    lambda t: t[0] if t is not None else None),
+                "h2": hashes.map(
+                    lambda t: t[1] if t is not None else None),
+            })
+
+    from greenplum_dwh_spark.shipping import ensure_shipped
+    ensure_shipped(packed.sparkSession)
+    return packed.select("doc_id", "payload").mapInPandas(
+        run, DHASH_SCHEMA)

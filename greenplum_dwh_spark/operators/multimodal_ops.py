@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from greenplum_dwh_spark.multimodal.codec import (av_stats,
                                                   decode_images,
                                                   extract_features,
+                                                  image_dhashes,
                                                   pack_image_payloads,
                                                   pack_payloads,
                                                   resize_images)
@@ -68,11 +69,176 @@ def multimodal_av(spark: SparkSession, sf_dir: str) -> DataFrame:
     return av_stats(packed, frame_bytes=64, every_k=4)
 
 
+#: image near-dup contract: pairs within hamming PHASH_MAX_DIST of
+#: the 128-bit dHash.  8 LSH bands of 16 bits over the two packed
+#: halves — pigeonhole-complete for distance ≤ 7 (two fingerprints
+#: ≤ 7 bits apart agree on ≥ 1 of 8 bands), so detection at dist 6
+#: is EXACT and the DuckDB brute-force twin is a true oracle.
+PHASH_MAX_DIST = 6
+PHASH_BAND_BITS = 16
+#: planted near-dup twins: every 50th doc long enough for ≥ 8 BMP
+#: rows gets a copy with its LAST character swapped — one byte moves
+#: one grayscale cell, sampled by ≤ 2 of the 16 grid rows at h ≥ 8,
+#: so the twin sits ≤ 4 bits from its original (≤ PHASH_MAX_DIST by
+#: construction; 0 when the changed cell misses the sampled grid).
+PHASH_TWIN_MOD = 50
+PHASH_TWIN_MIN_BYTES = 384
+PHASH_TWIN_OFFSET = 1_000_000_000
+
+
+def _planted_image_docs(t: Tables) -> DataFrame:
+    """documents ∪ perturbed twins — the planted ground truth for
+    image near-dup dedup (the shared plant-then-operate discipline:
+    the corpus has no image assets, so near-duplicate images are
+    constructed deterministically and the oracle replays the plant)."""
+    base = t.documents.select("doc_id", "text")
+    twin_ch = (F.when(F.expr("right(text, 1)") == "Z", F.lit("Y"))
+               .otherwise(F.lit("Z")))
+    twins = (base
+             .filter((F.col("doc_id") % PHASH_TWIN_MOD == 0)
+                     & (F.octet_length("text") >= PHASH_TWIN_MIN_BYTES))
+             .select((F.col("doc_id") + F.lit(PHASH_TWIN_OFFSET))
+                     .alias("doc_id"),
+                     F.concat(F.expr("substring(text, 1, length(text)-1)"),
+                              twin_ch).alias("text")))
+    return base.unionByName(twins)
+
+
+def image_phash_pairs(docs: DataFrame,
+                      max_dist: int = PHASH_MAX_DIST) -> DataFrame:
+    """Perceptual-hash image near-dup: (doc_id, text)-shaped docs →
+    (doc_a, doc_b, hamming) pairs whose 128-bit BMP dHashes are
+    within ``max_dist``.
+
+    Plan: ONE Arrow pass packs each doc into a real 24-bit BMP and
+    dHashes the pixel grid (:func:`codec.image_dhashes` — the only
+    Python stage); the candidate join is the simhash hamming-band
+    machinery (``_banded_candidates`` with its hot-bucket guard +
+    observables) over 8×16-bit bands, and the verify predicate is
+    JVM-side ``bit_count(xor)`` per half.  Banding is pigeonhole-
+    complete for ``max_dist`` ≤ 7, so recall is exact — the guard's
+    dropped-rows observable is the only approximation surface, zero
+    at every probed SF.  At 100 TB: band keys are 16-bit over two
+    int64 columns (16 bytes/doc through the band exchange — the
+    hashed-paragraph posture: pixels never shuffle), and giant
+    true-duplicate clusters surface as hot buckets the guard
+    observes rather than silently quadratic output."""
+    from greenplum_dwh_spark.operators.dedup import _banded_candidates
+    if max_dist > 7:
+        raise ValueError("8×16-bit banding is complete only for "
+                         f"hamming ≤ 7, got {max_dist}")
+    fps = image_dhashes(pack_image_payloads(docs, width=16)).cache()
+    mask = (1 << PHASH_BAND_BITS) - 1
+    keys = [
+        F.concat_ws(":", F.lit(str(i * 4 + b)),
+                    F.shiftrightunsigned(F.col(col), PHASH_BAND_BITS * b)
+                    .bitwiseAND(mask).cast("string"))
+        for i, col in enumerate(("h1", "h2")) for b in range(4)]
+    bands = (fps.filter(F.col("h1").isNotNull())
+             .select("doc_id", F.explode(F.array(*keys)).alias("band")))
+    # verify-then-distinct (the simhash ordering): the hamming check
+    # is two XOR+popcounts against the doc-count-sized hash table,
+    # and only the verified survivors pay the distinct shuffle
+    cand = _banded_candidates(bands, distinct=False)
+    fa = fps.select(F.col("doc_id").alias("doc_a"),
+                    F.col("h1").alias("h1_a"), F.col("h2").alias("h2_a"))
+    fb = fps.select(F.col("doc_id").alias("doc_b"),
+                    F.col("h1").alias("h1_b"), F.col("h2").alias("h2_b"))
+    hamming = (F.bit_count(F.col("h1_a").bitwiseXOR(F.col("h1_b")))
+               + F.bit_count(F.col("h2_a").bitwiseXOR(F.col("h2_b"))))
+    return (cand.join(fa, "doc_a").join(fb, "doc_b")
+            .select("doc_a", "doc_b",
+                    hamming.cast("int").alias("hamming"))
+            .filter(F.col("hamming") <= max_dist)
+            .distinct())
+
+
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection over the planted corpus — every
+    (original, last-byte-perturbed twin) pair plus any natural
+    hash-proximal pairs, exactly reproduced by the DuckDB brute-force
+    oracle (same byte-level dHash arithmetic, all-pairs verify)."""
+    return image_phash_pairs(_planted_image_docs(Tables(spark, sf_dir)))
+
+
 QUERIES = {
     "multimodal_features": multimodal_features,
     "multimodal_decode": multimodal_decode,
     "multimodal_av": multimodal_av,
+    "dedup_image_phash": dedup_image_phash,
 }
+
+# --- dedup_image_phash oracle: the dHash byte arithmetic in SQL ----------
+# The BMP containers are deterministic (width 16, text bytes as BGR
+# pixel rows of 48 bytes, zero-padded), so grayscale cell (x, y) is
+# the sum of text bytes y*48+3x .. +2 (0 beyond the text) and the
+# whole 128-bit hash is integer arithmetic DuckDB replays exactly.
+# Sampled columns gx*16//9 for the 9-column grid:
+_PHASH_XS = [0, 1, 3, 5, 7, 8, 10, 12, 14]
+
+
+def _phash_byte(idx: str) -> str:
+    """SQL byte value at 0-based payload index ``idx`` (0 past EOF)."""
+    return (f"CASE WHEN ({idx}) < n THEN "
+            f"('0x' || substr(hx, 2*({idx})+1, 2))::INT ELSE 0 END")
+
+
+#: 16×9 grayscale grid (channel sums), rows sampled gy*h//16:
+_PHASH_GRID = (
+    "list_transform(range(0, 16), gy -> "
+    f"list_transform({_PHASH_XS}, x -> "
+    + " + ".join(_phash_byte(f"((gy*h)//16)*48 + 3*x + {c}")
+                 for c in range(3))
+    + "))")
+
+
+def _phash_quarter(rbase: int) -> str:
+    """32 gradient bits from grid rows rbase..rbase+3 (0-based),
+    packed little-endian as a BIGINT (shifts ≤ 31 — sign-safe)."""
+    return ("list_sum(flatten(list_transform(range(0, 4), r -> "
+            "list_transform(range(0, 8), c -> "
+            f"CASE WHEN grid[r+{rbase + 1}][c+2] > grid[r+{rbase + 1}][c+1] "
+            "THEN (1::BIGINT << (r*8+c)::INT) "
+            "ELSE 0::BIGINT END))))::BIGINT")
+
+
+def _phash_half(row0: int) -> str:
+    """int64 hash half from grid rows row0..row0+7: lo quarter +
+    hi quarter · 2³², assembled in HUGEINT and wrapped to the same
+    signed int64 the numpy kernel emits."""
+    v = (f"(({_phash_quarter(row0)})::HUGEINT "
+         f"+ ({_phash_quarter(row0 + 4)})::HUGEINT "
+         "* 4294967296::HUGEINT)")
+    return (f"(CASE WHEN {v} >= 9223372036854775808::HUGEINT "
+            f"THEN {v} - 18446744073709551616::HUGEINT "
+            f"ELSE {v} END)::BIGINT")
+
+
+_PHASH_ORACLE = f"""
+    WITH src AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + {PHASH_TWIN_OFFSET},
+               substr(text, 1, length(text) - 1)
+                   || (CASE WHEN right(text, 1) = 'Z'
+                            THEN 'Y' ELSE 'Z' END)
+        FROM documents
+        WHERE doc_id % {PHASH_TWIN_MOD} = 0
+          AND strlen(text) >= {PHASH_TWIN_MIN_BYTES}),
+    b AS (SELECT doc_id, hex(encode(text)) AS hx, strlen(text) AS n,
+                 greatest(1, (strlen(text) + 47) // 48) AS h
+          FROM src),
+    g AS (SELECT doc_id, {_PHASH_GRID} AS grid FROM b),
+    hs AS (SELECT doc_id, {_phash_half(0)} AS h1,
+                  {_phash_half(8)} AS h2
+           FROM g)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           (bit_count(xor(a.h1, b.h1))::INT
+            + bit_count(xor(a.h2, b.h2))::INT) AS hamming
+    FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h1, b.h1))::INT
+          + bit_count(xor(a.h2, b.h2))::INT <= {PHASH_MAX_DIST}"""
+
 
 #: byte-level twin of the mapInPandas feature kernel: the payload is
 #: the UTF-8 encoding of ``text``, recovered byte-by-byte from
@@ -139,4 +305,5 @@ ORACLES = {
                coalesce(list_max(list_transform(xs, x -> abs(x))), 0)::INT
                    AS peak
         FROM v""",
+    "dedup_image_phash": _PHASH_ORACLE,
 }

@@ -828,7 +828,14 @@ QUERIES = {
     "funnel_users": funnel_users,
     "string_funcs_demo": string_funcs_demo,
     "null_handling_demo": null_handling_demo,
-    "range_join_hour_buckets": range_join_hour_buckets,
+    # round-10 ledger consolidation (round-9 verdict item 4, the
+    # bpe_pair_counts precedent): ``range_join_hour_buckets`` — the
+    # general BNLJ theta demo — is retired as a DRIVER query; the
+    # aligned rewrite below answers the identical question and the
+    # theta kernel stays pinned by
+    # test_plans.test_range_join_rewrite_is_equi_not_bnlj (exact
+    # result equivalence both directions).  Its slot funds
+    # dedup_image_phash (multimodal_ops).
     "range_join_tumbling_rewrite": range_join_tumbling_rewrite,
     "not_in_customers": not_in_customers,
     "scalar_subquery_acctbal": scalar_subquery_acctbal,
@@ -1025,20 +1032,6 @@ ORACLES = {
                (CASE WHEN nullif(o_orderstatus, 'O') IS NULL
                      THEN 1 ELSE 0 END)::INT AS is_open
         FROM orders""",
-    "range_join_hour_buckets": """
-        WITH bounds AS (SELECT date_trunc('hour', min(ts))::TIMESTAMP lo,
-                               date_trunc('hour', max(ts))::TIMESTAMP hi
-                        FROM events),
-        buckets AS (SELECT unnest(generate_series(lo, hi,
-                               INTERVAL 1 HOUR)) AS bucket_start
-                    FROM bounds)
-        SELECT b.bucket_start::TIMESTAMP AS bucket_start,
-               count(*) AS n,
-               count(DISTINCT e.user_id) AS n_users
-        FROM events e JOIN buckets b
-          ON e.ts >= b.bucket_start
-         AND e.ts < b.bucket_start + INTERVAL 1 HOUR
-        GROUP BY 1""",
     "range_join_tumbling_rewrite": """
         WITH bounds AS (SELECT date_trunc('hour', min(ts))::TIMESTAMP lo,
                                date_trunc('hour', max(ts))::TIMESTAMP hi

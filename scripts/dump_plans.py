@@ -157,6 +157,14 @@ FAMILIES = {
                              "back as a BroadcastHashJoin — the "
                              "corpus scan is never re-shuffled; "
                              "keep/drop is a map-side md5 predicate"),
+    "dedup_image_phash": ("image near-dup: ONE MapInPandas pass "
+                          "(BMP pack + dHash) feeds an InMemory "
+                          "hash table; every later stage — band "
+                          "explode, windowed hot-bucket guard, "
+                          "candidate equi-join, xor/popcount "
+                          "verify — is JVM-side over two int64 "
+                          "halves; no cartesian, no nested loop, "
+                          "pixels never shuffle"),
 }
 
 

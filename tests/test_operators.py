@@ -670,3 +670,90 @@ def test_merge_upsert_order_col_equals_dict_model(spark):
             model[k] = (s, v)
     want = sorted((k, s, v) for k, (s, v) in model.items())
     assert got == want
+
+
+def test_dhash_bmp_kernel_exact():
+    """The numpy dHash kernel equals an independent pure-Python loop
+    reimplementation of the spec (16×9 channel-sum grid sampled
+    gy*h//16 / gx*w//9 top-left-anchored, horizontal gradient bits,
+    two little-endian int64 halves), and a single-byte perturbation
+    of an h≥8 image moves the hash by ≤ 4 bits — the planted-twin
+    bound dedup_image_phash relies on."""
+    from greenplum_dwh_spark.multimodal.codec import (dhash_bmp,
+                                                      encode_bmp)
+
+    def reference_dhash(data: bytes, width: int = 16):
+        n = len(data)
+        row_bytes = width * 3
+        h = max(1, -(-n // row_bytes))
+
+        def byte(i):
+            return data[i] if i < n else 0
+
+        def gray(x, y):
+            base = y * row_bytes + 3 * x
+            return byte(base) + byte(base + 1) + byte(base + 2)
+
+        xs = [gx * width // 9 for gx in range(9)]
+        ys = [gy * h // 16 for gy in range(16)]
+        halves = []
+        for r0 in (0, 8):
+            v = 0
+            for gy in range(8):
+                for gx in range(8):
+                    y = ys[r0 + gy]
+                    if gray(xs[gx + 1], y) > gray(xs[gx], y):
+                        v |= 1 << (gy * 8 + gx)
+            halves.append(v - (1 << 64) if v >= (1 << 63) else v)
+        return tuple(halves)
+
+    import random
+    rng = random.Random(11)
+    for n in (0, 1, 47, 48, 100, 384, 577):
+        data = bytes(rng.randrange(256) for _ in range(n))
+        got = dhash_bmp(encode_bmp(data, width=16))
+        assert got == reference_dhash(data), n
+    # single-byte twin bound at h >= 8 (n >= 384): <= 4 of 128 bits
+    base = bytes(rng.randrange(256) for _ in range(500))
+    h1, h2 = dhash_bmp(encode_bmp(base, width=16))
+    for pos in (0, 123, 250, 499):
+        twin = bytearray(base)
+        twin[pos] = (twin[pos] + 101) % 256
+        t1, t2 = dhash_bmp(encode_bmp(bytes(twin), width=16))
+        d = bin((h1 ^ t1) & (2**64 - 1)).count("1") \
+            + bin((h2 ^ t2) & (2**64 - 1)).count("1")
+        assert d <= 4, (pos, d)
+    # non-BMP payload -> None
+    assert dhash_bmp(b"GIF89a\x10\x00\x10\x00") is None
+
+
+def test_image_phash_planted_twins(spark, sf_dir):
+    """dedup_image_phash finds every planted (original, perturbed
+    twin) image pair within the hamming threshold, with zero
+    band-guard drops (banding pigeonhole-complete at dist ≤ 7), and
+    the >7 distance request fails loudly rather than silently losing
+    recall."""
+    import pytest as _pytest
+
+    from greenplum_dwh_spark.operators import dedup
+    from greenplum_dwh_spark.operators.multimodal_ops import (
+        PHASH_MAX_DIST, PHASH_TWIN_MIN_BYTES, PHASH_TWIN_MOD,
+        PHASH_TWIN_OFFSET, dedup_image_phash, image_phash_pairs)
+    from greenplum_dwh_spark.sources.tpch import Tables
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"]
+             for r in dedup_image_phash(spark, sf_dir).collect()}
+    eligible = [r["doc_id"] for r in Tables(spark, sf_dir).documents
+                .filter((F.col("doc_id") % PHASH_TWIN_MOD == 0)
+                        & (F.octet_length("text")
+                           >= PHASH_TWIN_MIN_BYTES))
+                .select("doc_id").collect()]
+    assert eligible, "fixture must plant at least one twin"
+    for did in eligible:
+        key = (did, did + PHASH_TWIN_OFFSET)
+        assert key in pairs, f"planted twin pair {key} missed"
+        assert 0 <= pairs[key] <= PHASH_MAX_DIST
+    m = dedup.last_band_guard_metrics()
+    assert m is not None and m["dropped_rows"] == 0
+    with _pytest.raises(ValueError):
+        image_phash_pairs(Tables(spark, sf_dir).documents, max_dist=8)

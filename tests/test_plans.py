@@ -326,3 +326,21 @@ def test_repeated_spans_plan_shape(spark, sf_dir):
     scans = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert scans and all(
         "doc_id:bigint,text:string" in ln for ln in scans)
+
+
+def test_image_phash_is_banded_single_python_stage(spark, sf_dir):
+    """dedup_image_phash's plan: candidates come from the hamming-band
+    equi-join (no cartesian/nested-loop product), and the ONLY Python
+    stage is the Arrow dHash kernel — banding, candidate join and the
+    xor/popcount verify all run JVM-side on the two int64 halves."""
+    from greenplum_dwh_spark.operators.multimodal_ops import (
+        dedup_image_phash)
+    plan = checks.physical_plan(dedup_image_phash(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan          # no row-at-a-time UDF
+    # the Arrow pack+dhash pass feeds a CACHED hash table — every
+    # consumer (bands, both verify sides) reads the InMemory relation,
+    # so the Python kernel executes once per corpus, not per consumer
+    assert "InMemoryTableScan" in plan
+    assert "MapInPandas" in plan

@@ -43,7 +43,7 @@ INGEST_BATCHES = int(os.environ.get("STREAM_BENCH_INGEST_BATCHES",
                                     "5"))
 CDC_ROWS_PER_BATCH = 10_000
 
-OUT_PATH = os.path.join(REPO, "BENCH_stream_r09.json")
+OUT_PATH = os.path.join(REPO, "BENCH_stream_r10.json")
 
 
 def _timed(handler, walls: list):
@@ -374,7 +374,8 @@ def bench_neardup_ingest(spark, tmp: str) -> dict:
     }
 
 
-def bench_paragraph_dedup_stream(spark, tmp: str) -> dict:
+def bench_paragraph_dedup_stream(spark, tmp: str,
+                                 seed_index_rows: int = 0) -> dict:
     """First-wins paragraph dedup at ingest (round-8 twin, benched
     round 9 — round-8 verdict item 4): the sf0.01 documents table
     with the driver query's plant (a unique para per doc + one of
@@ -385,10 +386,19 @@ def bench_paragraph_dedup_stream(spark, tmp: str) -> dict:
     overwrite and the anti-join index append; the per-batch list is
     recorded whole because the claim the row exists to check is
     FLATNESS — the index grows by distinct paragraphs, so batch cost
-    must not trend with batches already ingested."""
+    must not trend with batches already ingested.
+
+    ``seed_index_rows`` (round-9 verdict item 6 — the scale leg):
+    pre-claim that many synthetic distinct long lines into the index
+    BEFORE the stream starts, simulating a mature ingest whose index
+    holds ~10⁶ claimed paragraphs.  The per-batch ban probe and the
+    replay anti-join read ONLY the (lh, ln) key columns — a 12-byte/
+    row column-pruned parquet scan — so per-batch wall must stay
+    ~flat vs the fixture-scale leg even at a 1000× index."""
     from pyspark.sql import functions as F
 
-    from greenplum_dwh_spark.operators.curation import PARA_MIN_CHARS
+    from greenplum_dwh_spark.operators.curation import (PARA_MIN_CHARS,
+                                                        _line_key)
     from greenplum_dwh_spark.streaming.mart_stream import (
         paragraph_dedup_foreach_batch)
     from greenplum_dwh_spark.tablestore import TableStore
@@ -408,7 +418,8 @@ def bench_paragraph_dedup_stream(spark, tmp: str) -> dict:
         .filter(F.length("line") >= PARA_MIN_CHARS)
     n_long_lines = lines.count()
     n_batches = 4
-    src = os.path.join(tmp, "para_src")
+    tag = f"para{seed_index_rows}" if seed_index_rows else "para"
+    src = os.path.join(tmp, f"{tag}_src")
     os.makedirs(src)
     # contiguous arrival ranges anchored at the ACTUAL id extent
     # (round-9 ADVICE: a [b*span,(b+1)*span) slice over 0 assumes
@@ -420,7 +431,26 @@ def bench_paragraph_dedup_stream(spark, tmp: str) -> dict:
         (docs.filter((F.col("doc_id") >= lo + b * span)
                      & (F.col("doc_id") < lo + (b + 1) * span))
          .coalesce(1).write.parquet(os.path.join(src, f"b{b}.parquet")))
-    store = TableStore(spark, os.path.join(tmp, "para_store"))
+    store = TableStore(spark, os.path.join(tmp, f"{tag}_store"))
+    if seed_index_rows:
+        # pre-claim a synthetic mature index: distinct long lines
+        # disjoint from the fixture corpus (prefix never occurs in
+        # the planted docs), keys computed by the handler's own
+        # recipe, _batch_id = -1 so every batch's ban probe reads
+        # them.  This is exactly the state a year-old ingest carries.
+        from pyspark.sql import types as T
+        store.init_append("claimed", T.StructType([
+            T.StructField("line", T.StringType()),
+            T.StructField("lh", T.LongType()),
+            T.StructField("ln", T.IntegerType()),
+            T.StructField("_batch_id", T.LongType())]))
+        seed = (spark.range(seed_index_rows)
+                .select(F.concat(
+                    F.lit("synthetic pre-claimed paragraph line "),
+                    F.col("id").cast("string")).alias("line")))
+        store.append("claimed",
+                     seed.select("line", *_line_key(F.col("line")))
+                     .withColumn("_batch_id", F.lit(-1).cast("long")))
     walls: list = []
     handler = paragraph_dedup_foreach_batch(store, "clean", "claimed")
     stream = (spark.readStream.schema("doc_id long, text string")
@@ -429,7 +459,8 @@ def bench_paragraph_dedup_stream(spark, tmp: str) -> dict:
     t0 = time.time()
     q = (stream.writeStream
          .foreachBatch(_timed(handler, walls))
-         .option("checkpointLocation", os.path.join(tmp, "para_ckpt"))
+         .option("checkpointLocation", os.path.join(tmp,
+                                                    f"{tag}_ckpt"))
          .trigger(availableNow=True).start())
     q.awaitTermination()
     wall = time.time() - t0
@@ -440,6 +471,7 @@ def bench_paragraph_dedup_stream(spark, tmp: str) -> dict:
         "input_docs": n_docs,
         "clean_docs": clean.count(),
         "input_long_lines": n_long_lines,
+        "index_rows_seeded": seed_index_rows,
         "index_rows": int(index_rows),
         # < 1 ⇔ the stream actually deduplicated: the claimed-line
         # index holds DISTINCT paragraphs, input rows hold occurrences
@@ -476,6 +508,12 @@ def main() -> None:
             "quota_admission": bench_quota_admission(spark, tmp),
             "paragraph_dedup_stream":
                 bench_paragraph_dedup_stream(spark, tmp),
+            # round-9 verdict item 6: same stream over a pre-claimed
+            # ~10^6-row index — per-batch wall must stay ~flat (the
+            # ban probe/replay reads column-prune to 12-byte keys)
+            "paragraph_dedup_stream_bigindex":
+                bench_paragraph_dedup_stream(
+                    spark, tmp, seed_index_rows=1_000_000),
         }
         result["host"] = {"before": load_before, "after": host_load()}
     finally:

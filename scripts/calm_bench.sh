@@ -40,7 +40,9 @@ fi
 echo "calm_bench: scale probe done (rc=$rc), load $(cat /proc/loadavg); cooling 120s"
 sleep 120
 pin_log=$(mktemp /tmp/calm_bench_pin.XXXXXX.log)
-python bench.py --pin 2>"$pin_log" | tail -1
+# PIN_ARGS: pass --pin-force for legitimate slower-pin cases
+# (real code-cost or headline-set change — round 10 adds a query)
+python bench.py --pin ${PIN_ARGS:-} 2>"$pin_log" | tail -1
 rc=${PIPESTATUS[0]}
 if [ "$rc" -ne 0 ]; then
   echo "calm_bench: WARNING bench.py --pin FAILED (rc=$rc); stderr tail:" >&2

@@ -93,26 +93,77 @@ def wait_load_drain(threshold: float = 1.5,
           f"in {max_wait_s}s; proceeding", file=sys.stderr)
 
 
+def big_controls_median(small: dict, big: dict) -> float | None:
+    """The big leg's burst detector (round-9 verdict item 2): median
+    over the map-only control queries of big_wall / small_wall.  The
+    controls are fixed-cost-to-mildly-scan-bound across the decade
+    (calm runs read ~1.0-1.5 per control, median ~1.3), so a median
+    well above that means host steal inflated the big leg — exactly
+    the signature of the r09 artifact (burst median ~2.0 while no
+    flagged query's plan had changed)."""
+    import statistics
+    from bench import MAP_ONLY_CONTROLS
+    rs = [big["queries"][c] / small["queries"][c]
+          for c in MAP_ONLY_CONTROLS
+          if small["queries"].get(c) and big["queries"].get(c)]
+    return round(statistics.median(rs), 2) if rs else None
+
+
+#: big-leg retry trigger: calm medians read ~1.3 (two scan-bound
+#: controls ~1.5, two flat ~1.0-1.25); the r09 burst leg read ~2.0
+BIG_CONTROLS_MAX = 1.6
+
+
+def _flags(small: dict, big: dict) -> tuple[dict, list]:
+    ratios, flagged = {}, []
+    for k, va in small["queries"].items():
+        vb = big["queries"].get(k)
+        if vb is None:
+            continue
+        ratio = vb / va if va else float("inf")
+        ratios[k] = round(ratio, 2)
+        if ratio > 3.0:
+            flagged.append(k)
+    return ratios, flagged
+
+
 def main() -> None:
     small = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     big = sys.argv[2] if len(sys.argv) > 2 else \
         os.path.join(REPO, ".bigdata/sf1")
     a = bench(small)
-    wait_load_drain()
-    b = bench(big)
-    print(f"{'query':32s} {'small':>7s} {'big':>8s} {'ratio':>6s}")
-    flagged, ratios = [], {}
-    for k, va in a["queries"].items():
-        vb = b["queries"].get(k)
-        if vb is None:
+    # TWO big-leg attempts always (the r09 verdict's 'a flag list
+    # that survives two consecutive runs'), a third when both read
+    # burst-inflated; the CALMEST attempt becomes the artifact and
+    # every attempt's adjudication fields ride along
+    attempts: list[dict] = []
+    while True:
+        wait_load_drain()
+        bi = bench(big)
+        bi["big_controls_median"] = big_controls_median(a, bi)
+        _, bi["flagged_over_3x"] = _flags(a, bi)
+        attempts.append(bi)
+        cms = [x["big_controls_median"] for x in attempts]
+        if len(attempts) < 2:
             continue
-        ratio = vb / va if va else float("inf")
-        ratios[k] = round(ratio, 2)
-        mark = "  <-- data-bound (check vs data factor)" if ratio > 3.0 \
-            else ""
-        if mark:
-            flagged.append(k)
-        print(f"{k:32s} {va:7.2f} {vb:8.2f} {ratio:6.1f}{mark}")
+        if len(attempts) < 3 and all(
+                c is not None and c > BIG_CONTROLS_MAX for c in cms):
+            print(f"scale_probe: both big legs burst-inflated "
+                  f"(big_controls_median {cms}); one more attempt",
+                  file=sys.stderr, flush=True)
+            continue
+        break
+    b = min(attempts,
+            key=lambda x: x["big_controls_median"] or float("inf"))
+    print(f"{'query':32s} {'small':>7s} {'big':>8s} {'ratio':>6s}")
+    ratios, flagged = _flags(a, b)
+    for k, va in a["queries"].items():
+        if k not in ratios:
+            continue
+        mark = "  <-- data-bound (check vs data factor)" \
+            if ratios[k] > 3.0 else ""
+        print(f"{k:32s} {va:7.2f} {b['queries'][k]:8.2f} "
+              f"{ratios[k]:6.1f}{mark}")
     print(f"{'TOTAL':32s} {a['value']:7.2f} {b['value']:8.2f} "
           f"{b['value'] / a['value']:6.1f}")
     if flagged:
@@ -142,6 +193,19 @@ def main() -> None:
     artifact["big_load"] = b.get("load")
     artifact["ratios_vs_small"] = ratios
     artifact["flagged_over_3x"] = flagged
+    # every big attempt's adjudication fields, plus the flag-list
+    # intersection across attempts — a flagged query that does NOT
+    # survive both runs is noise (the r09 signature: four same-code
+    # attempts flagged four disjoint sets), one that does is real
+    artifact["big_attempts"] = [
+        {"big_controls_median": x["big_controls_median"],
+         "value": x["value"], "load": x.get("load"),
+         "flagged_over_3x": x["flagged_over_3x"]}
+        for x in attempts]
+    stable = set(attempts[0]["flagged_over_3x"])
+    for x in attempts[1:]:
+        stable &= set(x["flagged_over_3x"])
+    artifact["flagged_stable"] = sorted(stable)
     # when the big scale actually LOST rows, grade the recall loss
     # instead of only counting it (round-4 verdict item 2): the
     # estimator samples the dropped buckets and reports est_pairs_lost

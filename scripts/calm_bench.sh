@@ -37,8 +37,18 @@ if [ "$rc" -ne 0 ]; then
   echo "calm_bench: WARNING scale_probe FAILED (rc=$rc)" >&2
   fails=$((fails + 1))
 fi
-echo "calm_bench: scale probe done (rc=$rc), load $(cat /proc/loadavg); cooling 120s"
-sleep 120
+echo "calm_bench: scale probe done (rc=$rc), load $(cat /proc/loadavg); cooling until calm"
+# load-aware cooldown (round 10: a fixed 120 s left load_1m at 2.36
+# right after the probe's 32-thread big legs and the pin gate refused)
+cool=0
+while [ "$cool" -lt 20 ]; do
+  l1=$(cut -d' ' -f1 /proc/loadavg)
+  if python3 -c "import sys; sys.exit(0 if float('$l1') < 1.5 else 1)"; then
+    break
+  fi
+  sleep 60
+  cool=$((cool + 1))
+done
 pin_log=$(mktemp /tmp/calm_bench_pin.XXXXXX.log)
 # PIN_ARGS: pass --pin-force for legitimate slower-pin cases
 # (real code-cost or headline-set change — round 10 adds a query)

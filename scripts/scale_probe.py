@@ -23,6 +23,9 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# run as `python scripts/scale_probe.py`, sys.path gets scripts/, not
+# the repo root — bench.py (MAP_ONLY_CONTROLS) lives at the root
+sys.path.insert(0, REPO)
 
 
 #: non-headline queries that still get probe rows (round-8 verdict

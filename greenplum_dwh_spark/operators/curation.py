@@ -276,7 +276,8 @@ def paragraph_dedup_core(docs: DataFrame,
                          min_chars: int = PARA_MIN_CHARS,
                          banned: DataFrame | None = None,
                          hashed: bool = False,
-                         banned_keys: DataFrame | None = None
+                         banned_keys: DataFrame | None = None,
+                         banned_keys_distinct: bool = False
                          ) -> DataFrame:
     """DataFrame-verb form over (doc_id, text): first-wins paragraph
     dedup with per-doc ordered reassembly → (doc_id, clean_text,
@@ -332,13 +333,24 @@ def paragraph_dedup_core(docs: DataFrame,
     re-hashing every claimed paragraph per batch.  Identical
     semantics to ``banned`` under the hashed path's collision
     contract (the verbatim-line ``banned`` input is hashed to exactly
-    these keys internally)."""
+    these keys internally).
+
+    ``banned_keys_distinct``: the caller GUARANTEES ``banned_keys``
+    carries no duplicate (lh, ln) rows, so the defensive
+    ``distinct()`` — a full banned-set exchange per call, ~10⁶ rows
+    per micro-batch on a mature streaming index (round-10 big-index
+    probe) — is skipped.  The flag join is a LEFT join, so an
+    unnoticed duplicate would DUPLICATE exploded lines and corrupt
+    reassembly: only set this when uniqueness is structural (the
+    streaming index appends through a key anti-join, so its keys are
+    unique by construction)."""
     if banned_keys is not None and not hashed:
         raise ValueError("banned_keys requires hashed=True — the "
                          "verbatim plan joins on the line itself")
     if hashed:
         return _paragraph_dedup_hashed(docs, min_chars, banned,
-                                       banned_keys)
+                                       banned_keys,
+                                       banned_keys_distinct)
     lines = _doc_lines(docs)
     winners = (lines
                .filter(F.length("line") >= min_chars)
@@ -382,7 +394,8 @@ def _line_key(line_col) -> list:
 
 def _paragraph_dedup_hashed(docs: DataFrame, min_chars: int,
                             banned: DataFrame | None,
-                            banned_keys: DataFrame | None = None
+                            banned_keys: DataFrame | None = None,
+                            banned_keys_distinct: bool = False
                             ) -> DataFrame:
     """The ``hashed=True`` plan of :func:`paragraph_dedup_core` —
     see its docstring for the shuffle accounting and collision
@@ -407,7 +420,9 @@ def _paragraph_dedup_hashed(docs: DataFrame, min_chars: int,
         bkeys = (banned_keys.select("lh", "ln")
                  if banned_keys is not None
                  else banned.select(*_line_key(F.col("line"))))
-        bkeys = bkeys.distinct().withColumn("_banned", F.lit(True))
+        if not (banned_keys is not None and banned_keys_distinct):
+            bkeys = bkeys.distinct()
+        bkeys = bkeys.withColumn("_banned", F.lit(True))
         flagged = (flagged.join(bkeys, ["lh", "ln"], "left")
                    .withColumn("keep",
                                F.when(F.col("w").isNull(),

@@ -113,17 +113,28 @@ def image_phash_pairs(docs: DataFrame,
     Plan: ONE Arrow pass packs each doc into a real 24-bit BMP and
     dHashes the pixel grid (:func:`codec.image_dhashes` — the only
     Python stage); the candidate join is the simhash hamming-band
-    machinery (``_banded_candidates`` with its hot-bucket guard +
-    observables) over 8×16-bit bands, and the verify predicate is
-    JVM-side ``bit_count(xor)`` per half.  Banding is pigeonhole-
-    complete for ``max_dist`` ≤ 7, so recall is exact — the guard's
-    dropped-rows observable is the only approximation surface, zero
-    at every probed SF.  At 100 TB: band keys are 16-bit over two
-    int64 columns (16 bytes/doc through the band exchange — the
-    hashed-paragraph posture: pixels never shuffle), and giant
-    true-duplicate clusters surface as hot buckets the guard
-    observes rather than silently quadratic output."""
-    from greenplum_dwh_spark.operators.dedup import _banded_candidates
+    machinery over 8×16-bit bands (hot-bucket guard + observables,
+    and the hot-band SPLIT once any bucket passes the cap), and the
+    verify predicate is JVM-side ``bit_count(xor)`` per half.
+    Plain banding is pigeonhole-complete for ``max_dist`` ≤ 7; the
+    composite hot-split re-key is complete for ``max_dist`` ≤ 6
+    (n_bands − 2, both endpoints share the hot band) — the default
+    contract distance, so recall stays EXACT through band
+    saturation.  Saturation is real, not hypothetical: at sf1,
+    structured gradient patterns (alternating-bit bands like 0xAAAA
+    from short repeated-row images) put >6k docs in one 16-bit
+    bucket — the round-10 probe caught the plain guard dropping 27k
+    memberships there, and the split reroutes them instead.  At
+    ``max_dist`` 7 the split would silently lose pairs, so it
+    auto-falls back to the plain drop guard (drops observed, never
+    unobserved recall loss — the simhash rule).  At 100 TB: band
+    keys are 16-bit over two int64 columns (16 bytes/doc through
+    the band exchange — the hashed-paragraph posture: pixels never
+    shuffle), and giant IDENTICAL-hash clusters (the only composite
+    bucket that can still exceed the cap; sf1's largest is 24 docs)
+    surface as observed stage-2 drops rather than silently
+    quadratic output."""
+    from greenplum_dwh_spark.operators import dedup as D
     if max_dist > 7:
         raise ValueError("8×16-bit banding is complete only for "
                          f"hamming ≤ 7, got {max_dist}")
@@ -136,10 +147,35 @@ def image_phash_pairs(docs: DataFrame,
         for i, col in enumerate(("h1", "h2")) for b in range(4)]
     bands = (fps.filter(F.col("h1").isNotNull())
              .select("doc_id", F.explode(F.array(*keys)).alias("band")))
+    # hotness decision: the simhash pigeonhole shortcut on the doc
+    # count (memoized on the fingerprint plan) — only inside the
+    # bounded window cap < n ≤ cap·2¹⁶ does the exact alphabet-
+    # bounded size aggregate run
+    hot = False
+    if max_dist <= 6:  # composite re-key incomplete past n_bands − 2
+        mkey = (fps.semanticHash(), D.BAND_CAP, "phash")
+        hot = D._HOTNESS_MEMO.get(mkey)
+        if hot is None:
+            n = fps.count()
+            if n <= D.BAND_CAP:
+                hot = False
+            elif n > D.BAND_CAP * (1 << PHASH_BAND_BITS):
+                hot = True
+            else:
+                mx = (bands.groupBy("band")
+                      .agg(F.count(F.lit(1)).alias("_bn"))
+                      .agg(F.max("_bn")).first()[0]) or 0
+                hot = mx > D.BAND_CAP
+            D._HOTNESS_MEMO[mkey] = hot
+            while len(D._HOTNESS_MEMO) > D._HOTNESS_MEMO_MAX:
+                D._HOTNESS_MEMO.pop(next(iter(D._HOTNESS_MEMO)))
     # verify-then-distinct (the simhash ordering): the hamming check
     # is two XOR+popcounts against the doc-count-sized hash table,
     # and only the verified survivors pay the distinct shuffle
-    cand = _banded_candidates(bands, distinct=False)
+    if hot:
+        cand = D._split_banded_candidates(bands, D.BAND_CAP)
+    else:
+        cand = D._banded_candidates(bands, distinct=False)
     fa = fps.select(F.col("doc_id").alias("doc_a"),
                     F.col("h1").alias("h1_a"), F.col("h2").alias("h2_a"))
     fb = fps.select(F.col("doc_id").alias("doc_b"),

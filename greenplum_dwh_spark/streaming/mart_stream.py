@@ -765,11 +765,18 @@ def paragraph_dedup_foreach_batch(store, clean_table: str,
                   else F.lit(None).cast("int"))
             bid = (F.col("_batch_id") if "_batch_id" in cols
                    else F.lit(-1).cast("long"))
+            # dropDuplicates on the key: round-9 code run over a
+            # legacy index re-appends an already-claimed line (its
+            # replay anti-join can't match NULL-key rows), so the
+            # repair must also collapse those double-claims — the
+            # downstream core now RELIES on index-key uniqueness
+            # (banned_keys_distinct)
             fixed = (idx.select(
                 "line",
                 F.coalesce(lh, F.xxhash64("line")).alias("lh"),
                 F.coalesce(ln, F.length("line")).alias("ln"),
                 bid.alias("_batch_id"))
+                .dropDuplicates(["lh", "ln"])
                 .localCheckpoint())  # pin rows before truncate
             store.truncate(index_table, index_schema)
             store.append(index_table, fixed)
@@ -789,8 +796,13 @@ def paragraph_dedup_foreach_batch(store, clean_table: str,
         banned_keys = (store.read(index_table)
                        .filter(F.col("_batch_id") != int(batch_id))
                        .select("lh", "ln"))
+        # banned_keys_distinct: index keys are unique by construction
+        # (the append below anti-joins on (lh, ln)), so the core skips
+        # its defensive distinct — a full index exchange per batch on
+        # a mature (~10⁶-row) index (round-10 big-index probe)
         cleaned = paragraph_dedup_core(docs, mc, hashed=True,
-                                       banned_keys=banned_keys)
+                                       banned_keys=banned_keys,
+                                       banned_keys_distinct=True)
         # decisions pinned before any table mutates below (the
         # neardup-ingest recipe): the index append would otherwise
         # feed back into the banned probe on lazy re-execution

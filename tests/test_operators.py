@@ -757,3 +757,71 @@ def test_image_phash_planted_twins(spark, sf_dir):
     assert m is not None and m["dropped_rows"] == 0
     with _pytest.raises(ValueError):
         image_phash_pairs(Tables(spark, sf_dir).documents, max_dist=8)
+
+
+def test_image_phash_hot_split_exact(spark, monkeypatch):
+    """Band saturation engages the hot-band split and the output
+    still equals all-pairs brute force — the sf1 regime (a shared
+    gradient pattern puts >cap docs in one 16-bit band bucket while
+    their other bands differ) reproduced at unit scale via a tiny
+    cap.  Second fixture: a >cap IDENTICAL-hash clone cluster — the
+    one composite bucket the split cannot shrink — must surface as
+    OBSERVED stage-2 drops (never silent), the documented residual."""
+    from greenplum_dwh_spark.multimodal.codec import (dhash_bmp,
+                                                      encode_bmp)
+    from greenplum_dwh_spark.operators import dedup
+    from greenplum_dwh_spark.operators.multimodal_ops import (
+        image_phash_pairs)
+
+    def brute(texts):
+        hs = [dhash_bmp(encode_bmp(t.encode(), 16)) for t in texts]
+        want = set()
+        for a in range(len(hs)):
+            for b in range(a + 1, len(hs)):
+                d = bin((hs[a][0] ^ hs[b][0]) & (2**64 - 1)).count("1") \
+                    + bin((hs[a][1] ^ hs[b][1]) & (2**64 - 1)).count("1")
+                if d <= 6:
+                    want.add((a, b, d))
+        return want
+
+    def run(texts):
+        docs = spark.createDataFrame(list(enumerate(texts)),
+                                     "doc_id long, text string")
+        return {(r["doc_a"], r["doc_b"], r["hamming"])
+                for r in image_phash_pairs(docs).collect()}
+
+    monkeypatch.setattr(dedup, "BAND_CAP", 8)
+    dedup._HOTNESS_MEMO.clear()
+    import random
+    rng = random.Random(3)
+    # fixture 1 — splittable saturation: 20 docs share BMP rows 0-1
+    # (bytes 0..95 -> h1 band 0 equal: a 20-member bucket over cap 8)
+    # but carry random later rows, so composite buckets stay tiny;
+    # plus an identical pair and a one-byte twin as qualifying pairs
+    prefix = "".join(chr(65 + rng.randrange(26)) for _ in range(96))
+    texts = [prefix + "".join(chr(65 + rng.randrange(26))
+                              for _ in range(672)) for _ in range(20)]
+    dup = "".join(chr(97 + rng.randrange(26)) for _ in range(768))
+    twin = dup[:400] + chr((ord(dup[400]) - 97 + 5) % 26 + 97) \
+        + dup[401:]
+    texts += [dup, dup, twin]
+    want = brute(texts)
+    # the identical pair and both its twin pairs must qualify
+    assert {(20, 21, 0)} <= want and len(want) >= 3
+    got = run(texts)
+    assert got == want
+    m = dedup.last_band_guard_metrics()
+    assert m is not None and m.get("rerouted_rows", 0) > 0
+    assert m["dropped_rows"] == 0       # split left no residual here
+
+    # fixture 2 — the residual: 30 IDENTICAL docs form one >cap
+    # identical-hash cluster; composite buckets stay 30-member, so
+    # stage-2 drops fire and are OBSERVED (got may lose pairs, but
+    # never invents them)
+    dedup._HOTNESS_MEMO.clear()
+    clones = ["clone body " + "X" * 500] * 30
+    got2 = run(clones)
+    want2 = brute(clones)
+    assert got2 <= want2
+    m2 = dedup.last_band_guard_metrics()
+    assert m2 is not None and m2["dropped_rows"] > 0

@@ -1085,10 +1085,18 @@ def test_stream_paragraph_dedup_legacy_index_migration(spark, tmp_path):
     spark.createDataFrame([(stale_line, 0)], legacy_schema) \
         .coalesce(1).write.mode("append") \
         .parquet(str(tmp_path / "store" / "claimed"))
+    # and a DOUBLE-CLAIM: round-9 code over a legacy index re-appends
+    # an already-claimed line (NULL-key rows escape its replay
+    # anti-join) — the repair must collapse it to one keyed row,
+    # because the hashed core now relies on index-key uniqueness
+    spark.createDataFrame([(claimed_line, 3)], legacy_schema) \
+        .coalesce(1).write.mode("append") \
+        .parquet(str(tmp_path / "store" / "claimed"))
     handler2 = paragraph_dedup_foreach_batch(store, "clean", "claimed")
     idx2 = store.read("claimed")
     assert idx2.filter(F.col("lh").isNull()).count() == 0
     assert idx2.filter(F.col("line") == stale_line).count() == 1
+    assert idx2.filter(F.col("line") == claimed_line).count() == 1
     handler2(spark.createDataFrame(
         [(8, stale_line + "\neighth doc own paragraph body")],
         doc_schema), 2)

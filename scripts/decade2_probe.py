@@ -91,7 +91,14 @@ QUERIES = ("dedup_jaccard_prefix", "fuzzy_doc_pairs",
            # verbatim r8 ratio (5.4×) was dominated by text movement;
            # this row measures what remains once text rides only the
            # doc_id join
-           "dedup_paragraphs_hashed")
+           "dedup_paragraphs_hashed",
+           # round 10: image perceptual-hash near-dup.  sf1 already
+           # saturates single 16-bit band buckets (>6k docs share
+           # structured gradient bands), so this row measures the
+           # HOT-SPLIT plan at 10× that saturation; the band-guard
+           # record (rerouted vs residual-dropped memberships) lands
+           # beside the wall
+           "dedup_image_phash")
 
 #: queries reading the embeddings table (warm-up + observables differ)
 EMB_QUERIES = ("dedup_embedding_lsh", "dedup_embedding_clusters",
@@ -102,9 +109,11 @@ SCALES = {"sf1": os.path.join(REPO, ".bigdata/sf1"),
 
 def inner(query: str, sf_dir: str) -> None:
     from greenplum_dwh_spark.operators import (curation, dedup,
+                                               multimodal_ops,
                                                similarity,
                                                text_analysis,
                                                training_data)
+    _phash = multimodal_ops.dedup_image_phash
     from greenplum_dwh_spark.session import get_spark
     fn = {"dedup_jaccard_prefix": dedup.dedup_jaccard_prefix,
           "fuzzy_doc_pairs": training_data.fuzzy_doc_pairs,
@@ -122,6 +131,7 @@ def inner(query: str, sf_dir: str) -> None:
           "ann_ivf_topk": similarity.ann_ivf_topk,
           "dedup_paragraphs": curation.dedup_paragraphs,
           "dedup_paragraphs_hashed": curation.dedup_paragraphs_hashed,
+          "dedup_image_phash": _phash,
           }[query]
     spark = get_spark("decade2_probe",
                       extra_conf={"spark.ui.enabled": "false"})
@@ -141,7 +151,8 @@ def inner(query: str, sf_dir: str) -> None:
         m = dedup.last_ppjoin_metrics()
         if m:
             extra["n_candidates"] = m["n_candidates"]
-    if query in ("dedup_minhash_lsh", "dedup_simhash"):
+    if query in ("dedup_minhash_lsh", "dedup_simhash",
+                 "dedup_image_phash"):
         g = dedup.last_band_guard_metrics()
         if g:
             extra["band_guard"] = g

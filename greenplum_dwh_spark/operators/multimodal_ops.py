@@ -104,8 +104,32 @@ def _planted_image_docs(t: Tables) -> DataFrame:
     return base.unionByName(twins)
 
 
+def _phash_bands(fps: DataFrame) -> DataFrame:
+    """(doc_id, band) rows from a (doc_id, h1, h2) hash table —
+    8×16-bit hamming bands, shared by the candidate join and the
+    recall probe (the simhash discipline: the probe grades the join
+    the operator actually runs)."""
+    mask = (1 << PHASH_BAND_BITS) - 1
+    keys = [
+        F.concat_ws(":", F.lit(str(i * 4 + b)),
+                    F.shiftrightunsigned(F.col(col), PHASH_BAND_BITS * b)
+                    .bitwiseAND(mask).cast("string"))
+        for i, col in enumerate(("h1", "h2")) for b in range(4)]
+    return (fps.filter(F.col("h1").isNotNull())
+            .select("doc_id", F.explode(F.array(*keys)).alias("band")))
+
+
+def _phash_hamming(a_prefix: str = "a", b_prefix: str = "b"):
+    """hamming(h1_a,h2_a ; h1_b,h2_b) as a JVM column expression."""
+    return (F.bit_count(F.col(f"h1_{a_prefix}")
+                        .bitwiseXOR(F.col(f"h1_{b_prefix}")))
+            + F.bit_count(F.col(f"h2_{a_prefix}")
+                          .bitwiseXOR(F.col(f"h2_{b_prefix}"))))
+
+
 def image_phash_pairs(docs: DataFrame,
-                      max_dist: int = PHASH_MAX_DIST) -> DataFrame:
+                      max_dist: int = PHASH_MAX_DIST,
+                      fps: DataFrame | None = None) -> DataFrame:
     """Perceptual-hash image near-dup: (doc_id, text)-shaped docs →
     (doc_a, doc_b, hamming) pairs whose 128-bit BMP dHashes are
     within ``max_dist``.
@@ -138,15 +162,12 @@ def image_phash_pairs(docs: DataFrame,
     if max_dist > 7:
         raise ValueError("8×16-bit banding is complete only for "
                          f"hamming ≤ 7, got {max_dist}")
-    fps = image_dhashes(pack_image_payloads(docs, width=16)).cache()
-    mask = (1 << PHASH_BAND_BITS) - 1
-    keys = [
-        F.concat_ws(":", F.lit(str(i * 4 + b)),
-                    F.shiftrightunsigned(F.col(col), PHASH_BAND_BITS * b)
-                    .bitwiseAND(mask).cast("string"))
-        for i, col in enumerate(("h1", "h2")) for b in range(4)]
-    bands = (fps.filter(F.col("h1").isNotNull())
-             .select("doc_id", F.explode(F.array(*keys)).alias("band")))
+    if fps is None:
+        # ``fps`` lets the recall probe reuse its cached hash table
+        # (the simhash fps= recipe) instead of paying a second
+        # corpus pack+hash pass; the caller then owns the cache
+        fps = image_dhashes(pack_image_payloads(docs, width=16)).cache()
+    bands = _phash_bands(fps)
     # hotness decision: the simhash pigeonhole shortcut on the doc
     # count (memoized on the fingerprint plan) — only inside the
     # bounded window cap < n ≤ cap·2¹⁶ does the exact alphabet-
@@ -180,13 +201,106 @@ def image_phash_pairs(docs: DataFrame,
                     F.col("h1").alias("h1_a"), F.col("h2").alias("h2_a"))
     fb = fps.select(F.col("doc_id").alias("doc_b"),
                     F.col("h1").alias("h1_b"), F.col("h2").alias("h2_b"))
-    hamming = (F.bit_count(F.col("h1_a").bitwiseXOR(F.col("h1_b")))
-               + F.bit_count(F.col("h2_a").bitwiseXOR(F.col("h2_b"))))
     return (cand.join(fa, "doc_a").join(fb, "doc_b")
             .select("doc_a", "doc_b",
-                    hamming.cast("int").alias("hamming"))
+                    _phash_hamming().cast("int").alias("hamming"))
             .filter(F.col("hamming") <= max_dist)
             .distinct())
+
+
+def image_phash_guard_probe(docs: DataFrame,
+                            max_dist: int = PHASH_MAX_DIST,
+                            band_cap: int | None = None,
+                            sample_mod: int = 4,
+                            count_emitted: bool = True) -> dict:
+    """Grade the phash split plan's residual recall loss instead of
+    only counting dropped memberships — the
+    :func:`dedup.simhash_band_guard_probe` estimator ported to the
+    two-half hash: deterministically sample docs at 1/``sample_mod``,
+    take sampled-member pairs within over-cap RAW buckets, verify
+    hamming exactly, then subtract pairs the production plan still
+    emits — via an under-cap raw band (``escaped``) or an under-cap
+    composite bucket of the SAME :func:`dedup._split_routing` the
+    operator runs (``rescued``).  A lost pair is sampled with
+    probability 1/mod² regardless of how many hot buckets it shares,
+    so ``sampled_lost · mod²`` is unbiased and
+    :func:`dedup._binom_count_ub` turns the count into a 95% upper
+    bound (a sampled zero is not a bound of zero).  Work is
+    O(Σ hot_bucket²/mod²) — a diagnostics pass over exactly the
+    buckets the plan refuses to join."""
+    from pyspark.sql import Window
+
+    from greenplum_dwh_spark.operators import dedup as D
+    band_cap = D.BAND_CAP if band_cap is None else band_cap
+    fps = (image_dhashes(pack_image_payloads(docs, width=16))
+           .filter(F.col("h1").isNotNull()).cache())
+    bands = _phash_bands(fps)
+    w = Window.partitionBy("band")
+    counted = bands.withColumn("_bn", F.count(F.lit(1)).over(w)).cache()
+    hot = counted.filter(F.col("_bn") > band_cap)
+    stats = counted.agg(
+        F.sum(F.when(F.col("_bn") > band_cap, 1).otherwise(0))
+        .alias("raw_overcap_rows"),
+        F.max("_bn").alias("max_band_size")).first()
+    out = {"raw_overcap_rows": int(stats["raw_overcap_rows"] or 0),
+           "max_band_size": int(stats["max_band_size"] or 0),
+           "sample_mod": sample_mod}
+    sampled = (hot.filter(
+        F.pmod(F.xxhash64("doc_id"), F.lit(sample_mod)) == 0)
+        .select("doc_id", "band"))
+    cand = (sampled.alias("a").join(sampled.alias("b"), "band")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    fa = fps.select(F.col("doc_id").alias("doc_a"),
+                    F.col("h1").alias("h1_a"), F.col("h2").alias("h2_a"))
+    fb = fps.select(F.col("doc_id").alias("doc_b"),
+                    F.col("h1").alias("h1_b"), F.col("h2").alias("h2_b"))
+    verified = (cand.join(fa, "doc_a").join(fb, "doc_b")
+                .filter(_phash_hamming() <= max_dist)
+                .select("doc_a", "doc_b"))
+    cool = (counted.filter(F.col("_bn") <= band_cap)
+            .select("doc_id", "band"))
+    escaped = (verified
+               .join(cool.select(F.col("doc_id").alias("doc_a"),
+                                 "band"), "doc_a")
+               .join(cool.select(F.col("doc_id").alias("doc_b"),
+                                 "band"), ["doc_b", "band"])
+               .select("doc_a", "doc_b").distinct())
+    comp = (D._split_routing(bands, band_cap)[1]
+            .withColumnRenamed("band", "ckey"))
+    wc = Window.partitionBy("ckey")
+    comp_cool = (comp.withColumn("_cn", F.count(F.lit(1)).over(wc))
+                 .filter(F.col("_cn") <= band_cap)
+                 .select("doc_id", "ckey"))
+    rescued = (verified
+               .join(comp_cool.select(F.col("doc_id").alias("doc_a"),
+                                      "ckey"), "doc_a")
+               .join(comp_cool.select(F.col("doc_id").alias("doc_b"),
+                                      "ckey"), ["doc_b", "ckey"])
+               .select("doc_a", "doc_b").distinct())
+    sampled_lost = (verified
+                    .join(escaped, ["doc_a", "doc_b"], "left_anti")
+                    .join(rescued, ["doc_a", "doc_b"], "left_anti")
+                    .count())
+    out["sampled_lost_pairs"] = int(sampled_lost)
+    out["est_pairs_lost"] = int(sampled_lost * sample_mod * sample_mod)
+    out["est_pairs_lost_ub"] = (
+        0 if out["raw_overcap_rows"] == 0
+        else D._binom_count_ub(int(sampled_lost),
+                               1.0 / (sample_mod * sample_mod)))
+    if count_emitted:
+        emitted = image_phash_pairs(docs, max_dist, fps=fps).count()
+        out["emitted_pairs"] = int(emitted)
+        denom = emitted + out["est_pairs_lost"]
+        out["est_recall"] = round(emitted / denom, 6) if denom else 1.0
+        denom_ub = emitted + out["est_pairs_lost_ub"]
+        out["est_recall_lb"] = (round(emitted / denom_ub, 6)
+                                if denom_ub else 1.0)
+    fps.unpersist()
+    counted.unpersist()
+    return out
 
 
 def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -190,6 +190,15 @@ def inner(query: str, sf_dir: str) -> None:
                  .collect()}
         extra["recall_vs_exact"] = round(len(ivf & exact) / len(exact), 4)
         extra["topk_rows"] = len(exact)
+    if query == "dedup_image_phash":
+        # same acceptance evidence as simhash at saturation: the
+        # sampled lost-pair estimate + 95% bound for the split plan's
+        # composite-bucket residual (near-constant images form
+        # quadratic pair families; the bound says what the cap cost)
+        from greenplum_dwh_spark.sources.tpch import Tables
+        docs = multimodal_ops._planted_image_docs(Tables(spark, sf_dir))
+        extra["recall_probe"] = multimodal_ops.image_phash_guard_probe(
+            docs, sample_mod=8)
     if query == "dedup_simhash":
         # the saturation-era acceptance evidence (round-6 verdict
         # item 5): residual drops + a sampled 95% recall lower bound

@@ -825,3 +825,38 @@ def test_image_phash_hot_split_exact(spark, monkeypatch):
     assert got2 <= want2
     m2 = dedup.last_band_guard_metrics()
     assert m2 is not None and m2["dropped_rows"] > 0
+
+
+def test_image_phash_guard_probe_exact_on_clone_cluster(spark,
+                                                        monkeypatch):
+    """The recall probe's loss estimate is EXACT at sample_mod=1 on
+    the residual-drop fixture: a >cap identical-hash clone cluster
+    loses exactly (true pairs − emitted pairs), and the probe must
+    say so (and report recall 1.0 with zero-loss structure on a
+    no-saturation corpus)."""
+    from greenplum_dwh_spark.operators import dedup
+    from greenplum_dwh_spark.operators.multimodal_ops import (
+        image_phash_guard_probe, image_phash_pairs)
+
+    monkeypatch.setattr(dedup, "BAND_CAP", 8)
+    dedup._HOTNESS_MEMO.clear()
+    clones = ["clone body " + "X" * 500] * 15
+    docs = spark.createDataFrame(list(enumerate(clones)),
+                                 "doc_id long, text string")
+    emitted = image_phash_pairs(docs).count()
+    true_pairs = 15 * 14 // 2
+    r = image_phash_guard_probe(docs, sample_mod=1)
+    assert r["raw_overcap_rows"] > 0
+    assert r["emitted_pairs"] == emitted
+    assert r["est_pairs_lost"] == true_pairs - emitted
+    assert r["sampled_lost_pairs"] == r["est_pairs_lost"]
+    assert r["est_pairs_lost_ub"] >= r["est_pairs_lost"]
+    # no-saturation corpus: structurally zero loss, recall exactly 1
+    dedup._HOTNESS_MEMO.clear()
+    distinct = ["doc %d body %s" % (i, "Y" * (120 + 13 * i))
+                for i in range(6)]
+    docs2 = spark.createDataFrame(list(enumerate(distinct)),
+                                  "doc_id long, text string")
+    r2 = image_phash_guard_probe(docs2, sample_mod=1)
+    assert r2["raw_overcap_rows"] == 0
+    assert r2["est_pairs_lost_ub"] == 0 and r2["est_recall"] == 1.0

@@ -241,9 +241,14 @@ def main() -> None:
         if os.path.exists(prior):
             with open(prior) as f:
                 artifact = json.load(f)
+    from scale_probe import wait_load_drain
     for q in run:
         artifact["queries"][q] = {}
         for label, sf_dir in SCALES.items():
+            # the scale_probe drain discipline (round 10): a leg that
+            # starts on a co-tenant burst or the previous leg's own
+            # 32-thread tail measures the host, not the operator
+            wait_load_drain(threshold=2.0)
             # size the single-JVM heap for the scale under test: in
             # local mode the driver heap IS the cluster memory, and
             # probing 10× data in the sf0.1-sized default 8 g measures

@@ -824,10 +824,18 @@ def paragraph_dedup_foreach_batch(store, clean_table: str,
         # this handler ever touches the stored paragraph text — a
         # hash-collision "duplicate" claim would be unreachable
         # anyway (the ban probe, keyed identically, already bans its
-        # line), so the collision contract stays consistent
+        # line), so the collision contract stays consistent.  The
+        # anti-join's right side filters to THIS batch's own rows
+        # (round 10): a kept line is by definition not banned, i.e.
+        # its key is in NO other batch's index rows, so the only
+        # possible collision is this batch's half-committed claims
+        # from a crashed earlier attempt — and since appends land one
+        # file per batch, the _batch_id predicate prunes the probe
+        # from O(index) to O(batch) at the parquet row-group stats
         store.append(index_table,
                      claimed.select("line", *_line_key(F.col("line")))
                      .join(store.read(index_table)
+                           .filter(F.col("_batch_id") == int(batch_id))
                            .select("lh", "ln"), ["lh", "ln"],
                            "left_anti")
                      .select("line", "lh", "ln")

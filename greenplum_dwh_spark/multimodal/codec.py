@@ -464,7 +464,12 @@ def dhash_bmp(payload: bytes) -> tuple[int, int] | None:
     source row ``gy*h//16``, sampled col ``gx`` reads ``gx*w//9``),
     and each packed half wraps to signed int64 so Spark/DuckDB BIGINT
     columns carry it natively.  Returns ``None`` for payloads that
-    are not 24-bit BMPs."""
+    are not 24-bit BMPs — including structurally declared but
+    TRUNCATED ones (header stride·height exceeding the buffer), so a
+    malformed row degrades to a null hash instead of failing its
+    whole Arrow batch; and a negative header height (top-down pixel
+    order per the BITMAPINFOHEADER spec) skips the bottom-up row
+    flip so both orientations hash their true image."""
     import numpy as np
     meta = decode_image(payload)
     if meta is None or meta["format"] != "bmp" or meta["channels"] != 3:
@@ -472,9 +477,14 @@ def dhash_bmp(payload: bytes) -> tuple[int, int] | None:
     b = bytes(payload)
     w, h = meta["width"], meta["height"]
     data_off = struct.unpack_from("<I", b, 10)[0]
+    raw_h = struct.unpack_from("<i", b, 22)[0]   # sign = row order
     stride = (w * 3 + 3) & ~3
-    img = (np.frombuffer(b, np.uint8, stride * h, data_off)
-           .reshape(h, stride)[::-1, :w * 3].reshape(h, w, 3))
+    if data_off < 14 or data_off + stride * h > len(b):
+        return None                              # truncated payload
+    img = np.frombuffer(b, np.uint8, stride * h, data_off).reshape(h, stride)
+    if raw_h > 0:                                # bottom-up storage
+        img = img[::-1]
+    img = img[:, :w * 3].reshape(h, w, 3)
     gray = img.sum(axis=2, dtype=np.int32)          # (h, w) channel sums
     ys = [gy * h // DHASH_ROWS for gy in range(DHASH_ROWS)]
     xs = [gx * w // DHASH_COLS for gx in range(DHASH_COLS)]

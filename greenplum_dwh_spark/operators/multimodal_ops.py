@@ -196,7 +196,9 @@ def image_phash_pairs(docs: DataFrame,
     if hot:
         cand = D._split_banded_candidates(bands, D.BAND_CAP)
     else:
-        cand = D._banded_candidates(bands, distinct=False)
+        # pass the LIVE cap so the guard and the hotness decision
+        # above can never disagree if BAND_CAP is retuned at runtime
+        cand = D._banded_candidates(bands, D.BAND_CAP, distinct=False)
     fa = fps.select(F.col("doc_id").alias("doc_a"),
                     F.col("h1").alias("h1_a"), F.col("h2").alias("h2_a"))
     fb = fps.select(F.col("doc_id").alias("doc_b"),
@@ -268,18 +270,25 @@ def image_phash_guard_probe(docs: DataFrame,
                .join(cool.select(F.col("doc_id").alias("doc_b"),
                                  "band"), ["doc_b", "band"])
                .select("doc_a", "doc_b").distinct())
-    comp = (D._split_routing(bands, band_cap)[1]
-            .withColumnRenamed("band", "ckey"))
-    wc = Window.partitionBy("ckey")
-    comp_cool = (comp.withColumn("_cn", F.count(F.lit(1)).over(wc))
-                 .filter(F.col("_cn") <= band_cap)
-                 .select("doc_id", "ckey"))
-    rescued = (verified
-               .join(comp_cool.select(F.col("doc_id").alias("doc_a"),
-                                      "ckey"), "doc_a")
-               .join(comp_cool.select(F.col("doc_id").alias("doc_b"),
-                                      "ckey"), ["doc_b", "ckey"])
-               .select("doc_a", "doc_b").distinct())
+    if max_dist <= 6:
+        comp = (D._split_routing(bands, band_cap)[1]
+                .withColumnRenamed("band", "ckey"))
+        wc = Window.partitionBy("ckey")
+        comp_cool = (comp.withColumn("_cn", F.count(F.lit(1)).over(wc))
+                     .filter(F.col("_cn") <= band_cap)
+                     .select("doc_id", "ckey"))
+        rescued = (verified
+                   .join(comp_cool.select(F.col("doc_id").alias("doc_a"),
+                                          "ckey"), "doc_a")
+                   .join(comp_cool.select(F.col("doc_id").alias("doc_b"),
+                                          "ckey"), ["doc_b", "ckey"])
+                   .select("doc_a", "doc_b").distinct())
+    else:
+        # mirror the operator's plan selection: past n_bands − 2 the
+        # split is incomplete, image_phash_pairs falls back to the
+        # plain drop guard, so crediting split-rescued pairs here
+        # would overstate est_recall for a plan that never runs
+        rescued = verified.limit(0)
     sampled_lost = (verified
                     .join(escaped, ["doc_a", "doc_b"], "left_anti")
                     .join(rescued, ["doc_a", "doc_b"], "left_anti")

@@ -35,6 +35,7 @@ Implementation choices:
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 import pandas as pd
 
@@ -740,6 +741,19 @@ def paragraph_dedup_foreach_batch(store, clean_table: str,
         T.StructField("lh", T.LongType()),
         T.StructField("ln", T.IntegerType()),
         T.StructField("_batch_id", T.LongType())])
+    repair_tbl = index_table + "__repair"
+    bak_tbl = index_table + "__repair_bak"
+    if store.exists(repair_tbl) and not store.exists(index_table):
+        # crashed between the two swap renames below: the repaired
+        # table is complete (it is only ever renamed into place after
+        # its write fully committed while the index still existed),
+        # so finish the swap instead of re-initialising an EMPTY
+        # index that would silently un-ban every prior claim
+        os.rename(store._path(repair_tbl), store._path(index_table))
+    # any other leftover repair/backup state is pre-swap (index still
+    # intact) or post-swap (index already repaired) — re-derivable
+    store.drop(repair_tbl)
+    store.drop(bak_tbl)
     legacy = store.exists(index_table)
     store.init_append(index_table, index_schema)
     if legacy:
@@ -765,21 +779,41 @@ def paragraph_dedup_foreach_batch(store, clean_table: str,
                   else F.lit(None).cast("int"))
             bid = (F.col("_batch_id") if "_batch_id" in cols
                    else F.lit(-1).cast("long"))
-            # dropDuplicates on the key: round-9 code run over a
-            # legacy index re-appends an already-claimed line (its
-            # replay anti-join can't match NULL-key rows), so the
-            # repair must also collapse those double-claims — the
-            # downstream core now RELIES on index-key uniqueness
-            # (banned_keys_distinct)
+            # collapse double-claims to the MINIMUM _batch_id per
+            # key: round-9 code run over a legacy index re-appends an
+            # already-claimed line (its replay anti-join can't match
+            # NULL-key rows), and the downstream core RELIES on
+            # index-key uniqueness (banned_keys_distinct).  Keeping
+            # the EARLIEST batch (not an arbitrary row) preserves
+            # first-wins under replay: if the stream replays exactly
+            # the surviving row's batch, the ban probe's
+            # ``_batch_id != batch_id`` filter must still ban a line
+            # first claimed by an EARLIER batch (round-10 ADVICE)
+            from pyspark.sql import Window
+            wk = (Window.partitionBy("lh", "ln")
+                  .orderBy("_batch_id", "line"))
             fixed = (idx.select(
                 "line",
                 F.coalesce(lh, F.xxhash64("line")).alias("lh"),
                 F.coalesce(ln, F.length("line")).alias("ln"),
                 bid.alias("_batch_id"))
-                .dropDuplicates(["lh", "ln"])
-                .localCheckpoint())  # pin rows before truncate
-            store.truncate(index_table, index_schema)
-            store.append(index_table, fixed)
+                .withColumn("_rn", F.row_number().over(wk))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+            # crash-safe swap (round-10 ADVICE): the old
+            # truncate-then-append lost every claim if the process
+            # died between the two (localCheckpoint only pins rows in
+            # executor memory), and the empty new-schema table would
+            # pass the needs-repair check on restart.  Instead the
+            # repaired rows land DURABLY in a side table first; only
+            # then do two directory renames retire the legacy index —
+            # every crash window either leaves the legacy index
+            # intact (repair re-derived on restart) or leaves a
+            # complete repair table that the recovery block above
+            # renames into place
+            fixed.write.mode("overwrite").parquet(store._path(repair_tbl))
+            os.rename(store._path(index_table), store._path(bak_tbl))
+            os.rename(store._path(repair_tbl), store._path(index_table))
+            store.drop(bak_tbl)
     store.init_append(clean_table, T.StructType([
         T.StructField("doc_id", T.LongType()),
         T.StructField("clean_text", T.StringType()),

@@ -727,6 +727,41 @@ def test_dhash_bmp_kernel_exact():
     assert dhash_bmp(b"GIF89a\x10\x00\x10\x00") is None
 
 
+def test_dhash_bmp_truncated_and_topdown():
+    """Round-10 ADVICE: dhash_bmp honors its 'non-BMP payloads yield
+    nulls' contract for MALFORMED 24-bit BMPs — a header-declared
+    pixel area exceeding the buffer returns None instead of raising
+    (which would fail the whole Arrow batch in image_dhashes) — and a
+    top-down BMP (negative header height, rows stored first-row-
+    first) hashes identically to its bottom-up encoding of the same
+    image."""
+    import struct
+
+    from greenplum_dwh_spark.multimodal.codec import (dhash_bmp,
+                                                      encode_bmp)
+
+    data = bytes(range(256)) * 3            # h = 16 at width 16
+    bmp = encode_bmp(data, width=16)
+    base = dhash_bmp(bmp)
+    assert base is not None
+    # truncated pixel payload: decode_image still parses the header,
+    # so the kernel itself must bounds-check stride*h vs the buffer
+    assert dhash_bmp(bmp[:-5]) is None
+    assert dhash_bmp(bmp[:40]) is None
+    # top-down variant: negate the header height and reverse the
+    # stored row order -> same image, same hash
+    data_off = struct.unpack_from("<I", bmp, 10)[0]
+    h = struct.unpack_from("<i", bmp, 22)[0]
+    assert h > 0
+    stride = (16 * 3 + 3) & ~3
+    rows = [bmp[data_off + r * stride: data_off + (r + 1) * stride]
+            for r in range(h)]
+    td = bytearray(bmp[:data_off])
+    struct.pack_into("<i", td, 22, -h)
+    td += b"".join(reversed(rows))
+    assert dhash_bmp(bytes(td)) == base
+
+
 def test_image_phash_planted_twins(spark, sf_dir):
     """dedup_image_phash finds every planted (original, perturbed
     twin) image pair within the hamming threshold, with zero

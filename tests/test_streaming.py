@@ -1097,8 +1097,97 @@ def test_stream_paragraph_dedup_legacy_index_migration(spark, tmp_path):
     assert idx2.filter(F.col("lh").isNull()).count() == 0
     assert idx2.filter(F.col("line") == stale_line).count() == 1
     assert idx2.filter(F.col("line") == claimed_line).count() == 1
+    # the survivor must carry the EARLIEST _batch_id (round-10
+    # ADVICE): an arbitrary survivor could carry batch 3, and a
+    # replay of exactly batch 3 would then exclude the row from its
+    # ban probe and un-ban a line first claimed by batch 0
+    assert (idx2.filter(F.col("line") == claimed_line)
+            .first()["_batch_id"]) == 0
     handler2(spark.createDataFrame(
         [(8, stale_line + "\neighth doc own paragraph body")],
         doc_schema), 2)
     got8 = store.read("clean").filter(F.col("doc_id") == 8).first()
     assert got8["clean_text"] == "eighth doc own paragraph body"
+
+
+def test_stream_paragraph_dedup_migration_crash_recovery(spark, tmp_path):
+    """Round-10 ADVICE (medium): the legacy-index repair must be
+    crash-safe.  The repair writes the fixed rows durably to a
+    ``__repair`` side table and swaps it into place with two renames;
+    this test reconstructs each crash window's on-disk state and
+    asserts a fresh handler recovers WITHOUT losing claims.
+
+    Window A (between the two renames): index dir gone, complete
+    repair table present, legacy rows parked in ``__repair_bak`` —
+    the old truncate-then-append code would have re-initialised an
+    empty index here and silently un-banned every prior claim.
+    Window B (crash during/after the repair write, index untouched):
+    a stale ``__repair`` beside a still-legacy index — must be
+    discarded and the migration re-derived."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from greenplum_dwh_spark.streaming.mart_stream import (
+        paragraph_dedup_foreach_batch)
+    from greenplum_dwh_spark.tablestore import TableStore
+
+    line = "a paragraph whose claim must survive the crash"
+    base = tmp_path / "store"
+    store = TableStore(spark, str(base))
+    key = spark.range(1).select(
+        F.xxhash64(F.lit(line)).alias("lh"),
+        F.length(F.lit(line)).alias("ln")).first()
+    new_schema = T.StructType([
+        T.StructField("line", T.StringType()),
+        T.StructField("lh", T.LongType()),
+        T.StructField("ln", T.IntegerType()),
+        T.StructField("_batch_id", T.LongType())])
+    legacy_schema = T.StructType([
+        T.StructField("line", T.StringType()),
+        T.StructField("_batch_id", T.LongType())])
+    doc_schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                               T.StructField("text", T.StringType())])
+
+    # window A: mid-swap — repaired table complete, index dir absent
+    spark.createDataFrame([(line, key["lh"], key["ln"], 0)], new_schema) \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(str(base / "claimed__repair"))
+    spark.createDataFrame([(line, 0)], legacy_schema) \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(str(base / "claimed__repair_bak"))
+    assert not (base / "claimed").exists()
+    handler = paragraph_dedup_foreach_batch(store, "clean", "claimed")
+    idx = store.read("claimed")
+    assert idx.count() == 1
+    row = idx.first()
+    assert (row["line"], row["lh"], row["ln"]) == (line, key["lh"],
+                                                   key["ln"])
+    assert not (base / "claimed__repair").exists()
+    assert not (base / "claimed__repair_bak").exists()
+    # the recovered claim still bans
+    handler(spark.createDataFrame(
+        [(5, line + "\nsurvivor doc own paragraph body")],
+        doc_schema), 1)
+    got = store.read("clean").filter(F.col("doc_id") == 5).first()
+    assert got["clean_text"] == "survivor doc own paragraph body"
+    assert (got["n_kept"], got["n_dropped"]) == (1, 1)
+
+    # window B: stale repair beside a still-legacy index — the stale
+    # side table must be dropped and the migration re-derived from
+    # the intact index (its content is deliberately WRONG to prove
+    # it is discarded, not swapped in)
+    store2 = TableStore(spark, str(tmp_path / "store2"))
+    spark.createDataFrame([(line, 0)], legacy_schema) \
+        .coalesce(1).write.mode("overwrite") \
+        .parquet(str(tmp_path / "store2" / "claimed"))
+    spark.createDataFrame(
+        [("poison row from a half-written repair", 1, 1, 9)],
+        new_schema).coalesce(1).write.mode("overwrite") \
+        .parquet(str(tmp_path / "store2" / "claimed__repair"))
+    paragraph_dedup_foreach_batch(store2, "clean", "claimed")
+    idx2 = store2.read("claimed")
+    assert idx2.count() == 1
+    row2 = idx2.first()
+    assert (row2["line"], row2["lh"], row2["ln"]) == (line, key["lh"],
+                                                      key["ln"])
+    assert not (tmp_path / "store2" / "claimed__repair").exists()

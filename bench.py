@@ -321,35 +321,33 @@ def pin_overwrite_guard(total: float, pin_path: str) -> None:
             f"code/headline change")
 
 
-def main() -> None:
-    pin = any(a in ("--pin", "--pin-force") for a in sys.argv[1:])
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
-    load_before = host_load()
-    if pin and load_before["load_1m"] >= PIN_MAX_LOAD:
-        raise SystemExit(
-            f"--pin refused: load_1m {load_before['load_1m']} >= "
-            f"{PIN_MAX_LOAD} — a pinned reference measured under load "
-            f"defeats its purpose; retry on a calm host")
+#: driver-leg calm retry (round-10 verdict item 2): BENCH_r10.json
+#: shipped at controls_median 1.59 with 30/61 queries over 1.5× pin —
+#: the only artifact without an auto-retry.  When the map-only
+#: controls median of a finished run exceeds this, the whole
+#: measurement loop runs once more and the calmer attempt is kept
+#: (both attempts' medians recorded in the artifact).
+CALM_RETRY_CONTROLS = 1.25
 
-    queries = bench_queries()
-    from greenplum_dwh_spark.session import get_spark
-    spark = get_spark("bench", extra_conf={"spark.ui.enabled": "false"})
-    spark.sparkContext.setLogLevel("ERROR")
 
-    # untimed warm-up: touch every input table once so per-query numbers
-    # measure steady-state execution, not first-scan footer reads / JVM
-    # codegen JIT (standard bench discipline; total still reflects the
-    # full headline workload)
-    from greenplum_dwh_spark.sources.tpch import TABLE_NAMES, load_table
-    for t in TABLE_NAMES:
-        try:
-            load_table(spark, sf_dir, t).write.mode("overwrite") \
-                .format("noop").save()
-        except Exception:
-            pass
+def calm_retry_needed(cm: float | None) -> bool:
+    """Retry only on a READABLE burst signal: no pin / no controls
+    means there is nothing to adjudicate against."""
+    return cm is not None and cm > CALM_RETRY_CONTROLS
 
+
+def calm_retry_keep(cm_first: float | None,
+                    cm_retry: float | None) -> int:
+    """Which attempt the artifact keeps (0 = first, 1 = retry): the
+    retry wins only with a strictly lower readable controls median —
+    an unreadable retry can never displace the measured first run."""
+    return 1 if (cm_retry is not None and cm_first is not None
+                 and cm_retry < cm_first) else 0
+
+
+def measure_all(queries: dict, spark, sf_dir: str) -> dict:
+    """One full measurement pass over the headline set — extracted so
+    the calm retry can run it twice."""
     timings: dict[str, float] = {}
     band_guard: dict[str, dict] = {}
     ppjoin: dict[str, dict] = {}
@@ -390,12 +388,66 @@ def main() -> None:
         # round-over-round comparability with r01–r04, which ran
         # without it.  Storage pressure is bounded by the LRU
         # evictor; an evicted block just recomputes.
+    return {"timings": timings, "band_guard": band_guard,
+            "ppjoin": ppjoin, "per_query_load": per_query_load,
+            "after": host_load()}
 
-    total = round(sum(timings.values()), 3)
-    host = {"before": load_before, "after": host_load()}
+
+def main() -> None:
+    pin = any(a in ("--pin", "--pin-force") for a in sys.argv[1:])
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    load_before = host_load()
+    if pin and load_before["load_1m"] >= PIN_MAX_LOAD:
+        raise SystemExit(
+            f"--pin refused: load_1m {load_before['load_1m']} >= "
+            f"{PIN_MAX_LOAD} — a pinned reference measured under load "
+            f"defeats its purpose; retry on a calm host")
+
+    queries = bench_queries()
+    from greenplum_dwh_spark.session import get_spark
+    spark = get_spark("bench", extra_conf={"spark.ui.enabled": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # untimed warm-up: touch every input table once so per-query numbers
+    # measure steady-state execution, not first-scan footer reads / JVM
+    # codegen JIT (standard bench discipline; total still reflects the
+    # full headline workload)
+    from greenplum_dwh_spark.sources.tpch import TABLE_NAMES, load_table
+    for t in TABLE_NAMES:
+        try:
+            load_table(spark, sf_dir, t).write.mode("overwrite") \
+                .format("noop").save()
+        except Exception:
+            pass
+
     pin_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "BENCH_pinned.json")
-    vs_pin = vs_pin_block(timings, pin_path, sf=sf)
+    result = measure_all(queries, spark, sf_dir)
+    vs_pin = vs_pin_block(result["timings"], pin_path, sf=sf)
+    cm = vs_pin.get("controls_median") if vs_pin else None
+    attempts = [cm]
+    kept = 0
+    if calm_retry_needed(cm):
+        # the run self-adjudicates as burst-inflated — measure once
+        # more and keep the calmer attempt (the sf1 probe's big-leg
+        # retry discipline, applied to the driver's own bench leg)
+        retry = measure_all(queries, spark, sf_dir)
+        vs_pin2 = vs_pin_block(retry["timings"], pin_path, sf=sf)
+        cm2 = vs_pin2.get("controls_median") if vs_pin2 else None
+        attempts.append(cm2)
+        kept = calm_retry_keep(cm, cm2)
+        if kept:
+            result, vs_pin, cm = retry, vs_pin2, cm2
+    calm_retry = {"attempts_controls_median": attempts, "kept": kept}
+    timings = result["timings"]
+    band_guard = result["band_guard"]
+    ppjoin = result["ppjoin"]
+    per_query_load = result["per_query_load"]
+
+    total = round(sum(timings.values()), 3)
+    host = {"before": load_before, "after": result["after"]}
     loads = sorted(per_query_load.values())
     load_summary = {"med": loads[len(loads) // 2],
                     "max": max(loads)} if loads else None
@@ -421,6 +473,7 @@ def main() -> None:
         "host": host,
         "load": load_summary,
         "vs_pin": vs_pin_summary,
+        "calm_retry": calm_retry,
         # 10 ms resolution on stdout (the capture window is 2000
         # chars); the sidecar keeps the ms-rounded values
         "queries": {n: round(t, 2) for n, t in timings.items()},
@@ -432,7 +485,7 @@ def main() -> None:
                    "value": total, "unit": "sec", "sf": sf,
                    "host": host, "queries": timings,
                    "per_query_load": per_query_load,
-                   "vs_pin": vs_pin,
+                   "vs_pin": vs_pin, "calm_retry": calm_retry,
                    "band_guard": band_guard, "ppjoin": ppjoin},
                   f, indent=1)
         f.write("\n")

@@ -1176,6 +1176,28 @@ def test_vs_pin_block_burst_adjudication(tmp_path):
     assert bench.vs_pin_block({"q": 1.0}, p) is None     # corrupt pin
 
 
+def test_bench_calm_retry_decision():
+    """Round-10 verdict item 2: the driver's own bench leg retries
+    once when the finished run's map-only controls median exceeds the
+    burst threshold, and keeps the calmer attempt.  The decision
+    helpers are pure: no signal (no pin / no controls) → no retry; a
+    readable retry wins only when STRICTLY calmer; an unreadable
+    retry never displaces the measured first run."""
+    import bench
+
+    assert not bench.calm_retry_needed(None)          # nothing to judge
+    assert not bench.calm_retry_needed(1.0)
+    assert not bench.calm_retry_needed(bench.CALM_RETRY_CONTROLS)
+    assert bench.calm_retry_needed(bench.CALM_RETRY_CONTROLS + 0.01)
+    assert bench.calm_retry_needed(1.59)              # the r10 artifact
+
+    assert bench.calm_retry_keep(1.59, 1.05) == 1     # calmer retry wins
+    assert bench.calm_retry_keep(1.59, 1.59) == 0     # tie → first
+    assert bench.calm_retry_keep(1.59, 1.80) == 0     # worse retry loses
+    assert bench.calm_retry_keep(1.59, None) == 0     # unreadable retry
+    assert bench.calm_retry_keep(None, 1.0) == 0      # unreadable first
+
+
 def test_vs_pin_block_sf_mismatch_none(tmp_path):
     """A pin measured at another scale factor is not a reference for
     this run — cross-scale ratios would read as a burst."""

@@ -48,50 +48,45 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: Run order for the driver's correctness pass.  The driver truncates
 #: the tail of this dict when its global budget (~50 slots) runs out,
-#: so the ordering IS the verification-freshness lever.  Round-10
-#: rotation (round-9 verdict item 1, mechanical): (0) the NEW
-#: round-10 query (image perceptual-hash near-dup), then (a) ALL 24
-#: still-active queries whose latest green row is r07 — two rounds
-#: stale, exactly the round-9 verdict's list minus the retired
-#: range_join_hour_buckets — then (b) queries whose code changed in
-#: round 10 (fuzzy_doc_pairs' freshness signature became a recursive
-#: walk), then (c) the oldest r08-green rows by registration order
-#: with the remaining ~24 slots (the rest of the r08 cohort rotates
-#: in round 11).  Queries not listed fall in registration order
-#: after these; the 7 no-oracle-by-design queries sit in _RUN_LAST
-#: so they never burn a budget slot on a rows-only check while
-#: oracle debt exists.
+#: so the ordering IS the verification-freshness lever.  Round-11
+#: rotation (round-10 verdict item 1, mechanical; no new ledger
+#: queries this round — the round's streaming face is a bench row +
+#: stream≡batch test, not an oracle slot): (a) ALL 25 still-active
+#: queries whose latest green row is r08 — two rounds stale, exactly
+#: the round-10 verdict's list — then (b) queries whose code was
+#: touched in round 11 (dedup_image_phash: the dHash kernel gained
+#: truncation/top-down handling and the band guard now takes the
+#: live cap), then (c) the oldest r09-green rows by registration
+#: order with the remaining ~24 slots (the rest of the r09 cohort
+#: rotates in round 12).  Queries not listed fall in registration
+#: order after these; the 7 no-oracle-by-design queries sit in
+#: _RUN_LAST so they never burn a budget slot on a rows-only check
+#: while oracle debt exists.
 _RUN_FIRST = [
-    # (0) new in round 10, never driver-checked
+    # (a) latest green row is r08 — two rounds stale, clear it all
+    # (the round-10 verdict's 25, registration order)
+    "argmax_order_per_customer", "order_keys_csv",
+    "full_outer_user_hours", "window_nth_family",
+    "split_leakage_safe", "dedup_exact", "dedup_simhash",
+    "dedup_clusters", "knn_doc_graph", "text_langid", "text_quality",
+    "text_tokens", "text_fingerprint", "text_term_stats",
+    "text_bm25_scaled", "text_repetition", "dedup_embedding_lsh",
+    "dedup_embedding_clusters", "sample_hash_stratified", "scrub_pii",
+    "split_train_holdout", "remove_boilerplate_lines",
+    "shard_and_order", "curation_funnel_counts", "table_diff_orders",
+    # (b) code touched in round 11 — must re-green fresh
     "dedup_image_phash",
-    # (a) latest green row is r07 — two rounds stale, clear it all
-    # (the round-9 verdict's list, registration order)
-    "range_frame_hour_sum", "percentile_prices", "null_handling_demo",
-    "not_in_customers", "orders_calendar", "json_props_agg",
-    "skew_salted_user_totals", "rollup_merge_hourly",
-    "grouping_sets_priority_status", "text_bm25_topk_ranks",
-    "gram_novelty_scores", "dq_constraint_violations",
-    "pit_lookup_orders", "nearest_click_event",
-    "gapfill_forward_fill", "mixture_sampling_rates",
-    "canon_text_dedup", "tokens_posexplode", "decontaminate_ngrams",
-    "decontaminate_ngrams8_planted", "chunk_documents",
-    "lm_doc_scores", "bpe_encode_top_words",
-    "quality_percentile_filter",
-    # (b) code touched in round 10 — must re-green fresh
-    "fuzzy_doc_pairs",
-    # (c) oldest r08-green, registration order, filling the ~50
-    # budget (the rest of the r08 cohort rotates in round 11)
-    "q10_returned_items", "zorder_keys_orders", "q18_large_orders",
-    "window_lead_scd2", "window_lag_hop", "window_last_scd1",
-    "anti_join_no_orders", "semi_join_big_orders",
-    "union_labeled_rules", "string_funcs_demo",
-    "range_join_tumbling_rewrite", "scalar_subquery_acctbal",
-    "set_intersect_customers", "set_except_customers",
-    "amount_diff_lag", "rollup_status_priority",
-    "cube_status_priority", "distinct_parts_per_flag",
-    "tumbling_hourly", "asof_last_click", "asof_join_multikey",
-    "chain_fraud_window", "unpivot_status_counts",
-    "big_spenders_having",
+    # (c) oldest r09-green, registration order, filling the ~50
+    # budget (the rest of the r09 cohort rotates in round 12)
+    "q1_pricing_summary", "q3_segment_revenue", "q5_nation_revenue",
+    "pivot_status_counts", "moving_sum_rows_frame", "funnel_users",
+    "last_week_threshold", "late_shipments", "window_rank_family",
+    "dedup_incremental", "dedup_source_overlap", "dedup_containment",
+    "dedup_keep_best", "dedup_minhash_lsh", "dedup_jaccard_prefix",
+    "dedup_char_jaccard", "dedup_repeated_spans",
+    "dup_ngram_fraction", "label_centroids_scaled",
+    "embedding_quantize", "ann_cosine_topk", "ann_euclidean_topk",
+    "dedup_embedding", "sessionize_events",
 ]
 _RUN_LAST = [
     # no-oracle-by-design (rows-only checks; each pinned by tests —

@@ -25,9 +25,26 @@ def counts() -> dict:
     import __spark_entry__ as e
     import bench
     qs, oracles = e.queries(), e.oracle_sql()
-    return {"queries": len(qs), "oracles": len(oracles),
-            "no_oracle": len(qs) - len(oracles),
-            "bench_headline": len(bench.bench_queries())}
+    out = {"queries": len(qs), "oracles": len(oracles),
+           "no_oracle": len(qs) - len(oracles),
+           "bench_headline": len(bench.bench_queries())}
+    # pytest collect count rides the same ledger (round-10 verdict
+    # item 4: README/COVERAGE drifted to 375/380 against an actual
+    # 382) — cheap enough to always include
+    import subprocess
+    try:
+        cp = subprocess.run(
+            [sys.executable, "-m", "pytest", "--collect-only", "-q",
+             "tests/"],
+            capture_output=True, text=True, timeout=300,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        for line in cp.stdout.splitlines():
+            if line.endswith("tests collected") or " tests collected" in line:
+                out["tests_collected"] = int(line.split()[0])
+                break
+    except Exception:
+        out["tests_collected"] = None
+    return out
 
 
 def main() -> None:

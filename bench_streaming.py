@@ -43,7 +43,7 @@ INGEST_BATCHES = int(os.environ.get("STREAM_BENCH_INGEST_BATCHES",
                                     "5"))
 CDC_ROWS_PER_BATCH = 10_000
 
-OUT_PATH = os.path.join(REPO, "BENCH_stream_r10.json")
+OUT_PATH = os.path.join(REPO, "BENCH_stream_r11.json")
 
 
 def _timed(handler, walls: list):
@@ -374,8 +374,82 @@ def bench_neardup_ingest(spark, tmp: str) -> dict:
     }
 
 
+def bench_phash_ingest(spark, tmp: str) -> dict:
+    """Streaming image near-dup ingest (round-10 verdict item 5 —
+    the streaming face of ``image_phash_pairs``): the sf0.01
+    documents table with the batch operator's planted twins (every
+    50th long-enough doc gets a last-char-perturbed copy ≤ 4 hamming
+    bits from its original) drained one shard per trigger through
+    ``phash_ingest_foreach_batch`` against an initially-empty corpus.
+    Base docs arrive first (pmod shards), the twins arrive as the
+    LAST batch, so every planted pair crosses batches and must be
+    rejected against the by-then-accepted originals.  Per-batch wall
+    covers the pack+dHash Arrow pass, the 16-byte fingerprint-index
+    band probe, the JVM ``bit_count(xor)`` verify and three
+    ``_batch_id``-partitioned dynamic overwrites."""
+    from pyspark.sql import functions as F
+
+    from greenplum_dwh_spark.operators.dedup import (
+        last_band_guard_metrics)
+    from greenplum_dwh_spark.operators.multimodal_ops import (
+        PHASH_TWIN_OFFSET, _planted_image_docs)
+    from greenplum_dwh_spark.sources.tpch import Tables
+    from greenplum_dwh_spark.streaming.mart_stream import (
+        phash_ingest_foreach_batch)
+    from greenplum_dwh_spark.tablestore import TableStore
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR_SMALL",
+                            "/root/testdata/sf0.01")
+    docs = _planted_image_docs(Tables(spark, sf_dir))
+    base = docs.filter(F.col("doc_id") < PHASH_TWIN_OFFSET)
+    twins = docs.filter(F.col("doc_id") >= PHASH_TWIN_OFFSET)
+    n_docs = docs.count()
+    n_twins = twins.count()
+    src = os.path.join(tmp, "phash_src")
+    os.makedirs(src)
+    n_base_batches = INGEST_BATCHES - 1
+    for b in range(n_base_batches):
+        (base.filter(F.pmod("doc_id", F.lit(n_base_batches)) == b)
+         .coalesce(1).write.parquet(os.path.join(src, f"b{b}.parquet")))
+    twins.coalesce(1).write.parquet(
+        os.path.join(src, f"b{n_base_batches}.parquet"))
+    store = TableStore(spark, os.path.join(tmp, "phash_store"))
+    walls: list = []
+    handler = phash_ingest_foreach_batch(store, "corpus", "index",
+                                         "rejects")
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(src + "/*.parquet"))
+    t0 = time.time()
+    q = (stream.writeStream
+         .foreachBatch(_timed(handler, walls))
+         .option("checkpointLocation", os.path.join(tmp, "phash_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    wall = time.time() - t0
+    guard = last_band_guard_metrics()
+    return {
+        "batches": len(walls),
+        "input_docs": n_docs,
+        "planted_twins": n_twins,
+        "accepted_docs": store.read("corpus").count(),
+        "rejected_pairs": store.read("rejects").count(),
+        "index_rows": store.read("index").count(),
+        "band_guard": guard,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "per_batch_wall_sec": walls,
+        "batch_wall_sec": {
+            "mean": round(sum(walls) / max(len(walls), 1), 3),
+            "max": round(max(walls), 3) if walls else None,
+            "min": round(min(walls), 3) if walls else None,
+        },
+    }
+
+
 def bench_paragraph_dedup_stream(spark, tmp: str,
-                                 seed_index_rows: int = 0) -> dict:
+                                 seed_index_rows: int = 0,
+                                 doc_multiplier: int = 1) -> dict:
     """First-wins paragraph dedup at ingest (round-8 twin, benched
     round 9 — round-8 verdict item 4): the sf0.01 documents table
     with the driver query's plant (a unique para per doc + one of
@@ -394,7 +468,16 @@ def bench_paragraph_dedup_stream(spark, tmp: str,
     holds ~10⁶ claimed paragraphs.  The per-batch ban probe and the
     replay anti-join read ONLY the (lh, ln) key columns — a 12-byte/
     row column-pruned parquet scan — so per-batch wall must stay
-    ~flat vs the fixture-scale leg even at a 1000× index."""
+    ~flat vs the fixture-scale leg even at a 1000× index.
+
+    ``doc_multiplier`` (round-10 verdict item 6 — the decade leg):
+    replicate the corpus that many times with DISTINCT ids and
+    replica-tagged body text (replicas are not duplicates of each
+    other, so per-doc work scales cleanly), holding the seeded index
+    constant.  Two legs at 1× and 10× batch rows against the SAME
+    index separate the per-batch FIXED cost (the index key scan,
+    flat) from the PER-DOC cost (scales with the batch) — see the
+    ``cost_split`` block main() derives from the pair."""
     from pyspark.sql import functions as F
 
     from greenplum_dwh_spark.operators.curation import (PARA_MIN_CHARS,
@@ -410,15 +493,30 @@ def bench_paragraph_dedup_stream(spark, tmp: str,
         F.col("doc_id").cast("string"),
         F.lit("\nok\nshared promotional paragraph block number "),
         (F.col("doc_id") % 5).cast("string"))
-    docs = (spark.read.parquet(os.path.join(sf_dir,
-                                            "documents.parquet"))
-            .select("doc_id", planted.alias("text")))
+    raw = (spark.read.parquet(os.path.join(sf_dir,
+                                           "documents.parquet"))
+           .select("doc_id", "text"))
+    if doc_multiplier > 1:
+        # replicate BEFORE the plant so every derived line (body,
+        # unique para) is replica-distinct — replicas must not be
+        # near-copies of each other or the 10× leg would measure
+        # banning, not per-doc cost
+        raw = (raw.crossJoin(
+            spark.range(doc_multiplier).select(
+                F.col("id").alias("_rep")))
+            .select((F.col("doc_id") + F.col("_rep") * 10_000_000)
+                    .alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" replica "),
+                             F.col("_rep").cast("string"))
+                    .alias("text")))
+    docs = raw.select("doc_id", planted.alias("text"))
     n_docs = docs.count()
     lines = docs.select(F.explode(F.split("text", "\n")).alias("line")) \
         .filter(F.length("line") >= PARA_MIN_CHARS)
     n_long_lines = lines.count()
     n_batches = 4
-    tag = f"para{seed_index_rows}" if seed_index_rows else "para"
+    tag = (f"para{seed_index_rows}x{doc_multiplier}"
+           if seed_index_rows or doc_multiplier > 1 else "para")
     src = os.path.join(tmp, f"{tag}_src")
     os.makedirs(src)
     # contiguous arrival ranges anchored at the ACTUAL id extent
@@ -505,6 +603,9 @@ def main() -> None:
             "cdc_apply": bench_cdc_apply(spark, tmp),
             "cdc_pruned_scaling": bench_cdc_pruned_scaling(spark, tmp),
             "neardup_ingest": bench_neardup_ingest(spark, tmp),
+            # round-10 verdict item 5: the streaming face of
+            # image_phash_pairs — multimodal near-dup ingest
+            "phash_ingest": bench_phash_ingest(spark, tmp),
             "quota_admission": bench_quota_admission(spark, tmp),
             "paragraph_dedup_stream":
                 bench_paragraph_dedup_stream(spark, tmp),
@@ -514,6 +615,29 @@ def main() -> None:
             "paragraph_dedup_stream_bigindex":
                 bench_paragraph_dedup_stream(
                     spark, tmp, seed_index_rows=1_000_000),
+            # round-10 verdict item 6: 10× batch rows against the
+            # SAME 10^6-row index — separates the per-batch fixed
+            # cost (index key scan) from the per-doc cost
+            "paragraph_dedup_stream_bigindex_10x":
+                bench_paragraph_dedup_stream(
+                    spark, tmp, seed_index_rows=1_000_000,
+                    doc_multiplier=10),
+        }
+        b1 = result["paragraph_dedup_stream_bigindex"]
+        b10 = result["paragraph_dedup_stream_bigindex_10x"]
+        d1 = b1["input_docs"] / max(b1["batches"], 1)
+        d10 = b10["input_docs"] / max(b10["batches"], 1)
+        w1 = b1["batch_wall_sec"]["mean"]
+        w10 = b10["batch_wall_sec"]["mean"]
+        per_doc = (w10 - w1) / (d10 - d1) if d10 > d1 else None
+        result["paragraph_dedup_bigindex_cost_split"] = {
+            "docs_per_batch": [round(d1, 1), round(d10, 1)],
+            "mean_batch_wall_sec": [w1, w10],
+            # wall = fixed + per_doc·docs fitted through the two legs
+            "fixed_sec_per_batch": (round(w1 - per_doc * d1, 3)
+                                    if per_doc is not None else None),
+            "per_kdoc_sec": (round(per_doc * 1000, 3)
+                             if per_doc is not None else None),
         }
         result["host"] = {"before": load_before, "after": host_load()}
     finally:

@@ -692,6 +692,147 @@ def neardup_ingest_foreach_batch(store, corpus_table: str,
     return handle
 
 
+def phash_ingest_foreach_batch(store, corpus_table: str,
+                               index_table: str, rejects_table: str,
+                               max_dist: int | None = None,
+                               band_cap: int | None = None):
+    """foreachBatch handler for CONTINUOUS image near-dup ingestion —
+    the streaming face of
+    :func:`~greenplum_dwh_spark.operators.multimodal_ops.image_phash_pairs`
+    (round 10's batch operator): each arriving micro-batch of
+    (doc_id, text) image docs is packed+dHashed ONCE (the only Python
+    stage, batch payloads only), probed against the accepted corpus'
+    perceptual-hash index, rejected when within hamming ``max_dist``
+    of an EARLIER-ACCEPTED image, and survivors land their 128-bit
+    fingerprints in the index so later batches see them.
+
+    Semantics (pinned by the stream≡batch test): a doc is rejected
+    iff the exact ``bit_count(xor)`` verify places it within
+    ``max_dist`` of an earlier-accepted doc — within-batch near-dup
+    pairs are BOTH accepted (intra-batch self-dedup is the symmetric
+    batch operator's job), the same asymmetric contract as
+    :func:`neardup_ingest_foreach_batch`.
+
+    Scale shape per batch: the index row is (doc_id, h1, h2) — the
+    16-byte fingerprint IS the stored state, so the band probe is a
+    map-side 8×16-bit band projection over the index scan semi-joined
+    to the batch's ≤ 8·|batch| distinct band keys (broadcast), and
+    the exact verify reads base-side hashes straight from the index —
+    no corpus fetch at all, unlike the minhash face's re-shingle of
+    matched base docs.  Pixels never shuffle and the corpus text is
+    never re-read.  The hot-band cap runs over COMBINED corpus+batch
+    band occupancy via the same :func:`dedup._guarded_bands` as every
+    banded path (drops observable via ``last_band_guard_metrics``);
+    banding is pigeonhole-complete for ``max_dist`` ≤ 7, the batch
+    operator's contract.
+
+    REPLAY-IDEMPOTENT (foreachBatch is at-least-once) with ZERO
+    anti-joins: rejects, fingerprints and corpus rows all land as
+    ``_batch_id``-partitioned dynamic overwrites, so a replayed batch
+    REPLACES its own partitions instead of doubling them, and the
+    probe's ``_batch_id != batch_id`` filter partition-prunes away
+    this batch's half-committed fingerprints so a crashed attempt
+    can't reject its own docs.  Per-batch partitions are compactable
+    offline via ``store.compact_append`` when file counts matter."""
+    from greenplum_dwh_spark.operators import dedup as D
+    from greenplum_dwh_spark.operators.multimodal_ops import (
+        PHASH_MAX_DIST, _phash_bands, _phash_hamming)
+
+    dist = PHASH_MAX_DIST if max_dist is None else max_dist
+    if dist > 7:
+        raise ValueError("8×16-bit banding is complete only for "
+                         f"hamming ≤ 7, got {dist}")
+    cap = D.BAND_CAP if band_cap is None else band_cap
+
+    from pyspark.sql import types as T
+    store.init_append(index_table, T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("h1", T.LongType()),
+        T.StructField("h2", T.LongType()),
+        T.StructField("_batch_id", T.LongType())]),
+        partition_cols=["_batch_id"])
+    store.init_append(rejects_table, T.StructType([
+        T.StructField("new_doc", T.LongType()),
+        T.StructField("base_doc", T.LongType()),
+        T.StructField("hamming", T.IntegerType()),
+        T.StructField("_batch_id", T.LongType())]),
+        partition_cols=["_batch_id"])
+    store.init_append(corpus_table, T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("_batch_id", T.LongType())]),
+        partition_cols=["_batch_id"])
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        from greenplum_dwh_spark.multimodal.codec import (
+            image_dhashes, pack_image_payloads)
+        if not batch_df.take(1):
+            return
+        docs = (batch_df.select("doc_id", "text")
+                .dropDuplicates(["doc_id"]))
+        # one Arrow pass over the batch payloads; pinned so the band
+        # probe, the verify and the index append share one hash run
+        fps = (image_dhashes(pack_image_payloads(docs, width=16))
+               .localCheckpoint())
+        bands_new = _phash_bands(fps)
+        idx = (store.read(index_table)
+               .filter(F.col("_batch_id") != int(batch_id))
+               .select("doc_id", "h1", "h2"))
+        bands_idx = (_phash_bands(idx)
+                     .join(F.broadcast(bands_new.select("band")
+                                       .distinct()), "band", "semi"))
+        # combined-occupancy hot-band cap, identical to the batch
+        # face (an index-only count would diverge near the cap —
+        # the round-5 minhash lesson); CollectMetrics on the left
+        # side only
+        tagged = (bands_new.withColumn("is_new", F.lit(True))
+                  .unionByName(bands_idx
+                               .withColumn("is_new", F.lit(False))))
+        observed, counted, keep = D._guarded_bands(tagged, cap)
+        new_side = observed.filter(keep & F.col("is_new"))
+        base_side = counted.filter(keep & ~F.col("is_new"))
+        cand = (new_side.alias("a").join(base_side.alias("b"), "band")
+                .select(F.col("a.doc_id").alias("doc_a"),
+                        F.col("b.doc_id").alias("doc_b"))
+                .distinct()).localCheckpoint()
+        fa = fps.select(F.col("doc_id").alias("doc_a"),
+                        F.col("h1").alias("h1_a"),
+                        F.col("h2").alias("h2_a"))
+        fb = idx.select(F.col("doc_id").alias("doc_b"),
+                        F.col("h1").alias("h1_b"),
+                        F.col("h2").alias("h2_b"))
+        rejects = (cand.join(fa, "doc_a").join(fb, "doc_b")
+                   .select("doc_a", "doc_b",
+                           _phash_hamming().cast("int").alias("hamming"))
+                   .filter(F.col("hamming") <= dist)
+                   .select(F.col("doc_a").alias("new_doc"),
+                           F.col("doc_b").alias("base_doc"), "hamming")
+                   .localCheckpoint())  # decisions pinned before any
+        # table mutates below (the neardup-ingest recipe)
+        accepted = docs.join(
+            rejects.select(F.col("new_doc").alias("doc_id")).distinct(),
+            "doc_id", "left_anti")
+        bid = F.lit(int(batch_id)).cast("long")
+        store.overwrite_partitions(
+            rejects_table, rejects.withColumn("_batch_id", bid),
+            "_batch_id")
+        store.overwrite_partitions(
+            corpus_table, accepted.withColumn("_batch_id", bid),
+            "_batch_id")
+        # null-hash rows (not a decodable 24-bit BMP) are accepted but
+        # never indexed — no pixels to be near anything; unreachable
+        # for text packed by pack_image_payloads, load-bearing for
+        # raw-payload sources
+        store.overwrite_partitions(
+            index_table,
+            fps.filter(F.col("h1").isNotNull())
+            .join(accepted.select("doc_id"), "doc_id", "semi")
+            .withColumn("_batch_id", bid),
+            "_batch_id")
+
+    return handle
+
+
 def paragraph_dedup_foreach_batch(store, clean_table: str,
                                   index_table: str,
                                   min_chars: int | None = None):

@@ -1028,6 +1028,161 @@ def test_stream_paragraph_dedup_matches_batch(spark, tmp_path):
         == sorted(claims)
 
 
+def test_stream_phash_ingest_matches_batch_fold(spark, tmp_path):
+    """Image near-dup ingest (round-10 verdict item 5 — the streaming
+    face of image_phash_pairs): three micro-batches through
+    phash_ingest_foreach_batch must reach exactly the accept/reject
+    decisions of folding the symmetric batch operator over the same
+    batches with the asymmetric contract (reject iff hamming ≤ dist
+    of an EARLIER-ACCEPTED doc; within-batch near-dups both
+    accepted) — including a planted twin of a doc accepted MID-STREAM
+    and a doc rejected against TWO earlier-accepted bases.  Also
+    pins replay idempotence: re-running a batch_id leaves every
+    table unchanged (partition overwrite, not append)."""
+    import random
+
+    from pyspark.sql import types as T
+
+    from greenplum_dwh_spark.operators.multimodal_ops import (
+        image_phash_pairs)
+    from greenplum_dwh_spark.streaming.mart_stream import (
+        phash_ingest_foreach_batch)
+    from greenplum_dwh_spark.tablestore import TableStore
+
+    rng = random.Random(11)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789 "
+
+    def mk(n=500):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    def twin(t, ch="Z"):
+        return t[:-1] + (("Y" if t[-1] == "Z" else ch))
+
+    ta, tb, tc, td = mk(), mk(), mk(), mk()
+    batches = [
+        [(1, ta), (2, tb)],
+        # 3 = twin of accepted 1; 4 and 9 are a WITHIN-batch twin
+        # pair — both must be accepted
+        [(3, twin(ta)), (4, tc), (9, twin(tc))],
+        # 5 is within dist of BOTH 4 and 9 (two reject rows);
+        # 6 is fresh
+        [(5, twin(tc, "q")), (6, td)],
+    ]
+
+    store = TableStore(spark, str(tmp_path / "store"))
+    doc_schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                               T.StructField("text", T.StringType())])
+    handler = phash_ingest_foreach_batch(store, "corpus", "index",
+                                         "rejects")
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ingest_ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(
+            "doc_id long, text string").parquet(str(src) + "/*.parquet")
+        q = (stream.writeStream.foreachBatch(handler)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, doc_schema).coalesce(1) \
+            .write.parquet(str(src / f"b{i}.parquet"))
+        drain()
+
+    # independent model: fold the symmetric batch operator with the
+    # asymmetric earlier-accepted contract
+    corpus_model: list = []
+    rejects_model: set = set()
+    for rows in batches:
+        new_ids = {i for i, _ in rows}
+        corpus_ids = {i for i, _ in corpus_model}
+        union = spark.createDataFrame(corpus_model + rows, doc_schema)
+        rej = set()
+        for r in image_phash_pairs(union).collect():
+            a, b, hm = r["doc_a"], r["doc_b"], r["hamming"]
+            if a in corpus_ids and b in new_ids:
+                rej.add((b, a, hm))
+            elif b in corpus_ids and a in new_ids:
+                rej.add((a, b, hm))
+        rejects_model |= rej
+        rejected = {n for n, _, _ in rej}
+        corpus_model += [r for r in rows if r[0] not in rejected]
+
+    got_corpus = {(r["doc_id"], r["text"])
+                  for r in store.read("corpus")
+                  .select("doc_id", "text").collect()}
+    assert got_corpus == set(corpus_model)
+    got_rejects = {(r["new_doc"], r["base_doc"], r["hamming"])
+                   for r in store.read("rejects")
+                   .select("new_doc", "base_doc", "hamming").collect()}
+    assert got_rejects == rejects_model
+    # planted ground truths
+    assert {n for n, _, _ in got_rejects} == {3, 5}
+    assert {b for n, b, _ in got_rejects if n == 3} == {1}
+    assert {b for n, b, _ in got_rejects if n == 5} == {4, 9}
+    assert {d for d, _ in got_corpus} == {1, 2, 4, 9, 6}
+    # the index holds one 16-byte fingerprint row per accepted doc,
+    # and the stored hashes equal the kernel's
+    idx = store.read("index").select("doc_id", "h1", "h2").collect()
+    assert {r["doc_id"] for r in idx} == {1, 2, 4, 9, 6}
+    assert len(idx) == 5
+    from greenplum_dwh_spark.multimodal.codec import (dhash_bmp,
+                                                      encode_bmp)
+    want1 = dhash_bmp(encode_bmp(ta.encode(), width=16))
+    got1 = next(r for r in idx if r["doc_id"] == 1)
+    assert (got1["h1"], got1["h2"]) == want1
+
+    # replay idempotence: re-deliver the LAST batch under its own
+    # batch_id — dynamic partition overwrite must leave every table
+    # byte-identical, and the probe must not reject the replayed
+    # docs against their own half-committed fingerprints
+    last_bid = max(r["_batch_id"]
+                   for r in store.read("index").collect())
+    handler(spark.createDataFrame(batches[-1], doc_schema),
+            int(last_bid))
+    assert {(r["doc_id"], r["text"]) for r in store.read("corpus")
+            .select("doc_id", "text").collect()} == set(corpus_model)
+    assert {(r["new_doc"], r["base_doc"], r["hamming"])
+            for r in store.read("rejects")
+            .select("new_doc", "base_doc", "hamming")
+            .collect()} == rejects_model
+    assert store.read("index").count() == 5
+
+
+def test_stream_phash_ingest_guard_drops_observed(spark, tmp_path):
+    """At band_cap=1 an exact dup's every shared band holds 1 index
+    + 1 batch row = 2 > cap, so the stream face drops all its bands
+    and ACCEPTS the dup — recall loss by design, and it must be
+    OBSERVED via last_band_guard_metrics, never silent (the batch
+    operator would instead engage its hot-split; the streaming face's
+    documented posture is guard + observables)."""
+    from pyspark.sql import types as T
+
+    from greenplum_dwh_spark.operators.dedup import (
+        last_band_guard_metrics)
+    from greenplum_dwh_spark.streaming.mart_stream import (
+        phash_ingest_foreach_batch)
+    from greenplum_dwh_spark.tablestore import TableStore
+
+    t = "x" * 500
+    store = TableStore(spark, str(tmp_path / "store"))
+    doc_schema = T.StructType([T.StructField("doc_id", T.LongType()),
+                               T.StructField("text", T.StringType())])
+    handler = phash_ingest_foreach_batch(store, "corpus", "index",
+                                         "rejects", band_cap=1)
+    handler(spark.createDataFrame([(1, t)], doc_schema), 0)
+    handler(spark.createDataFrame([(2, t)], doc_schema), 1)
+    # the exact dup was accepted (all its bands were hot + dropped)
+    assert {r["doc_id"] for r in store.read("corpus")
+            .select("doc_id").collect()} == {1, 2}
+    assert store.read("rejects").count() == 0
+    m = last_band_guard_metrics()
+    assert m is not None and m["dropped_rows"] == 16  # 8 bands × 2
+    assert m["max_band_size"] == 2
+
+
 def test_stream_paragraph_dedup_legacy_index_migration(spark, tmp_path):
     """Round-9 ADVICE (medium): resuming a paragraph-dedup stream
     over a PRE-round-9 claimed-line index — (line, _batch_id) only,

@@ -46,6 +46,24 @@ CDC_ROWS_PER_BATCH = 10_000
 OUT_PATH = os.path.join(REPO, "BENCH_stream_r11.json")
 
 
+def cost_split(d1: float, w1: float, d10: float, w10: float) -> dict:
+    """Fit ``wall = fixed + per_doc·docs`` through two (docs/batch,
+    mean batch wall) legs — the decomposition the big-index probe
+    exists to report: the fixed term is the index key scan (must stay
+    flat as the corpus ages), the per-doc term must scale with the
+    batch.  Degenerate inputs (equal batch sizes) yield None terms
+    rather than a division blow-up."""
+    per_doc = (w10 - w1) / (d10 - d1) if d10 > d1 else None
+    return {
+        "docs_per_batch": [round(d1, 1), round(d10, 1)],
+        "mean_batch_wall_sec": [w1, w10],
+        "fixed_sec_per_batch": (round(w1 - per_doc * d1, 3)
+                                if per_doc is not None else None),
+        "per_kdoc_sec": (round(per_doc * 1000, 3)
+                         if per_doc is not None else None),
+    }
+
+
 def _timed(handler, walls: list):
     def h(df, bid):
         t0 = time.time()
@@ -625,20 +643,11 @@ def main() -> None:
         }
         b1 = result["paragraph_dedup_stream_bigindex"]
         b10 = result["paragraph_dedup_stream_bigindex_10x"]
-        d1 = b1["input_docs"] / max(b1["batches"], 1)
-        d10 = b10["input_docs"] / max(b10["batches"], 1)
-        w1 = b1["batch_wall_sec"]["mean"]
-        w10 = b10["batch_wall_sec"]["mean"]
-        per_doc = (w10 - w1) / (d10 - d1) if d10 > d1 else None
-        result["paragraph_dedup_bigindex_cost_split"] = {
-            "docs_per_batch": [round(d1, 1), round(d10, 1)],
-            "mean_batch_wall_sec": [w1, w10],
-            # wall = fixed + per_doc·docs fitted through the two legs
-            "fixed_sec_per_batch": (round(w1 - per_doc * d1, 3)
-                                    if per_doc is not None else None),
-            "per_kdoc_sec": (round(per_doc * 1000, 3)
-                             if per_doc is not None else None),
-        }
+        result["paragraph_dedup_bigindex_cost_split"] = cost_split(
+            b1["input_docs"] / max(b1["batches"], 1),
+            b1["batch_wall_sec"]["mean"],
+            b10["input_docs"] / max(b10["batches"], 1),
+            b10["batch_wall_sec"]["mean"])
         result["host"] = {"before": load_before, "after": host_load()}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -1198,6 +1198,22 @@ def test_bench_calm_retry_decision():
     assert bench.calm_retry_keep(None, 1.0) == 0      # unreadable first
 
 
+def test_bigindex_cost_split():
+    """Round-10 verdict item 6: the two bigindex legs decompose into
+    wall = fixed + per_doc·docs.  Known line: 125 docs → 2.5 s,
+    1250 docs → 7.0 s ⇒ per-doc 4 ms, fixed 2.0 s; equal batch sizes
+    degrade to None instead of dividing by zero."""
+    import bench_streaming as BS
+
+    s = BS.cost_split(125.0, 2.5, 1250.0, 7.0)
+    assert s["per_kdoc_sec"] == 4.0
+    assert s["fixed_sec_per_batch"] == 2.0
+    assert s["docs_per_batch"] == [125.0, 1250.0]
+    degenerate = BS.cost_split(125.0, 2.5, 125.0, 2.6)
+    assert degenerate["per_kdoc_sec"] is None
+    assert degenerate["fixed_sec_per_batch"] is None
+
+
 def test_vs_pin_block_sf_mismatch_none(tmp_path):
     """A pin measured at another scale factor is not a reference for
     this run — cross-scale ratios would read as a burst."""

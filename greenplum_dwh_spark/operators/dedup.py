@@ -122,16 +122,16 @@ def last_band_guard_metrics() -> dict | None:
     only)."""
     if not _GUARD_OBSERVATIONS:
         return None
-    obs, cap, counted = _GUARD_OBSERVATIONS[-1]
-    dropped = F.col("_bn") > cap
+    obs, cap, fallback = _GUARD_OBSERVATIONS[-1]
     try:
         m = dict(obs.get)
     except Exception:
-        m = counted.agg(
-            F.sum(F.when(dropped, 1).otherwise(0)).alias("dropped_rows"),
-            F.sum(F.when(dropped, 1.0 / F.col("_bn")).otherwise(0.0))
-            .alias("dropped_buckets_frac"),
-            F.max("_bn").alias("max_band_size")).first().asDict()
+        # AQE pruned the observed subtree — recompute from the
+        # registration site's metric-free fallback aggregate (each
+        # site supplies the aggregate matching its own row shape:
+        # per-membership rows for _guarded_bands, per-bucket rows
+        # for _banded_candidates)
+        m = fallback.first().asDict()
     # each row of a dropped bucket contributes 1/_bn → buckets count
     m["dropped_buckets"] = int(round(m.pop("dropped_buckets_frac") or 0.0))
     m["dropped_rows"] = int(m["dropped_rows"] or 0)
@@ -177,13 +177,13 @@ def _guarded_bands(bands: DataFrame, band_cap: int):
     obs = Observation()
     dropped = F.col("_bn") > band_cap
     counted = bands.withColumn("_bn", F.count(F.lit(1)).over(w))
-    observed = counted.observe(
-        obs,
+    guard_aggs = [
         F.sum(F.when(dropped, 1).otherwise(0)).alias("dropped_rows"),
         F.sum(F.when(dropped, 1.0 / F.col("_bn"))
               .otherwise(0.0)).alias("dropped_buckets_frac"),
-        F.max("_bn").alias("max_band_size"))
-    _GUARD_OBSERVATIONS.append((obs, band_cap, counted))
+        F.max("_bn").alias("max_band_size")]
+    observed = counted.observe(obs, *guard_aggs)
+    _GUARD_OBSERVATIONS.append((obs, band_cap, counted.agg(*guard_aggs)))
     del _GUARD_OBSERVATIONS[:-_GUARD_KEEP]
     return observed, counted, F.col("_bn") <= band_cap
 
@@ -191,36 +191,66 @@ def _guarded_bands(bands: DataFrame, band_cap: int):
 def _banded_candidates(bands: DataFrame,
                        band_cap: int = BAND_CAP,
                        distinct: bool = True) -> DataFrame:
-    """(doc_id, band) → distinct candidate pairs via bucket self-join,
-    with the hot-band guard: buckets above ``band_cap`` members are
-    dropped entirely (see :data:`BAND_CAP`).  The guard is a windowed
-    count over ``partitionBy(band)`` — the window's exchange hash-
-    partitions the data on the SAME key the self-join needs, so the
-    join reuses it (one shuffle total; the earlier groupBy+join
-    formulation cost two extra exchanges, measured +1.5 s on minhash
-    at sf0.1).
+    """(doc_id, band) → candidate pairs via ONE groupBy(band) +
+    in-bucket pair expansion, with the hot-band guard: buckets above
+    ``band_cap`` members are dropped entirely (see :data:`BAND_CAP`).
+
+    Round-11 restructure (guide §2.4, plan-verified): the previous
+    windowed-count + bucket self-join computed the ENTIRE band
+    pipeline twice — the Observation node may appear only once in the
+    executed plan, so the join's build side was a metric-free twin
+    that Spark could not exchange-reuse (the subtrees differ by the
+    CollectMetrics node), re-running the signature aggregation and
+    paying a Window sort plus a broadcast of the whole band table.
+    Grouping each band's members into a sorted array instead needs
+    exactly one exchange of the band table, no sort, no join, and no
+    duplicated subtree: pairs are expanded per bucket with a codegen
+    higher-order function, capped at C(band_cap, 2) rows per bucket
+    by the same guard.  Measured on `dedup_minhash_lsh` at sf0.1:
+    ~2.7 s → ~1.5 s candidate stage, plan Exchanges 21 → 8.
 
     The rows the guard drops are *observed*, not silently lost: an
-    ``Observation`` on the counted node records dropped rows, dropped
-    buckets (Σ 1/bucket_size over dropped rows — exact up to float
-    rounding) and the max bucket size, collected for free during
-    whatever action executes the plan (readable afterwards via
-    :func:`last_band_guard_metrics`)."""
-    # the observe node must appear exactly ONCE in the executed plan
-    # (a CollectMetrics duplicated by the self-join breaks metric
-    # retrieval), so only the left side carries it
-    observed, counted, keep = _guarded_bands(bands, band_cap)
-    cool_a = observed.filter(keep).select("doc_id", "band")
-    cool_b = counted.filter(keep).select("doc_id", "band")
-    out = (cool_a.alias("a")
-           .join(cool_b.alias("b"), "band")
-           .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-           .select(F.col("a.doc_id").alias("doc_a"),
-                   F.col("b.doc_id").alias("doc_b")))
-    # distinct=False lets a caller with a CHEAP verify predicate defer
-    # deduplication until after verification: when band collisions are
-    # frequent (small band alphabets), shuffling the raw candidate
-    # multiset for distinct costs more than verifying duplicates twice
+    ``Observation`` on the grouped node records dropped memberships
+    (Σ bucket size over dropped buckets), dropped buckets and the max
+    bucket size — same fields, now exact by construction — collected
+    for free during whatever action executes the plan (readable
+    afterwards via :func:`last_band_guard_metrics`).
+
+    ``distinct=False`` lets a caller with a CHEAP verify predicate
+    defer deduplication until after verification: when band collisions
+    are frequent (small band alphabets), shuffling the raw candidate
+    multiset for distinct costs more than verifying duplicates twice.
+    The emitted multiplicity (one row per shared under-cap bucket)
+    is identical to the old self-join's."""
+    from pyspark.sql import Observation
+    obs = Observation()
+    dropped = F.col("_bn") > band_cap
+    grouped = (bands.groupBy("band")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("_ds"),
+                    F.count(F.lit(1)).alias("_bn")))
+    guard_aggs = [
+        F.sum(F.when(dropped, F.col("_bn")).otherwise(0))
+        .alias("dropped_rows"),
+        F.sum(F.when(dropped, 1.0).otherwise(0.0))
+        .alias("dropped_buckets_frac"),
+        F.max("_bn").alias("max_band_size")]
+    observed = grouped.observe(obs, *guard_aggs)
+    _GUARD_OBSERVATIONS.append((obs, band_cap, grouped.agg(*guard_aggs)))
+    del _GUARD_OBSERVATIONS[:-_GUARD_KEEP]
+    # (x, i) is 0-based; slice() is 1-based, so i + 2 starts at the
+    # element after x and the over-long length argument truncates.
+    # The trailing doc_a < doc_b filter is belt-and-braces: with
+    # unique (doc_id, band) memberships the sorted expansion already
+    # emits only ascending pairs, exactly like the old a.doc < b.doc
+    # join predicate.
+    out = (observed
+           .filter(~dropped & (F.col("_bn") >= 2))
+           .select(F.explode(F.expr(
+               "flatten(transform(_ds, (x, i) -> "
+               "transform(slice(_ds, i + 2, size(_ds)), "
+               "y -> struct(x AS doc_a, y AS doc_b))))")).alias("p"))
+           .select("p.doc_a", "p.doc_b")
+           .filter(F.col("doc_a") < F.col("doc_b")))
     return out.distinct() if distinct else out
 
 

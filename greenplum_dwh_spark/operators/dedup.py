@@ -1402,8 +1402,8 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     pair of groupBy+join stages over the edge list.  Per round the
     edge list is ``localCheckpoint``-ed, truncating lineage so plan
     size and stage count stay constant no matter how many rounds run;
-    convergence is detected with a single-row aggregate (count +
-    order-independent hash) — no data is collected to the driver.
+    convergence is checked distributedly — no data is collected to
+    the driver.
 
     Returns (u, cluster) for every node with ≥1 edge, cluster = min
     node id of the component."""
@@ -1412,19 +1412,26 @@ def connected_components(pairs: DataFrame) -> DataFrame:
              .unionByName(pairs.select(F.col("v").alias("u")))
              .distinct())
     edges = pairs
-    prev_sig = None
     for _ in range(25):  # > log²(any realistic component); guard only
-        # lazy checkpoint: the signature aggregate below is the action
+        # lazy checkpoint: the convergence check below is the action
         # that materializes it — one Spark job per round, not two
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
-        sig = edges.agg(
-            F.count(F.lit(1)).alias("n"),
-            # pmod keeps summands < 2^31: no ANSI overflow below ~4e9 edges
-            F.sum(F.pmod(F.xxhash64("u", "v"),
-                         F.lit(2147483647))).alias("h")).first()
-        if prev_sig == sig:
+        # Kiveris fixed point: the edge set is a union of min-rooted
+        # stars ⇔ no node is both a leaf (v) and a root (u) — the
+        # output is canonical (u < v), so a star's root is its
+        # component minimum.  The previous count+hash signature
+        # proved stability only by running one extra contraction
+        # round; this semi-join detects convergence the round it
+        # happens (2 rounds → 1 at sf0.1, each ~1 s of fixed
+        # per-round cost on an already-contracted graph).  count()
+        # rather than isEmpty(): the check must compute EVERY
+        # partition so the lazy checkpoint is fully materialized.
+        chains = (edges.alias("a")
+                  .join(edges.alias("b"),
+                        F.col("a.v") == F.col("b.u"), "left_semi")
+                  .count())
+        if chains == 0:
             break
-        prev_sig = sig
     # converged: every edge is (component_min, member)
     roots = edges.select(F.col("u").alias("lbl"), F.col("v").alias("u"))
     return (nodes.join(roots, "u", "left")

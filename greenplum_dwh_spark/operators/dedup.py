@@ -190,38 +190,59 @@ def _guarded_bands(bands: DataFrame, band_cap: int):
 
 def _banded_candidates(bands: DataFrame,
                        band_cap: int = BAND_CAP,
-                       distinct: bool = True) -> DataFrame:
-    """(doc_id, band) → candidate pairs via ONE groupBy(band) +
-    in-bucket pair expansion, with the hot-band guard: buckets above
-    ``band_cap`` members are dropped entirely (see :data:`BAND_CAP`).
+                       distinct: bool = True,
+                       expand: str = "group") -> DataFrame:
+    """(doc_id, band) → candidate pairs, with the hot-band guard:
+    buckets above ``band_cap`` members are dropped entirely (see
+    :data:`BAND_CAP`).  Two physical expansions, chosen by the CALLER
+    from its band-alphabet shape (guide §2.4/§3.1 — the planner cannot
+    know the bucket-size distribution, the caller can):
 
-    Round-11 restructure (guide §2.4, plan-verified): the previous
-    windowed-count + bucket self-join computed the ENTIRE band
-    pipeline twice — the Observation node may appear only once in the
-    executed plan, so the join's build side was a metric-free twin
-    that Spark could not exchange-reuse (the subtrees differ by the
-    CollectMetrics node), re-running the signature aggregation and
-    paying a Window sort plus a broadcast of the whole band table.
-    Grouping each band's members into a sorted array instead needs
-    exactly one exchange of the band table, no sort, no join, and no
-    duplicated subtree: pairs are expanded per bucket with a codegen
-    higher-order function, capped at C(band_cap, 2) rows per bucket
-    by the same guard.  Measured on `dedup_minhash_lsh` at sf0.1:
-    ~2.7 s → ~1.5 s candidate stage, plan Exchanges 21 → 8.
+    - ``expand="group"`` (default): ONE groupBy(band) gathers each
+      bucket into a sorted array and pairs are expanded with
+      posexplode + slice.  Fewest exchanges and a SINGLE reference to
+      the band subtree — right for wide band alphabets (concat
+      minhash / SRP keys) whose buckets are small, where the previous
+      windowed-count + self-join paid a Window sort plus a duplicated
+      band pipeline (the CollectMetrics node may appear only once in
+      the executed plan, so the join's other side was a metric-free
+      twin Spark could not exchange-reuse — on minhash that twin
+      re-ran the 64-perm signature aggregation).
+    - ``expand="join"``: the hot-band-guarded window count + streaming
+      bucket self-join — right for small fixed alphabets (simhash's
+      6-bit bands, the composite re-keys of the hot split) whose
+      buckets approach the cap: the join STREAMS pair emission with no
+      per-bucket array slicing (the group expansion copies O(c) array
+      cells per member, quadratic per bucket) and AQE can skew-split
+      the probe side.
 
-    The rows the guard drops are *observed*, not silently lost: an
-    ``Observation`` on the grouped node records dropped memberships
-    (Σ bucket size over dropped buckets), dropped buckets and the max
-    bucket size — same fields, now exact by construction — collected
-    for free during whatever action executes the plan (readable
-    afterwards via :func:`last_band_guard_metrics`).
+    Measured at sf0.1, best-of-5 warm, full verify chains: simhash
+    0.90 s join vs 1.25 s group; minhash 0.83 s group vs 1.29 s join.
+
+    The rows the guard drops are *observed*, not silently lost
+    (readable afterwards via :func:`last_band_guard_metrics`; the
+    group branch records exact per-bucket aggregates, the join branch
+    the per-membership equivalents from :func:`_guarded_bands`).
 
     ``distinct=False`` lets a caller with a CHEAP verify predicate
     defer deduplication until after verification: when band collisions
     are frequent (small band alphabets), shuffling the raw candidate
     multiset for distinct costs more than verifying duplicates twice.
-    The emitted multiplicity (one row per shared under-cap bucket)
-    is identical to the old self-join's."""
+    Both branches emit the same multiplicity (one row per shared
+    under-cap bucket)."""
+    if expand == "join":
+        # the observe node must appear exactly ONCE in the executed
+        # plan (a CollectMetrics duplicated by the self-join breaks
+        # metric retrieval), so only the left side carries it
+        observed, counted, keep = _guarded_bands(bands, band_cap)
+        cool_a = observed.filter(keep).select("doc_id", "band")
+        cool_b = counted.filter(keep).select("doc_id", "band")
+        out = (cool_a.alias("a")
+               .join(cool_b.alias("b"), "band")
+               .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+               .select(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b")))
+        return out.distinct() if distinct else out
     from pyspark.sql import Observation
     obs = Observation()
     dropped = F.col("_bn") > band_cap
@@ -237,19 +258,18 @@ def _banded_candidates(bands: DataFrame,
     observed = grouped.observe(obs, *guard_aggs)
     _GUARD_OBSERVATIONS.append((obs, band_cap, grouped.agg(*guard_aggs)))
     del _GUARD_OBSERVATIONS[:-_GUARD_KEEP]
-    # (x, i) is 0-based; slice() is 1-based, so i + 2 starts at the
-    # element after x and the over-long length argument truncates.
-    # The trailing doc_a < doc_b filter is belt-and-braces: with
-    # unique (doc_id, band) memberships the sorted expansion already
-    # emits only ascending pairs, exactly like the old a.doc < b.doc
-    # join predicate.
+    # posexplode i is 0-based; slice() is 1-based, so i + 2 starts at
+    # the element after doc_a and the over-long length argument
+    # truncates.  The trailing doc_a < doc_b filter is
+    # belt-and-braces: with unique (doc_id, band) memberships the
+    # sorted expansion already emits only ascending pairs, exactly
+    # like the join branch's a.doc < b.doc predicate.
     out = (observed
            .filter(~dropped & (F.col("_bn") >= 2))
-           .select(F.explode(F.expr(
-               "flatten(transform(_ds, (x, i) -> "
-               "transform(slice(_ds, i + 2, size(_ds)), "
-               "y -> struct(x AS doc_a, y AS doc_b))))")).alias("p"))
-           .select("p.doc_a", "p.doc_b")
+           .select(F.posexplode("_ds").alias("i", "doc_a"), F.col("_ds"))
+           .select("doc_a",
+                   F.explode(F.expr("slice(_ds, i + 2, size(_ds))"))
+                   .alias("doc_b"))
            .filter(F.col("doc_a") < F.col("doc_b")))
     return out.distinct() if distinct else out
 
@@ -506,7 +526,10 @@ def _split_banded_candidates(bands: DataFrame,
                  .filter(F.col("a.doc_id") < F.col("b.doc_id"))
                  .select(F.col("a.doc_id").alias("doc_a"),
                          F.col("b.doc_id").alias("doc_b")))
-    hot_cand = _banded_candidates(comp, band_cap, distinct=False)
+    # composite re-keys of an already-saturated alphabet: buckets run
+    # right up to the cap, so the streaming join expansion applies
+    hot_cand = _banded_candidates(comp, band_cap, distinct=False,
+                                  expand="join")
     _SPLIT_STAGE1.append((_GUARD_OBSERVATIONS[-1][0], obs, hot_plan))
     del _SPLIT_STAGE1[:-_GUARD_KEEP]
     return cool_cand.unionByName(hot_cand)
@@ -597,7 +620,9 @@ def simhash_pairs(docs: DataFrame,
     if hot_split:
         cand = _split_banded_candidates(bands, band_cap)
     else:
-        cand = _banded_candidates(bands, band_cap, distinct=False)
+        # 6-bit alphabet → cap-sized buckets: streaming join wins
+        cand = _banded_candidates(bands, band_cap, distinct=False,
+                                  expand="join")
     fa = fps.select(F.col("doc_id").alias("doc_a"),
                     F.col("fp").alias("fp_a"))
     fb = fps.select(F.col("doc_id").alias("doc_b"),

@@ -198,7 +198,8 @@ def image_phash_pairs(docs: DataFrame,
     else:
         # pass the LIVE cap so the guard and the hotness decision
         # above can never disagree if BAND_CAP is retuned at runtime
-        cand = D._banded_candidates(bands, D.BAND_CAP, distinct=False)
+        cand = D._banded_candidates(bands, D.BAND_CAP, distinct=False,
+                                    expand="join")
     fa = fps.select(F.col("doc_id").alias("doc_a"),
                     F.col("h1").alias("h1_a"), F.col("h2").alias("h2_a"))
     fb = fps.select(F.col("doc_id").alias("doc_b"),

@@ -162,10 +162,14 @@ def minhash_aggs(shingle_col: str = "sh",
                  k: int = MINHASH_PERMS) -> list[Column]:
     """k min-wise hash aggregates over exploded shingles: one xxhash64
     per shingle, k cheap (a·h + b) mod p permutations (a, h < 2^31 so
-    the product never overflows int64)."""
-    h = F.pmod(F.xxhash64(F.col(shingle_col)), F.lit(_P31))
-    return [F.min(F.pmod(F.lit(a) * h + F.lit(b), F.lit(_P31)))
-            .alias(f"m{i}")
+    the product never overflows int64).
+
+    Built as parsed SQL strings, one ``F.expr`` per aggregate: the
+    Column-API formulation issued ~6 py4j round trips per permutation
+    (~400 per call), ~1.1 s of driver-side plan construction per
+    invocation at ANY data scale (profiled round 11)."""
+    h = f"pmod(xxhash64({shingle_col}), {_P31})"
+    return [F.expr(f"min(pmod({a}L * {h} + {b}L, {_P31})) AS m{i}")
             for i, (a, b) in enumerate(_perm_coeffs(k))]
 
 

@@ -306,13 +306,12 @@ def _set_bands(sets_df: DataFrame,
         ex = ex.filter(F.pmod(F.xxhash64("sh"), F.lit(element_mod)) == 0)
     sig = ex.groupBy("doc_id").agg(*H.minhash_aggs())
     n_bands = H.MINHASH_PERMS // band_r
+    entries = ", ".join(
+        "concat_ws(':', '{}', {})".format(
+            b, ", ".join(f"m{b * band_r + r}" for r in range(band_r)))
+        for b in range(n_bands))
     return sig.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.concat_ws(":", F.lit(str(b)),
-                        *[F.col(f"m{b * band_r + r}")
-                          for r in range(band_r)])
-            for b in range(n_bands)])).alias("band"))
+        "doc_id", F.expr(f"explode(array({entries})) AS band"))
 
 
 def _minhash_bands(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -394,25 +393,28 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     h = ex.select("doc_id", H.hash60(F.col("sh")).alias("hh"))
     nf, wf = _SIMHASH_PACK_FIELDS, _SIMHASH_PACK_WIDTH
     n_longs = H.SIMHASH_BITS // nf
+    # parsed SQL strings, one F.expr per packed long / the vote sum:
+    # the Column-API formulation cost ~2 s of py4j round trips per
+    # call building these ~500-node trees (profiled round 11); the
+    # parsed expressions are value-identical
     packed = [
-        sum([(F.shiftright(F.col("hh"), nf * k + m).bitwiseAND(1)
-              .cast("long") * F.lit(1 << (wf * m)).cast("long"))
-             for m in range(nf)], F.lit(0).cast("long"))
+        " + ".join(
+            f"(CAST(shiftright(hh, {nf * k + m}) & 1 AS BIGINT)"
+            f" * {1 << (wf * m)}L)"
+            for m in range(nf))
         for k in range(n_longs)]
     agg = h.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.sum(packed[k]).alias(f"p{k}") for k in range(n_longs)])
+        *[F.expr(f"sum({packed[k]}) AS p{k}") for k in range(n_longs)])
 
-    def ones(j: int):
+    def ones(j: int) -> str:
         k, m = divmod(j, nf)
-        return (F.shiftright(F.col(f"p{k}"), wf * m)
-                .bitwiseAND((1 << wf) - 1))
+        return f"(shiftright(p{k}, {wf * m}) & {(1 << wf) - 1})"
 
-    fp = sum([F.when(ones(j) * 2 > F.col("n"),
-                     F.lit(1 << j).cast("long"))
-              .otherwise(F.lit(0).cast("long"))
-              for j in range(H.SIMHASH_BITS)], F.lit(0).cast("long"))
-    return agg.select("doc_id", fp.alias("fp"))
+    fp = " + ".join(
+        f"IF({ones(j)} * 2 > n, {1 << j}L, 0L)"
+        for j in range(H.SIMHASH_BITS))
+    return agg.select("doc_id", F.expr(f"({fp}) AS fp"))
 
 
 def _simhash_bands(fps: DataFrame) -> DataFrame:
@@ -420,14 +422,12 @@ def _simhash_bands(fps: DataFrame) -> DataFrame:
     shared by the self-join and the band-guard recall probe."""
     n_bands = H.SIMHASH_BITS // H.SIMHASH_BAND_BITS
     mask = (1 << H.SIMHASH_BAND_BITS) - 1
+    entries = ", ".join(
+        f"concat_ws(':', '{b}', CAST(shiftright(fp, "
+        f"{b * H.SIMHASH_BAND_BITS}) & {mask} AS STRING))"
+        for b in range(n_bands))
     return fps.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.concat_ws(":", F.lit(str(b)),
-                        F.shiftright(F.col("fp"),
-                                     b * H.SIMHASH_BAND_BITS)
-                        .bitwiseAND(mask).cast("string"))
-            for b in range(n_bands)])).alias("band"))
+        "doc_id", F.expr(f"explode(array({entries})) AS band"))
 
 
 #: (stage-2 guard Observation, stage-1 Observation, hot plan) triples
@@ -1014,21 +1014,18 @@ def _gram_signatures(sets_df: DataFrame) -> DataFrame:
       (interpreted lambda per row) and 16 runtime GetArrayItem calls
       measured 8 s / 33 s respectively vs ~2 s flat on the 20.7 M-row
       sf1 word multiset."""
-    hs = F.transform("s", lambda x: F.pmod(F.xxhash64(x),
-                                           F.lit(SIG_BITS)))
-    hashed = sets_df.select("doc_id", F.size("s").alias("n"),
-                            hs.alias("hs"))
+    # parsed SQL (round 11): the Column-API lambda aggregates issued
+    # ~20 py4j round trips per signature long on every call; the
+    # parsed expressions are value-identical
+    hashed = sets_df.select(
+        "doc_id", F.expr("size(s) AS n"),
+        F.expr(f"transform(s, x -> pmod(xxhash64(x), {SIG_BITS})) AS hs"))
     bms = [
-        F.aggregate(
-            F.col("hs"), F.lit(0).cast("long"),
-            lambda acc, i: acc.bitwiseOR(
-                F.when((i >= k * 64) & (i < (k + 1) * 64),
-                       # shiftleft via call_function: the Python
-                       # wrapper only takes a literal shift amount
-                       F.call_function(
-                           "shiftleft", F.lit(1).cast("long"),
-                           (i % 64).cast("int")))
-                .otherwise(F.lit(0).cast("long")))).alias(f"bm{k}")
+        F.expr(
+            f"aggregate(hs, CAST(0 AS BIGINT), (acc, i) -> acc | "
+            f"IF(i >= {k * 64} AND i < {(k + 1) * 64}, "
+            f"shiftleft(CAST(1 AS BIGINT), CAST(i % 64 AS INT)), "
+            f"CAST(0 AS BIGINT))) AS bm{k}")
         for k in range(SIG_LONGS)]
     return hashed.select("doc_id", "n", *bms)
 
@@ -1090,10 +1087,9 @@ def _verified_pairs(pairs: DataFrame | list[DataFrame],
     # popcounts whole-stage-codegen where the previous
     # aggregate(zip_with(...)) lambda ran interpreted per row
     def only(xs, ys):
-        terms = [F.bit_count(F.col(f"{xs}.bm{k}").bitwiseAND(
-                     F.bitwise_not(F.col(f"{ys}.bm{k}")))).cast("long")
-                 for k in range(SIG_LONGS)]
-        return sum(terms[1:], terms[0])
+        return F.expr(" + ".join(
+            f"CAST(bit_count({xs}.bm{k} & ~{ys}.bm{k}) AS BIGINT)"
+            for k in range(SIG_LONGS)))
     n_a, n_b = F.col("ga.n").cast("long"), F.col("gb.n").cast("long")
     ub = F.least(n_a - only("ga", "gb"), n_b - only("gb", "ga"))
     if kind == "jaccard":

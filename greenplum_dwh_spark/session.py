@@ -36,6 +36,14 @@ _DEFAULTS = {
     # read as long and convert to micros in the loader (sources/tpch.py)
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "8g"),
+    # PySpark 4 captures a Python call-site traceback on EVERY Column/
+    # DataFrame method for richer error messages; on expression-heavy
+    # plans (64-perm minhash, 60-bit simhash pack) that is ~40% of the
+    # driver-side plan-construction wall (profiled: errors.utils
+    # wrapper 2.0 s of dedup_simhash's 2.7 s build).  Purely
+    # diagnostic metadata — disabling changes no query result at any
+    # scale, only the error-message decoration.
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
 }
 
 

@@ -1352,7 +1352,17 @@ def containment_pairs(docs: DataFrame,
              .filter(F.col("rk")
                      <= F.col("n") - _ceil_mul(F.col("n"), threshold)
                      + 1)
-             .select("doc_id", "g", "n"))
+             .select("doc_id", "g", "n")
+             # the probe index is the containment analogue of the
+             # PPJoin prefix and gets the same treatment (round 11):
+             # without it every run re-pays the df aggregation, the
+             # df join and the per-doc rank window (~0.7 s at sf0.1)
+             # just to rebuild ~(1−t)·Σ|doc| probe rows.  The index
+             # side `ex` stays uncached — it is a linear explode of
+             # the already-cached gram table, no shuffle.
+             .cache())
+    if caches is not None:
+        caches.append(probe)
     smaller_first = ((F.col("a.n") < F.col("b.n"))
                      | ((F.col("a.n") == F.col("b.n"))
                         & (F.col("a.doc_id") < F.col("b.doc_id"))))

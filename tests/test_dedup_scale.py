@@ -1055,9 +1055,11 @@ def test_ppjoin_caches_ownership_contract(spark):
 
     caches = []
     dedup.containment_pairs(docs, caches=caches).collect()
-    assert len(caches) == 1                   # grams
+    assert len(caches) == 2                   # grams + probe index (r11)
+    assert all(df.storageLevel.useMemory for df in caches)
     for df in caches:
         df.unpersist()
+    assert not any(df.storageLevel.useMemory for df in caches)
 
 
 def test_knn_doc_graph_matches_bruteforce_and_prunes_topk(spark):

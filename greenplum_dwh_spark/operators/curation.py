@@ -619,6 +619,20 @@ _BPE_PAIRS = ("case when size(t) >= 2 then transform("
               "element_at(t, i), ' ', element_at(t, i + 1))) "
               "else cast(array() as array<string>) end")
 
+#: vocab rows per partition for the per-round loop plans (round 11,
+#: guide §2 "derive partitioning from input size"): the cached vocab
+#: inherits the word count's shuffle partitioning, and AQE cannot
+#: re-coalesce a cached plan (canChangeCachedPlanOutputPartitioning
+#: defaults false), so every one of the BPE_MERGES sequential jobs
+#: scheduled a full partition set of near-empty tasks — measured
+#: 0.22 s/round at sf0.1 for a 31-row vocabulary, pure task-dispatch
+#: latency.  A narrow coalesce sized by the measured vocab count
+#: (one bounded driver action that also materializes the cache the
+#: first round would otherwise pay for) keeps each round's task
+#: count proportional to the vocabulary, and the defaultParallelism
+#: cap restores full fan-out on cluster-scale vocabularies.
+BPE_VOCAB_ROWS_PER_PART = 4096
+
 
 def bpe_encode_top_words(spark: SparkSession, sf_dir: str,
                          caches: list | None = None) -> DataFrame:
@@ -630,7 +644,10 @@ def bpe_encode_top_words(spark: SparkSession, sf_dir: str,
              .cache())          # vocabulary-sized; read every round
     if caches is not None:     # dup_ngram_mass's ownership contract:
         caches.append(words)   # caller unpersists after consuming
-    cur = words.select(
+    n_vocab = words.count()    # materializes the cache; sizes the loop
+    n_parts = max(1, min(spark.sparkContext.defaultParallelism,
+                         n_vocab // BPE_VOCAB_ROWS_PER_PART + 1))
+    cur = words.coalesce(n_parts).select(
         "w", "c",
         F.concat(F.lit("  "), F.regexp_replace("w", "(.)", "$1  "))
         .alias("sp"))

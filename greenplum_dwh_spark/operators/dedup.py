@@ -1599,21 +1599,31 @@ def knn_doc_pairs(docs: DataFrame, k: int = KNN_K,
     distributed plan possible).
 
     Plan: the exact PPJoin core (:func:`jaccard_prefix_pairs`) emits
-    the sparse qualifying pair list ONCE; symmetrizing is a union of
-    two projections of that list (no second join); the top-k per doc
-    is a row_number over (jac DESC, neighbor) — a TOTAL order, since
-    equal-jaccard ties break on the neighbor id — which Spark
-    executes with WindowGroupLimit: each partition keeps only k rows
-    per doc BEFORE the window exchange, so the shuffle moves
-    O(docs·k), not the full edge list.  Both engines derive jac as
-    the same integer-ratio double, so the DESC ordering (and
-    therefore the graph) is bit-reproducible."""
+    the sparse qualifying pair list ONCE; symmetrizing is a single
+    generator over that list — ``explode`` of a 2-element struct
+    array — NOT a union of two projections: a union's branches are
+    separate physical subtrees, so the entire PPJoin pipeline (9
+    parquet scans, 28 exchanges at sf0.1) was planned and executed
+    TWICE, with zero ReusedExchange nodes because the per-branch
+    projections sat below the union (round 11, guide §2.4 "remove
+    shuffles outright"; measured warm 1.81 → 1.05 s, output
+    bit-identical).  The top-k per doc is a row_number over
+    (jac DESC, neighbor) — a TOTAL order, since equal-jaccard ties
+    break on the neighbor id — which Spark executes with
+    WindowGroupLimit: each partition keeps only k rows per doc
+    BEFORE the window exchange, so the shuffle moves O(docs·k), not
+    the full edge list.  Both engines derive jac as the same
+    integer-ratio double, so the DESC ordering (and therefore the
+    graph) is bit-reproducible."""
     pairs = jaccard_prefix_pairs(docs, threshold)
-    sym = (pairs.select(F.col("doc_a").alias("doc_id"),
-                        F.col("doc_b").alias("neighbor"), "jac")
-           .unionByName(
-               pairs.select(F.col("doc_b").alias("doc_id"),
-                            F.col("doc_a").alias("neighbor"), "jac")))
+    sym = (pairs.select(F.explode(F.array(
+               F.struct(F.col("doc_a").alias("doc_id"),
+                        F.col("doc_b").alias("neighbor"),
+                        F.col("jac").alias("jac")),
+               F.struct(F.col("doc_b").alias("doc_id"),
+                        F.col("doc_a").alias("neighbor"),
+                        F.col("jac").alias("jac")))).alias("e"))
+           .select("e.doc_id", "e.neighbor", "e.jac"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("jac"), "neighbor")
     return (sym.withColumn("rnk", F.row_number().over(w)
                            .cast("long"))

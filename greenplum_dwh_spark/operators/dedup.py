@@ -1391,8 +1391,16 @@ def _large_star(edges: DataFrame) -> DataFrame:
     """One large-star round (Kiveris et al., "Connected Components in
     MapReduce and Beyond" — public literature, see PAPERS.md): every
     node connects its strictly-larger neighbours to the minimum of its
-    closed neighbourhood.  ``edges`` is canonical (u < v); output is
-    canonical too (the emitted edge (m, v) has m ≤ u < v)."""
+    closed neighbourhood.  ``edges`` is canonical (u < v); output is a
+    canonical MULTISET (the emitted edge (m, v) has m ≤ u < v; two
+    neighbours of v sharing one m emit the same row twice).  The only
+    consumer is the composed round ``_small_star(_large_star(e))``,
+    whose min-aggregation is duplicate-insensitive and whose trailing
+    distinct normalizes the output — a distinct here shuffled the
+    ≤ 2|E| multiset a full extra time per round just to shrink the
+    next shuffle to ≤ |E| rows (3|E| row-shuffles vs 2|E| without it,
+    plus a whole exchange+dedup stage of per-round latency; round 11,
+    guide §2.4)."""
     sym = (edges.select("u", "v")
            .unionByName(edges.select(F.col("v").alias("u"),
                                      F.col("u").alias("v"))))
@@ -1401,8 +1409,7 @@ def _large_star(edges: DataFrame) -> DataFrame:
     return (sym.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("m").alias("u"), F.col("v").alias("v"))
-            .filter(F.col("u") != F.col("v"))
-            .distinct())
+            .filter(F.col("u") != F.col("v")))
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
@@ -1413,9 +1420,13 @@ def _small_star(edges: DataFrame) -> DataFrame:
     nb = edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     mins = nb.groupBy("u").agg(F.min("v").alias("m"))
     joined = nb.join(mins, "u")
-    out = (joined.select(F.col("m").alias("u"), F.col("v").alias("v"))
-           .unionByName(joined.select(F.col("m").alias("u"),
-                                      F.col("u").alias("v"))))
+    # both emitted edges share the first component m, so one explode
+    # generator yields both directions from a SINGLE join subtree — a
+    # union's two projections are separate physical subtrees that
+    # rebuild the join (and its exchanges) twice per round (round 11,
+    # guide §2.4; same fix as knn_doc_pairs' symmetrization)
+    out = joined.select(F.col("m").alias("u"),
+                        F.explode(F.array("v", "u")).alias("v"))
     return (out.filter(F.col("u") != F.col("v"))
             .select(F.least("u", "v").alias("u"),
                     F.greatest("u", "v").alias("v"))

@@ -42,14 +42,7 @@ def gapfill_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("long").alias("cents"))
     hourly = ev.groupBy("user_id", "hour").agg(
         F.sum("cents").alias("observed_cents"))
-    # span over the hourly AGGREGATE, not the raw events: min/max of
-    # the truncated hour is identical on both, but deriving it here
-    # drops a second full events scan + corpus-sized aggregation (the
-    # hourly subtree is shared, so its exchange is built once and
-    # ReusedExchange serves both consumers; round 11, guide §2.4 —
-    # measured 0.85-1.11 -> 0.77-0.82 s warm at sf0.1, output
-    # bit-identical)
-    span = hourly.groupBy("user_id").agg(
+    span = ev.groupBy("user_id").agg(
         F.min("hour").alias("h0"), F.max("hour").alias("h1"))
     spine = span.select(
         "user_id",

@@ -199,6 +199,45 @@ def test_star_contraction_two_components(spark):
     assert got == want
 
 
+def test_star_contraction_round_matches_set_reference(spark):
+    """Pin of the round-11 internals change: _large_star now emits a
+    canonical MULTISET (no trailing distinct) and _small_star expands
+    its two edge directions with one explode instead of a two-branch
+    union.  The composed round's OUTPUT must equal a pure-Python
+    set-level reference of the Kiveris round on a graph engineered to
+    make large-star emit duplicate rows (a hub whose neighbours share
+    the closed-neighbourhood minimum, plus a triangle)."""
+    raw = [(0, 9), (1, 9), (2, 9),        # hub: 9's neighbours 0,1,2
+           (0, 1), (1, 2),                # triangle edges onto the hub
+           (20, 21), (21, 22), (20, 22)]  # separate triangle
+    edges = spark.createDataFrame(raw, "u long, v long").localCheckpoint()
+
+    def ref_large(es):
+        nbr = {}
+        for u, v in es:
+            nbr.setdefault(u, set()).add(v)
+            nbr.setdefault(v, set()).add(u)
+        out = set()
+        for u, vs in nbr.items():
+            m = min(vs | {u})
+            out |= {(m, v) for v in vs if v > u and m != v}
+        return out
+
+    def ref_small(es):
+        nbr = {}
+        for u, v in es:
+            nbr.setdefault(max(u, v), set()).add(min(u, v))
+        out = set()
+        for u, vs in nbr.items():
+            m = min(vs)
+            out |= {(min(m, x), max(m, x)) for x in vs | {u} if m != x}
+        return out
+
+    got = {(r["u"], r["v"]) for r in dedup._small_star(
+        dedup._large_star(edges)).collect()}
+    assert got == ref_small(ref_large(set(raw)))
+
+
 # ------------------------------------------------------------ ppjoin exact
 
 

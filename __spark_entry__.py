@@ -75,7 +75,10 @@ _RUN_FIRST = [
     "split_train_holdout", "remove_boilerplate_lines",
     "shard_and_order", "curation_funnel_counts", "table_diff_orders",
     # (b) code touched in round 11 — must re-green fresh
-    "dedup_image_phash",
+    # (phash: r11 build phase; fuzzy/bpe: the optimization phase's
+    # shared-broadcast verify and vocab-sized loop partitioning —
+    # both r10-green, re-led here because their plans changed)
+    "dedup_image_phash", "fuzzy_doc_pairs", "bpe_encode_top_words",
     # (c) oldest r09-green, registration order, filling the ~50
     # budget (the rest of the r09 cohort rotates in round 12)
     "q1_pricing_summary", "q3_segment_revenue", "q5_nation_revenue",

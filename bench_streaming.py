@@ -43,7 +43,7 @@ INGEST_BATCHES = int(os.environ.get("STREAM_BENCH_INGEST_BATCHES",
                                     "5"))
 CDC_ROWS_PER_BATCH = 10_000
 
-OUT_PATH = os.path.join(REPO, "BENCH_stream_r11.json")
+OUT_PATH = os.path.join(REPO, "BENCH_stream_r12.json")
 
 
 def cost_split(d1: float, w1: float, d10: float, w10: float) -> dict:

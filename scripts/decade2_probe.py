@@ -98,7 +98,13 @@ QUERIES = ("dedup_jaccard_prefix", "fuzzy_doc_pairs",
            # HOT-SPLIT plan at 10× that saturation; the band-guard
            # record (rerouted vs residual-dropped memberships) lands
            # beside the wall
-           "dedup_image_phash")
+           "dedup_image_phash",
+           # round 12 (verdict item 3): the remaining two members of
+           # the round-11-rewritten family get decade rows too —
+           # containment (probe-index + rank-window prefix, round-11
+           # cache) and clusters (minhash pairs → star contraction
+           # with the round-12 convergence predicate)
+           "dedup_containment", "dedup_clusters")
 
 #: queries reading the embeddings table (warm-up + observables differ)
 EMB_QUERIES = ("dedup_embedding_lsh", "dedup_embedding_clusters",
@@ -132,6 +138,8 @@ def inner(query: str, sf_dir: str) -> None:
           "dedup_paragraphs": curation.dedup_paragraphs,
           "dedup_paragraphs_hashed": curation.dedup_paragraphs_hashed,
           "dedup_image_phash": _phash,
+          "dedup_containment": dedup.dedup_containment,
+          "dedup_clusters": dedup.dedup_clusters,
           }[query]
     spark = get_spark("decade2_probe",
                       extra_conf={"spark.ui.enabled": "false"})
@@ -147,7 +155,8 @@ def inner(query: str, sf_dir: str) -> None:
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         best = min(best, time.time() - t0)
     extra = {}
-    if query in ("dedup_jaccard_prefix", "dedup_char_jaccard"):
+    if query in ("dedup_jaccard_prefix", "dedup_char_jaccard",
+                 "dedup_containment"):
         m = dedup.last_ppjoin_metrics()
         if m:
             extra["n_candidates"] = m["n_candidates"]
@@ -242,6 +251,15 @@ def main() -> None:
             with open(prior) as f:
                 artifact = json.load(f)
     from scale_probe import wait_load_drain
+    import steal_probe as SP
+    try:
+        with open(SP.REF_PATH) as f:
+            steal_ref = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        raise SystemExit(
+            "decade2_probe: no steal reference — run "
+            "`python scripts/steal_probe.py --ref` on a calm host "
+            "first (round-12 protocol: every leg is calm-bracketed)")
     for q in run:
         artifact["queries"][q] = {}
         for label, sf_dir in SCALES.items():
@@ -257,12 +275,46 @@ def main() -> None:
             # equivalent)
             env = dict(os.environ,
                        SPARK_DRIVER_MEM="48g" if label == "sf10" else "8g")
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--inner", q, sf_dir],
-                cwd=REPO, env=env, capture_output=True, text=True,
-                check=True)
+            # round-12 protocol (round-11 forensics: hypervisor
+            # CPU-budget throttling is invisible to loadavg and can
+            # START mid-leg): bracket every leg with throughput
+            # readings against the calm reference; a leg whose AFTER
+            # reading is degraded was measured inside a burst — retry
+            # it once after the box recovers, and if still degraded
+            # record the bracket verdict so the artifact carries its
+            # own contamination signal instead of a judge exercise
+            for attempt in range(3):
+                before = SP.measure()
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     "--inner", q, sf_dir],
+                    cwd=REPO, env=env, capture_output=True, text=True,
+                    check=True)
+                after = SP.measure()
+                # 15% tolerance: the ambient run-to-run spread of the
+                # multi reading on this host is ±12% even when calm
+                # (measured, round 12), while the round-11 burst class
+                # collapses to 21–54% of reference — the gate exists
+                # for the latter, and a 10% gate retries forever on
+                # the former
+                bracket = {
+                    "before": before, "after": after,
+                    "calm_before": SP.is_calm(steal_ref, before,
+                                              pct=15.0),
+                    "calm_after": SP.is_calm(steal_ref, after,
+                                             pct=15.0),
+                    "attempt": attempt,
+                }
+                if bracket["calm_before"] and bracket["calm_after"]:
+                    break
+                print(f"decade2_probe: {q} {label} leg bracket "
+                      f"degraded (attempt {attempt}): "
+                      f"{json.dumps(bracket)} — waiting for recovery",
+                      file=sys.stderr, flush=True)
+                time.sleep(120)  # idle recovery (measured ~6 min to
+                #                  refill the budget after a long leg)
             r = json.loads(out.stdout.strip().splitlines()[-1])
+            r["steal_bracket"] = bracket
             artifact["queries"][q][label] = r
             print(q, label, r, flush=True)
         a = artifact["queries"][q]["sf1"]["best_sec"]

@@ -284,35 +284,66 @@ def main() -> None:
             # record the bracket verdict so the artifact carries its
             # own contamination signal instead of a judge exercise
             for attempt in range(3):
-                before = SP.measure()
+                # actively WAIT for a calm before-reading: the budget
+                # drained by the previous saturating leg refills in
+                # ~6 idle minutes (r11 forensics) — running the leg
+                # on a drained budget wastes a full leg just to fail
+                # its own bracket
+                waited = 0.0
+                while True:
+                    before = SP.measure()
+                    if SP.is_calm(steal_ref, before, pct=15.0):
+                        break
+                    if waited > 900:
+                        print(f"decade2_probe: {q} {label} — host "
+                              f"not calm within 15 min "
+                              f"({json.dumps(before)}); proceeding "
+                              f"(bracket records it)",
+                              file=sys.stderr, flush=True)
+                        break
+                    time.sleep(60)
+                    waited += 60 + 2 * SP.WINDOW_S
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--inner", q, sf_dir],
                     cwd=REPO, env=env, capture_output=True, text=True,
                     check=True)
                 after = SP.measure()
-                # 15% tolerance: the ambient run-to-run spread of the
-                # multi reading on this host is ±12% even when calm
-                # (measured, round 12), while the round-11 burst class
-                # collapses to 21–54% of reference — the gate exists
-                # for the latter, and a 10% gate retries forever on
-                # the former
+                # Accept rule, derived from the round-11 forensics
+                # and this round's first bracket attempts:
+                # - BEFORE must be calm at 15% on both readings (the
+                #   ambient calm spread of the multi reading is ±12%;
+                #   the burst class collapses to 21–54%);
+                # - AFTER must have a calm SINGLE (whole-box steal
+                #   check — the r11 burst collapsed single to 21%)
+                #   and multi ≥ 60% of reference.  A long saturating
+                #   leg SELF-drains the hypervisor CPU budget (the
+                #   mechanism isolated in BASELINE.md round 11), so
+                #   its own after-multi reads ~75-85% even with zero
+                #   co-tenant activity — retrying can never pass a
+                #   strict after-gate, while a genuine burst (21-54%)
+                #   still fails this one.  Raw readings are recorded
+                #   either way, so the artifact carries the exact
+                #   degradation, not just the verdict bit.
+                calm_before = SP.is_calm(steal_ref, before, pct=15.0)
+                after_ok = (after["single"]
+                            >= steal_ref["single"] * 0.85
+                            and after["multi"]
+                            >= steal_ref["multi"] * 0.60)
                 bracket = {
                     "before": before, "after": after,
-                    "calm_before": SP.is_calm(steal_ref, before,
-                                              pct=15.0),
+                    "calm_before": calm_before,
                     "calm_after": SP.is_calm(steal_ref, after,
                                              pct=15.0),
+                    "after_accepted": after_ok,
                     "attempt": attempt,
                 }
-                if bracket["calm_before"] and bracket["calm_after"]:
+                if calm_before and after_ok:
                     break
                 print(f"decade2_probe: {q} {label} leg bracket "
                       f"degraded (attempt {attempt}): "
-                      f"{json.dumps(bracket)} — waiting for recovery",
-                      file=sys.stderr, flush=True)
-                time.sleep(120)  # idle recovery (measured ~6 min to
-                #                  refill the budget after a long leg)
+                      f"{json.dumps(bracket)} — retrying after "
+                      f"recovery", file=sys.stderr, flush=True)
             r = json.loads(out.stdout.strip().splitlines()[-1])
             r["steal_bracket"] = bracket
             artifact["queries"][q][label] = r
